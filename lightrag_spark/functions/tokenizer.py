@@ -1,0 +1,152 @@
+"""Tokenizers for the token-window chunker.
+
+The reference uses tiktoken (model "gpt-4o-mini" -> o200k_base,
+/root/reference/lightrag/lightrag.py:537, utils.py:3096-3123).  tiktoken is
+not guaranteed in this environment, so three implementations share one
+protocol:
+
+- :class:`TiktokenTokenizer` — import-gated; token-identical to the
+  reference when tiktoken is installed.
+- :class:`RegexTokenizer` — the deterministic default: a lossless
+  GPT-2-style pre-tokenization split.  ``decode(encode(s)) == s`` for every
+  string, so token-window chunking + overlap semantics (windows over the
+  token sequence, decode of each window) behave exactly like a BPE tokenizer
+  whose merges never cross the pre-tokenization boundary.
+- :class:`CharTokenizer` — 1:1 char<->token, mirroring the reference's
+  test ``DummyTokenizer`` (tests/extraction/test_extract_entities.py:20-57).
+
+Executors instantiate tokenizers via module-level singletons (one init per
+worker process), never per row.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Protocol, Sequence
+
+
+class Tokenizer(Protocol):
+    def encode(self, text: str) -> list:  # token sequence (ids or strings)
+        ...
+
+    def decode(self, tokens: Sequence) -> str:
+        ...
+
+    def count(self, text: str) -> int:
+        ...
+
+
+# GPT-2-style pre-tokenization: contraction suffixes, space-prefixed word /
+# number / punctuation runs, then whitespace runs.  The alternation covers
+# every character, so concatenating the pieces reproduces the input exactly.
+_PRETOKEN = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?[^\W\d_]+"
+    r"| ?\d+"
+    r"| ?(?:[^\s\w]|_)+"  # punctuation runs; '_' is \w but not a letter, so
+    #                       it must be claimed here or findall would drop it
+    r"|\s+(?!\S)"
+    r"|\s+"
+    r"|\S",  # safety net: any remaining single char (keeps decode lossless)
+    re.UNICODE,
+)
+
+
+class RegexTokenizer:
+    """Lossless deterministic tokenizer (default when tiktoken is absent)."""
+
+    name = "regex-pretoken"
+
+    def encode(self, text: str) -> list[str]:
+        return _PRETOKEN.findall(text)
+
+    def decode(self, tokens: Sequence[str]) -> str:
+        return "".join(tokens)
+
+    def count(self, text: str) -> int:
+        return len(self.encode(text))
+
+
+class CharTokenizer:
+    """1 char = 1 token; matches the reference tests' DummyTokenizer."""
+
+    name = "char"
+
+    def encode(self, text: str) -> list[str]:
+        return list(text)
+
+    def decode(self, tokens: Sequence[str]) -> str:
+        return "".join(tokens)
+
+    def count(self, text: str) -> int:
+        return len(text)
+
+
+class WhitespaceTokenizer:
+    """Whitespace-word tokenizer.
+
+    Used by the SQL-checkable "simple mode" pipeline: the same tokenization is
+    expressible in ANSI SQL (``regexp_split_to_array(trim(text), '\\s+')``),
+    which lets DuckDB act as an independent oracle for the Spark chunker.
+    Decode joins with single spaces, so it is lossless only for
+    single-space-separated text (which the simple-mode path normalizes first).
+    """
+
+    name = "whitespace"
+
+    def encode(self, text: str) -> list[str]:
+        return text.split()
+
+    def decode(self, tokens: Sequence[str]) -> str:
+        return " ".join(tokens)
+
+    def count(self, text: str) -> int:
+        return len(text.split())
+
+
+class TiktokenTokenizer:
+    """Token-identical to the reference when tiktoken is available."""
+
+    def __init__(self, model_name: str = "gpt-4o-mini"):
+        import tiktoken  # gated: not guaranteed in this environment
+
+        try:
+            self._enc = tiktoken.encoding_for_model(model_name)
+        except KeyError:
+            self._enc = tiktoken.get_encoding("o200k_base")
+        self.name = f"tiktoken:{self._enc.name}"
+
+    def encode(self, text: str) -> list[int]:
+        return self._enc.encode(text)
+
+    def decode(self, tokens: Sequence[int]) -> str:
+        return self._enc.decode(list(tokens))
+
+    def count(self, text: str) -> int:
+        return len(self.encode(text))
+
+
+_SINGLETONS: dict[str, Tokenizer] = {}
+
+
+def get_tokenizer(kind: str = "auto") -> Tokenizer:
+    """Per-process tokenizer singleton. kinds: auto|tiktoken|regex|char|whitespace."""
+    if kind in _SINGLETONS:
+        return _SINGLETONS[kind]
+    if kind == "auto":
+        try:
+            tok: Tokenizer = TiktokenTokenizer()
+        except Exception:
+            tok = RegexTokenizer()
+    elif kind == "tiktoken":
+        tok = TiktokenTokenizer()
+    elif kind == "regex":
+        tok = RegexTokenizer()
+    elif kind == "char":
+        tok = CharTokenizer()
+    elif kind == "whitespace":
+        tok = WhitespaceTokenizer()
+    else:
+        raise ValueError(f"unknown tokenizer kind: {kind}")
+    _SINGLETONS[kind] = tok
+    return tok

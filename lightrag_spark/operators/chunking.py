@@ -1,0 +1,109 @@
+"""Distributed token-window chunking.
+
+The reference chunks one document at a time on the event loop
+(/root/reference/lightrag/chunker/token_size.py, dispatched from
+pipeline.py:4817-5025).  Here the whole corpus is chunked in one
+``mapInPandas`` pass: Arrow batches of documents stream through a worker
+that holds a per-process tokenizer singleton, and each document explodes
+into its chunk rows.  No per-row Python, no driver-side loops; the operator
+scales with input partitions.
+
+Output schema (FIXTURES.md §2)::
+
+    chunks(chunk_id, doc_id, chunk_order_index, tokens, content,
+           char_start, char_end, file_path, doc_order,
+           part_id, lineage_id)
+
+``part_id``/``lineage_id`` are per-partition lineage identifiers required
+by the north rule (spark_partition_id + a partition-local ordinal).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..constants import DEFAULT_CHUNK_OVERLAP_TOKEN_SIZE, DEFAULT_CHUNK_TOKEN_SIZE
+from ..functions.chunking_core import chunk_id_for, chunk_text_by_tokens
+from ..functions.tokenizer import get_tokenizer
+
+CHUNKS_SCHEMA = StructType(
+    [
+        StructField("chunk_id", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("chunk_order_index", IntegerType()),
+        StructField("tokens", IntegerType()),
+        StructField("content", StringType()),
+        StructField("char_start", IntegerType()),
+        StructField("char_end", IntegerType()),
+        StructField("file_path", StringType()),
+        StructField("doc_order", LongType()),
+    ]
+)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    tokenizer_kind: str = "auto",
+    chunk_token_size: int = DEFAULT_CHUNK_TOKEN_SIZE,
+    chunk_overlap_token_size: int = DEFAULT_CHUNK_OVERLAP_TOKEN_SIZE,
+    with_source_spans: bool = True,
+    with_lineage: bool = True,
+) -> DataFrame:
+    """docs(doc_id, text, file_path, doc_order) -> chunks DataFrame.
+
+    The tokenizer is resolved once per executor process (module-level
+    singleton), not per row or per batch.
+    """
+    size = chunk_token_size
+    overlap = chunk_overlap_token_size
+    kind = tokenizer_kind
+    spans = with_source_spans
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tokenizer = get_tokenizer(kind)
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in CHUNKS_SCHEMA.fields}
+            for doc_id, text, file_path, doc_order in zip(
+                pdf["doc_id"], pdf["text"], pdf["file_path"], pdf["doc_order"]
+            ):
+                if text is None:
+                    continue
+                for ch in chunk_text_by_tokens(
+                    tokenizer,
+                    text,
+                    chunk_overlap_token_size=overlap,
+                    chunk_token_size=size,
+                    with_source_spans=spans,
+                ):
+                    order = ch["chunk_order_index"]
+                    span = ch.get("_source_span")
+                    out["chunk_id"].append(chunk_id_for(doc_id, order))
+                    out["doc_id"].append(doc_id)
+                    out["chunk_order_index"].append(order)
+                    out["tokens"].append(ch["tokens"])
+                    out["content"].append(ch["content"])
+                    out["char_start"].append(span["start"] if span else None)
+                    out["char_end"].append(span["end"] if span else None)
+                    out["file_path"].append(file_path)
+                    out["doc_order"].append(doc_order)
+            yield pd.DataFrame(out)
+
+    chunks = docs.select("doc_id", "text", "file_path", "doc_order").mapInPandas(
+        chunk_batches, schema=CHUNKS_SCHEMA
+    )
+    if with_lineage:
+        chunks = chunks.withColumn("part_id", F.spark_partition_id()).withColumn(
+            "lineage_id", F.monotonically_increasing_id()
+        )
+    return chunks

@@ -1,0 +1,242 @@
+"""Distributed entity/relation extraction over chunks.
+
+The reference fans out one LLM call per chunk under an asyncio semaphore
+(/root/reference/lightrag/operate.py:3658-4146) and parses the delimiter
+response, with one gleaning pass merged longer-description-wins
+(operate.py:3864-3965).  Here the whole chunk table streams through one
+``mapInPandas`` stage: the model (deterministic mock, or a batched client
+for a real endpoint) and the reference-parity parser both run inside the
+Arrow worker.  Each chunk yields:
+
+- ``kind='entity'`` rows  — validated mentions (operate.py:678-685)
+- ``kind='relation'`` rows — validated triples  (operate.py:756-765)
+- ``kind='cache'`` rows   — the raw model responses, keyed by args_hash,
+  feeding the ``llm_cache`` table that makes the extraction stage the
+  system of record for resume (SURVEY.md §3.3).
+
+Determinism: ``rec_order`` numbers records in parse order within a chunk;
+``(doc_order, chunk_order_index, rec_order)`` is the global order key that
+replaces the reference's "materialize results in ordered_chunks order"
+tactic (operate.py:4090-4125) — Spark reduce order is nondeterministic, so
+ordering is carried as data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..constants import DEFAULT_MAX_GLEANING
+from ..functions.extraction_parser import merge_gleaning, parse_extraction_result
+from ..functions.hashing import compute_args_hash
+from ..functions.mock_llm import MockExtractorModel
+
+RECORDS_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("entity_name", StringType()),
+        StructField("entity_type", StringType()),
+        StructField("src", StringType()),
+        StructField("tgt", StringType()),
+        StructField("weight", DoubleType()),
+        StructField("description", StringType()),
+        StructField("keywords", StringType()),
+        StructField("chunk_id", StringType()),
+        StructField("file_path", StringType()),
+        StructField("ts", LongType()),
+        StructField("doc_order", LongType()),
+        StructField("chunk_order_index", IntegerType()),
+        StructField("rec_order", IntegerType()),
+        StructField("args_hash", StringType()),
+    ]
+)
+
+_MODELS: dict[tuple, MockExtractorModel] = {}
+
+
+def _get_model(min_len: int, corruption: bool) -> MockExtractorModel:
+    key = (min_len, corruption)
+    if key not in _MODELS:
+        _MODELS[key] = MockExtractorModel(min_len=min_len, corruption=corruption)
+    return _MODELS[key]
+
+
+def extraction_cache_key(chunk_id: str, content: str, pass_index: int) -> str:
+    """Cache key per (chunk, pass) — the distributed analogue of the
+    reference's md5(prompt ⊕ cache_type ⊕ chunk_id ...) key
+    (utils.py:4470-4570)."""
+    return compute_args_hash(chunk_id, content, f"extract-{pass_index}")
+
+
+def extract_records(
+    chunks: DataFrame,
+    max_gleaning: int = DEFAULT_MAX_GLEANING,
+    run_ts: int = 0,
+    model_min_len: int = 5,
+    model_corruption: bool = False,
+    emit_cache_rows: bool = True,
+) -> DataFrame:
+    """chunks -> records DataFrame (kinds entity/relation/cache).
+
+    ``run_ts`` is the deterministic timestamp recorded on every record (the
+    reference stamps LLM-call wall time; a distributed run pins it per run so
+    reprocessing is bit-stable).
+    """
+    gleaning = max_gleaning
+    min_len = model_min_len
+    corruption = model_corruption
+    emit_cache = emit_cache_rows
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _get_model(min_len, corruption)
+        cols = [f.name for f in RECORDS_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for chunk_id, content, file_path, doc_order, chunk_order_index in zip(
+                pdf["chunk_id"],
+                pdf["content"],
+                pdf["file_path"],
+                pdf["doc_order"],
+                pdf["chunk_order_index"],
+            ):
+                response0 = model.respond(content, pass_index=0)
+                nodes, edges = parse_extraction_result(
+                    response0, chunk_id, run_ts, file_path
+                )
+                responses = [response0]
+                if gleaning > 0:
+                    response1 = model.respond(content, pass_index=1)
+                    responses.append(response1)
+                    g_nodes, g_edges = parse_extraction_result(
+                        response1, chunk_id, run_ts, file_path
+                    )
+                    nodes, edges = merge_gleaning(nodes, edges, g_nodes, g_edges)
+
+                rec_order = 0
+                for name, recs in nodes.items():
+                    for r in recs:
+                        rows.append(
+                            (
+                                "entity",
+                                name,
+                                r["entity_type"],
+                                None,
+                                None,
+                                None,
+                                r["description"],
+                                None,
+                                chunk_id,
+                                file_path,
+                                run_ts,
+                                doc_order,
+                                chunk_order_index,
+                                rec_order,
+                                None,
+                            )
+                        )
+                        rec_order += 1
+                for (src, tgt), recs in edges.items():
+                    for r in recs:
+                        rows.append(
+                            (
+                                "relation",
+                                None,
+                                None,
+                                src,
+                                tgt,
+                                r["weight"],
+                                r["description"],
+                                r["keywords"],
+                                chunk_id,
+                                file_path,
+                                run_ts,
+                                doc_order,
+                                chunk_order_index,
+                                rec_order,
+                                None,
+                            )
+                        )
+                        rec_order += 1
+                if emit_cache:
+                    for pass_index, resp in enumerate(responses):
+                        rows.append(
+                            (
+                                "cache",
+                                None,
+                                None,
+                                None,
+                                None,
+                                None,
+                                resp,
+                                None,
+                                chunk_id,
+                                file_path,
+                                run_ts,
+                                doc_order,
+                                chunk_order_index,
+                                pass_index,
+                                extraction_cache_key(chunk_id, content, pass_index),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return chunks.select(
+        "chunk_id", "content", "file_path", "doc_order", "chunk_order_index"
+    ).mapInPandas(extract_batches, schema=RECORDS_SCHEMA)
+
+
+def split_records(records: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """records -> (mentions, triples, cache) with a global order key.
+
+    ``order`` is a struct (doc_order, chunk_order_index, rec_order); struct
+    comparison is lexicographic by field, so it sorts exactly like the
+    reference's insertion order while staying overflow-safe at 10^12 docs
+    (a packed BIGINT would run out of bits).
+    """
+    ordered = records.withColumn(
+        "order",
+        F.struct(
+            F.col("doc_order").alias("d"),
+            F.col("chunk_order_index").alias("c"),
+            F.col("rec_order").alias("r"),
+        ),
+    )
+    mentions = ordered.filter(F.col("kind") == "entity").select(
+        "entity_name",
+        "entity_type",
+        "description",
+        "chunk_id",
+        "file_path",
+        "ts",
+        "order",
+    )
+    triples = ordered.filter(F.col("kind") == "relation").select(
+        "src",
+        "tgt",
+        "weight",
+        "description",
+        "keywords",
+        "chunk_id",
+        "file_path",
+        "ts",
+        "order",
+    )
+    cache = ordered.filter(F.col("kind") == "cache").select(
+        F.col("args_hash"),
+        F.col("chunk_id"),
+        F.col("rec_order").alias("pass_index"),
+        F.col("description").alias("content"),
+        F.col("ts").alias("create_time"),
+    )
+    return mentions, triples, cache

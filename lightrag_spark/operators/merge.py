@@ -1,0 +1,399 @@
+"""Entity/edge canonicalization — the aggregation core.
+
+Reproduces the merge semantics of the reference's
+``_merge_nodes_then_upsert`` (/root/reference/lightrag/operate.py:2271-2609)
+and ``_merge_edges_then_upsert`` (operate.py:2612-3264) as Spark
+aggregations.  The reference serializes writers with per-key asyncio locks;
+a shuffle keyed on the canonical name gives the same exclusive-reducer
+guarantee for free (SURVEY.md §4).
+
+Semantics mapped:
+
+- entity_type  = majority vote over all mention records, ties broken by
+  first appearance (operate.py:2409-2415 — Counter + stable sort);
+- source_ids   = first-seen-ordered dedup of chunk ids, capped at 200, KEEP
+  (=head) strategy (utils.py:5729-5822, constants.py:66-73);
+- descriptions = exact-text dedup keeping the first occurrence, then sorted
+  by (timestamp, -length) (operate.py:2417-2432); bounded at
+  MAX_DESCRIPTION_FRAGMENTS for the distributed setting (the reference list
+  is unbounded because it is single-process);
+- file_paths   = first-seen-ordered dedup capped at 75 (constants.py:79);
+- edge key     = sorted (src,tgt) pair — undirected identity
+  (operate.py:3383-3386);
+- edge weight  = sum of contributing record weights (idempotence vs stored
+  state is the MERGE INTO condition, not part of the fresh aggregation;
+  operate.py:2765-2798);
+- edge keywords = sorted set-union of comma-split tokens joined by ","
+  (operate.py:2800-2817);
+- missing endpoints get UNKNOWN nodes carrying the edge's payload
+  (operate.py:2955-3037);
+- degree       = number of incident edges; edges also expose
+  src_degree+tgt_degree as ``rank`` at query time (base.py:520-541).
+
+Skew strategy (north rule): hot entities ("United States" scale) make
+``collect_list`` groups explode.  Every order-sensitive aggregation here is
+two-phase: phase 1 groups by (key, salt) — salt = hash of the contributing
+chunk id — and reduces each salt partition to a bounded, sorted, deduped,
+capped partial; phase 2 merges <=S bounded partials per key.  The caps make
+the two-phase plan *exact*, not approximate: the global head-K of an
+ordered union equals the head-K of the merge of per-salt head-Ks.
+Purely algebraic aggs (counts, sums, min/max) instead rely on Spark's
+map-side partial aggregation, which already neutralizes skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import (
+    DEFAULT_MERGE_SALTS,
+    MAX_DESCRIPTION_FRAGMENTS,
+    MAX_FILE_PATHS,
+    MAX_SOURCE_IDS,
+    UNKNOWN_ENTITY_TYPE,
+)
+
+
+def _salt(col: Column, salts: int) -> Column:
+    return F.pmod(F.xxhash64(col), F.lit(salts)).cast("int")
+
+
+def _two_phase_head(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_col: Column,
+    sort_struct: Column,
+    cap: int,
+    out_name: str,
+) -> DataFrame:
+    """Exact head-``cap`` of ``sort_struct`` values per key via salted
+    two-phase aggregation.  Returns one row per key with an array column
+    ``out_name`` of sorted structs (ascending)."""
+    phase1 = (
+        df.withColumn("_salt", salt_col)
+        .withColumn("_item", sort_struct)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.slice(F.array_sort(F.collect_list("_item")), 1, cap).alias("_partial"))
+    )
+    return phase1.groupBy(*key_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_partial"))), 1, cap).alias(out_name)
+    )
+
+
+def merge_entity_nodes(
+    mentions: DataFrame,
+    salts: int = DEFAULT_MERGE_SALTS,
+    max_source_ids: int = MAX_SOURCE_IDS,
+    max_file_paths: int = MAX_FILE_PATHS,
+    max_fragments: int = MAX_DESCRIPTION_FRAGMENTS,
+) -> DataFrame:
+    """mentions -> one row per entity with merged payloads.
+
+    Output: (entity_name, entity_type, descriptions array<string>,
+    source_ids array<string>, file_paths array<string>, mention_count,
+    created_at).  Description summarization is a separate finalizer
+    (operators.summary) because it may invoke a model.
+    """
+    m = mentions
+
+    # --- entity_type: majority vote, ties -> earliest first appearance ----
+    votes = (
+        m.groupBy("entity_name", "entity_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("order").alias("first_order"),
+            F.min("ts").alias("ts"),
+        )
+        .groupBy("entity_name")
+        .agg(
+            F.max_by(
+                "entity_type",
+                F.struct(
+                    F.col("cnt"),
+                    F.struct(
+                        (-F.col("first_order.d")).alias("d"),
+                        (-F.col("first_order.c")).alias("c"),
+                        (-F.col("first_order.r")).alias("r"),
+                    ).alias("neg_order"),
+                ),
+            ).alias("entity_type"),
+            F.sum("cnt").alias("mention_count"),
+            F.min("ts").alias("created_at"),
+        )
+    )
+
+    # --- source_ids: ordered dedup + head cap --------------------------------
+    # A1: algebraic first-occurrence per (entity, chunk) — map-side combine
+    # applies, so the hot-key shuffle moves one row per (entity, chunk).
+    first_per_chunk = m.groupBy("entity_name", "chunk_id").agg(F.min("order").alias("o"))
+    sources = _two_phase_head(
+        first_per_chunk,
+        ["entity_name"],
+        _salt(F.col("chunk_id"), salts),
+        F.struct(F.col("o"), F.col("chunk_id")),
+        max_source_ids,
+        "_src",
+    ).select(
+        "entity_name", F.transform("_src", lambda x: x["chunk_id"]).alias("source_ids")
+    )
+
+    # --- file_paths: ordered dedup + head cap --------------------------------
+    first_per_path = m.groupBy("entity_name", "file_path").agg(F.min("order").alias("o"))
+    paths = _two_phase_head(
+        first_per_path,
+        ["entity_name"],
+        _salt(F.col("file_path"), salts),
+        F.struct(F.col("o"), F.col("file_path")),
+        max_file_paths,
+        "_fp",
+    ).select(
+        "entity_name", F.transform("_fp", lambda x: x["file_path"]).alias("file_paths")
+    )
+
+    # --- descriptions: first-occurrence dedup, then (ts, -len) sort ----------
+    # Reference order: dedup by exact text keeping the FIRST record, then a
+    # stable sort by (timestamp, -len) — stability == tie-break on first
+    # appearance, which we encode explicitly as the trailing order field.
+    first_per_desc = (
+        m.filter(F.col("description").isNotNull() & (F.col("description") != ""))
+        .groupBy("entity_name", "description")
+        .agg(F.min(F.struct(F.col("order"), F.col("ts"))).alias("f"))
+    )
+    descs = _two_phase_head(
+        first_per_desc,
+        ["entity_name"],
+        _salt(F.col("description"), salts),
+        F.struct(
+            F.col("f.ts").alias("ts"),
+            (-F.length("description")).alias("neglen"),
+            F.col("f.order").alias("order"),
+            F.col("description").alias("description"),
+        ),
+        max_fragments,
+        "_ds",
+    ).select(
+        "entity_name",
+        F.transform("_ds", lambda x: x["description"]).alias("descriptions"),
+    )
+
+    return (
+        votes.join(sources, "entity_name")
+        .join(paths, "entity_name")
+        .join(descs, "entity_name", "left")
+        .withColumn(
+            "descriptions",
+            F.coalesce(
+                "descriptions",
+                # fallback mirrors operate.py:2440-2447
+                F.array(F.concat(F.lit("Entity "), F.col("entity_name"))),
+            ),
+        )
+    )
+
+
+def edge_pair(src: Column, tgt: Column) -> tuple[Column, Column]:
+    """Undirected edge identity: lexicographically sorted endpoints
+    (operate.py:3383-3386)."""
+    return F.least(src, tgt), F.greatest(src, tgt)
+
+
+def merge_relation_edges(
+    triples: DataFrame,
+    salts: int = DEFAULT_MERGE_SALTS,
+    max_source_ids: int = MAX_SOURCE_IDS,
+    max_file_paths: int = MAX_FILE_PATHS,
+    max_fragments: int = MAX_DESCRIPTION_FRAGMENTS,
+) -> DataFrame:
+    """triples -> one row per undirected edge with merged payloads.
+
+    Output: (src, tgt, weight, keywords array<string>, descriptions,
+    source_ids, file_paths, relation_count, created_at).
+    """
+    lo, hi = edge_pair(F.col("src"), F.col("tgt"))
+    t = triples.withColumn("_lo", lo).withColumn("_hi", hi)
+
+    sums = t.groupBy("_lo", "_hi").agg(
+        F.sum("weight").alias("weight"),
+        F.count(F.lit(1)).alias("relation_count"),
+        F.min("ts").alias("created_at"),
+    )
+
+    # keywords: sorted distinct union of comma-split tokens (operate.py:2800-2817)
+    kw = (
+        t.select(
+            "_lo", "_hi", F.explode(F.split(F.coalesce("keywords", F.lit("")), ",")).alias("k")
+        )
+        .withColumn("k", F.trim("k"))
+        .filter(F.col("k") != "")
+        .distinct()
+        .groupBy("_lo", "_hi")
+        .agg(F.array_sort(F.collect_set("k")).alias("keywords"))
+    )
+
+    first_per_chunk = t.groupBy("_lo", "_hi", "chunk_id").agg(F.min("order").alias("o"))
+    sources = _two_phase_head(
+        first_per_chunk,
+        ["_lo", "_hi"],
+        _salt(F.col("chunk_id"), salts),
+        F.struct(F.col("o"), F.col("chunk_id")),
+        max_source_ids,
+        "_src",
+    ).select("_lo", "_hi", F.transform("_src", lambda x: x["chunk_id"]).alias("source_ids"))
+
+    first_per_path = t.groupBy("_lo", "_hi", "file_path").agg(F.min("order").alias("o"))
+    paths = _two_phase_head(
+        first_per_path,
+        ["_lo", "_hi"],
+        _salt(F.col("file_path"), salts),
+        F.struct(F.col("o"), F.col("file_path")),
+        max_file_paths,
+        "_fp",
+    ).select("_lo", "_hi", F.transform("_fp", lambda x: x["file_path"]).alias("file_paths"))
+
+    first_per_desc = (
+        t.filter(F.col("description").isNotNull() & (F.col("description") != ""))
+        .groupBy("_lo", "_hi", "description")
+        .agg(F.min(F.struct(F.col("order"), F.col("ts"))).alias("f"))
+    )
+    descs = _two_phase_head(
+        first_per_desc,
+        ["_lo", "_hi"],
+        _salt(F.col("description"), salts),
+        F.struct(
+            F.col("f.ts").alias("ts"),
+            (-F.length("description")).alias("neglen"),
+            F.col("f.order").alias("order"),
+            F.col("description").alias("description"),
+        ),
+        max_fragments,
+        "_ds",
+    ).select(
+        "_lo", "_hi", F.transform("_ds", lambda x: x["description"]).alias("descriptions")
+    )
+
+    keys = ["_lo", "_hi"]
+    return (
+        sums.join(kw, keys, "left")
+        .join(sources, keys)
+        .join(paths, keys)
+        .join(descs, keys, "left")
+        .withColumn("keywords", F.coalesce("keywords", F.array().cast("array<string>")))
+        .withColumn(
+            "descriptions",
+            F.coalesce("descriptions", F.array().cast("array<string>")),
+        )
+        .withColumnRenamed("_lo", "src")
+        .withColumnRenamed("_hi", "tgt")
+    )
+
+
+def add_unknown_endpoint_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Union in UNKNOWN-typed nodes for edge endpoints with no entity record
+    (operate.py:2955-3037).  The created node carries the payload of its
+    first incident edge (by created_at, then pair key) and the ordered union
+    of incident edges' source_ids/file_paths.
+    """
+    desc_col = "description" if "description" in edges.columns else "descriptions"
+    endpoints = edges.select(
+        F.explode(F.array("src", "tgt")).alias("entity_name"),
+        desc_col,
+        "source_ids",
+        "file_paths",
+        "created_at",
+        "src",
+        "tgt",
+    )
+    missing = endpoints.join(
+        nodes.select("entity_name"), "entity_name", "left_anti"
+    )
+    unknown = (
+        missing.groupBy("entity_name")
+        .agg(
+            F.min_by(
+                desc_col, F.struct(F.col("created_at"), F.col("src"), F.col("tgt"))
+            ).alias(desc_col),
+            # collect_list order is nondeterministic after a shuffle — carry
+            # the edge identity as an explicit sort key (SURVEY.md §4 #2).
+            F.slice(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("created_at"),
+                                        F.col("src"),
+                                        F.col("tgt"),
+                                        F.col("source_ids").alias("v"),
+                                    )
+                                )
+                            ),
+                            lambda x: x["v"],
+                        )
+                    )
+                ),
+                1,
+                MAX_SOURCE_IDS,
+            ).alias("source_ids"),
+            F.slice(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("created_at"),
+                                        F.col("src"),
+                                        F.col("tgt"),
+                                        F.col("file_paths").alias("v"),
+                                    )
+                                )
+                            ),
+                            lambda x: x["v"],
+                        )
+                    )
+                ),
+                1,
+                MAX_FILE_PATHS,
+            ).alias("file_paths"),
+            F.min("created_at").alias("created_at"),
+        )
+        .withColumn("entity_type", F.lit(UNKNOWN_ENTITY_TYPE))
+        .withColumn("mention_count", F.lit(0).cast("long"))
+    )
+    if desc_col == "description":
+        unknown = unknown.withColumn("descriptions", F.array(F.col("description")))
+        if "llm_was_used" in nodes.columns:
+            unknown = unknown.withColumn("llm_was_used", F.lit(False))
+    return nodes.unionByName(unknown, allowMissingColumns=True)
+
+
+def with_degrees(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Attach node degree (# incident edges) and edge rank
+    (deg(src)+deg(tgt)) — the reference's query-time ranking signals
+    (base.py:520-541, kg/networkx_impl.py)."""
+    deg = (
+        edges.select(F.explode(F.array("src", "tgt")).alias("entity_name"))
+        .groupBy("entity_name")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    nodes_d = nodes.join(deg, "entity_name", "left").withColumn(
+        "degree", F.coalesce("degree", F.lit(0)).cast("long")
+    )
+    # The degree table is one row per entity — at corpus scale it is NOT
+    # broadcastable; use shuffle joins and let AQE pick the strategy (it will
+    # broadcast automatically when the side is actually small).
+    deg_small = deg.withColumnRenamed("entity_name", "_e").withColumnRenamed(
+        "degree", "_deg"
+    )
+    edges_d = (
+        edges.join(deg_small, F.col("src") == F.col("_e"), "left")
+        .withColumn("src_degree", F.coalesce("_deg", F.lit(0)))
+        .drop("_e", "_deg")
+        .join(deg_small, F.col("tgt") == F.col("_e"), "left")
+        .withColumn("tgt_degree", F.coalesce("_deg", F.lit(0)))
+        .drop("_e", "_deg")
+        .withColumn("rank", (F.col("src_degree") + F.col("tgt_degree")).cast("long"))
+    )
+    return nodes_d, edges_d
