@@ -1,0 +1,107 @@
+"""Benchmark: headline KG-construction throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "kg_build_e2e", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "docs": N, "chunks": N, "triples": N, "triples_per_sec": N, "cpus": N}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+The headline job is the full-mode pipeline (regex tokenizer windows 1200/100
+are pointless on ~100-word synthetic docs, so the bench uses 64/8 windows —
+multi-chunk docs — with gleaning ON and the salted merge): docs -> chunks ->
+extract -> merge -> materialize kg_nodes + kg_edges counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as em
+    from lightrag_spark.plans.kg_build import KGBuildConfig, build_kg
+    from lightrag_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="lightrag-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- headline: full-mode KG build --------------------------------------
+    docs = em._docs_for_kg(spark, sf_dir)
+    docs.cache()
+    n_docs = docs.count()
+    cfg = KGBuildConfig(
+        tokenizer_kind="regex",
+        chunk_token_size=64,
+        chunk_overlap_token_size=8,
+        max_gleaning=1,
+        merge_salts=16,
+        with_source_spans=True,
+        cache_records=True,
+    )
+    t0 = time.time()
+    r = build_kg(docs, cfg)
+    n_nodes = r.kg_nodes.count()
+    n_edges = r.kg_edges.count()
+    kg_sec = time.time() - t0
+    timings["kg_build_full"] = round(kg_sec, 3)
+
+    # counts off the persisted extraction output (no recompute)
+    n_chunks = r.chunks.count()
+    n_triples = r.triples.count()
+
+    # --- secondary operator benchmarks --------------------------------------
+    for name in (
+        "kg_chunks",
+        "kg_triples",
+        "kg_nodes",
+        "dedup_near_pairs",
+        "dedup_simhash",
+        "sim_cosine_topk",
+        "text_quality",
+        "events_sessions",
+        "tpch_q1ish",
+    ):
+        fn = em.queries()[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = timings["kg_build_full"]
+    out = {
+        "metric": "kg_build_e2e",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "docs": n_docs,
+        "chunks": n_chunks,
+        "nodes": n_nodes,
+        "edges": n_edges,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / max(kg_sec, 1e-9), 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

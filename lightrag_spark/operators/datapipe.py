@@ -1,0 +1,308 @@
+"""Training-data pipeline operators over the ``documents`` / ``embeddings``
+tables: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+similarity search, and text analysis.
+
+Everything here is JVM-side (built-in functions + higher-order array
+expressions) — no Python UDFs — so whole-stage codegen applies and the
+operators scale with partitions.  All hash primitives are md5-based because
+md5 is bit-identical across Spark and DuckDB, which lets the driver's
+DuckDB oracle check every operator end-to-end (engine-native hash()
+functions differ and would make cross-engine verification impossible).
+
+Scale notes (100 TB design):
+- exact dedup: one shuffle on the content hash; map-side combine applies.
+- MinHash/LSH: signatures are computed scan-side per row (no shuffle);
+  the only shuffle is the band-bucket groupBy, whose fan-in is bounded by
+  bucket size; candidate verification joins only within buckets, never
+  all-pairs.
+- similarity: the brute-force variant is for small query sets (cross join
+  is |Q| x |corpus| — broadcast the query side); the banded variant
+  restricts to hash buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---- shared knobs (oracle SQL in __spark_entry__ derives from these) -------
+SHINGLE_N = 3          # word-shingle width
+MINHASH_K = 12         # minhash functions
+LSH_BANDS = 3          # bands (x LSH_ROWS = MINHASH_K)
+LSH_ROWS = 4           # rows per band
+NEARDUP_THRESHOLD = 0.5
+SIMHASH_BITS = 16      # simhash width (md5 nibbles 1-4 of each token)
+STOPWORDS = ["the", "a", "of", "and", "in", "on", "at", "is", "was"]
+
+
+def tokens_col(text: str = "text") -> Column:
+    return F.split(F.trim(F.col(text)), r"\s+")
+
+
+def shingles_col(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct n-gram word shingles (space-joined), order-free."""
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash groups with more than one member (hash-groupBy dedup)."""
+    return (
+        docs.select(F.md5(F.trim(F.col(text))).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("first_doc_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _minhash_one(sh: Column, seed: int) -> Column:
+    # NB: the transform lambda must be single-argument — PySpark interprets a
+    # two-argument lambda as (element, index), which would silently replace
+    # the seed with the array position.
+    def h(s):
+        return F.md5(F.concat_ws(":", F.lit(str(seed)), s))
+
+    return F.array_min(F.transform(sh, h))
+
+
+def minhash_signature_cols(sh: Column, k: int = MINHASH_K) -> list[Column]:
+    """k portable minhash values: min over shingles of md5('{i}:'||shingle)."""
+    return [_minhash_one(sh, i).alias(f"mh{i}") for i in range(k)]
+
+
+def minhash_bands(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band_idx, bucket) — LSH banding of the minhash signature."""
+    sh = shingles_col(tokens_col(text))
+    sigs = docs.select(F.col(id_col), *minhash_signature_cols(sh)).filter(
+        F.col("mh0").isNotNull()
+    )
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
+            ).alias("bucket"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_bucket_collisions(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(band_idx, bucket, n_docs, min_doc_id) for buckets holding >1 doc."""
+    return (
+        minhash_bands(docs, text, id_col)
+        .groupBy("band_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def near_duplicate_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact n-gram Jaccard verification.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard (rounded
+    to 4dp) >= threshold.  Candidates are pairs sharing at least one LSH
+    band bucket — the scale path: the join is within buckets, never
+    all-pairs over the corpus.
+    """
+    bands = minhash_bands(docs, text, id_col)
+    a = bands.select(F.col("band_idx"), F.col("bucket"), F.col(id_col).alias("doc_a"))
+    b = bands.select(F.col("band_idx"), F.col("bucket"), F.col(id_col).alias("doc_b"))
+    cand = (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col), shingles_col(tokens_col(text)).alias("sh")
+    )
+    return (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash over distinct tokens.
+
+    Each distinct token contributes +-1 per bit from the first 4 hex digits
+    of its md5; the fingerprint sets bit b when the signed sum is positive.
+    Pure integer arithmetic (portable to the DuckDB oracle).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(text))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vals = toks.withColumn(
+        "hv", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+    )
+    bit_cols = [
+        F.sum(
+            (F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = vals.groupBy(id_col).agg(*bit_cols)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else (fp + term)
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: the first ``n_queries`` vectors against the
+    whole corpus.  (query_id, neighbor_id, sim, rank); sim rounded to 4dp,
+    ties broken by neighbor id.  The query side is tiny -> broadcast; the
+    corpus side streams (no shuffle until the per-query top-k window)."""
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def token_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    toks = tokens_col(text)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length(F.trim(F.col(text))).alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword ratio + type/token ratio -> composite quality score."""
+    toks = tokens_col(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    return docs.select(
+        F.col(id_col),
+        F.round(n_stop / n, 4).alias("stopword_ratio"),
+        F.round(n_uniq / n, 4).alias("type_token_ratio"),
+        F.round((n_stop / n) * 0.5 + (n_uniq / n) * 0.5, 4).alias("quality"),
+    )
+
+
+def lang_stats(docs: DataFrame, text: str = "text") -> DataFrame:
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length(F.trim(F.col(text)))), 2).alias("avg_chars"),
+            F.sum(F.size(tokens_col(text))).alias("total_tokens"),
+        )
+    )
+
+
+def fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-free document fingerprint: min/max md5 over word shingles."""
+    sh = shingles_col(tokens_col(text))
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    return docs.select(
+        F.col(id_col),
+        F.array_min(hashed).alias("fp_min"),
+        F.array_max(hashed).alias("fp_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event sessionization (window functions over the events table)
+# ---------------------------------------------------------------------------
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_idx, n_events) — gap-based sessionization via lag +
+    running sum, the standard shuffle-once window pattern."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = marked.withColumn("session_idx", F.sum("new_session").over(w))
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

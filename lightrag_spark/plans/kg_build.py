@@ -50,6 +50,11 @@ class KGBuildConfig:
     model_corruption: bool = False
     with_source_spans: bool = True
     summarize: bool = True
+    # Persist the extraction output before the two merge aggregations fan out
+    # of it (nodes + edges + counts would otherwise each recompute the model
+    # stage).  On a cluster this is the natural place for the llm_cache /
+    # records table write; locally MEMORY_AND_DISK.
+    cache_records: bool = False
 
 
 @dataclass
@@ -86,6 +91,10 @@ def build_kg(docs: DataFrame, cfg: KGBuildConfig | None = None) -> KGBuildResult
         model_min_len=cfg.model_min_len,
         model_corruption=cfg.model_corruption,
     )
+    if cfg.cache_records:
+        from pyspark.storagelevel import StorageLevel
+
+        records = records.persist(StorageLevel.MEMORY_AND_DISK)
     mentions, triples, cache = split_records(records)
 
     nodes = merge_entity_nodes(
