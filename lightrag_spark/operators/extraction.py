@@ -86,37 +86,67 @@ def extract_records(
     model_min_len: int = 5,
     model_corruption: bool = False,
     emit_cache_rows: bool = True,
+    model_call_counter=None,
 ) -> DataFrame:
     """chunks -> records DataFrame (kinds entity/relation/cache).
 
     ``run_ts`` is the deterministic timestamp recorded on every record (the
     reference stamps LLM-call wall time; a distributed run pins it per run so
     reprocessing is bit-stable).
+
+    Resume path: if ``chunks`` carries ``cached_resp0``/``cached_resp1``
+    columns (joined in from the llm_cache table), non-null responses are
+    re-parsed instead of re-calling the model — the distributed analogue of
+    the reference's use_llm_func_with_cache (utils.py:4470-4570), which makes
+    the cache table the system of record for extraction.
+    ``model_call_counter`` (a Spark accumulator) counts actual model calls so
+    tests can assert a warm resume performs zero.
     """
     gleaning = max_gleaning
     min_len = model_min_len
     corruption = model_corruption
     emit_cache = emit_cache_rows
+    counter = model_call_counter
+    has_cache = "cached_resp0" in chunks.columns
+    in_cols = ["chunk_id", "content", "file_path", "doc_order", "chunk_order_index"]
+    if has_cache:
+        in_cols += ["cached_resp0", "cached_resp1"]
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _get_model(min_len, corruption)
         cols = [f.name for f in RECORDS_SCHEMA.fields]
         for pdf in batches:
             rows: list[tuple] = []
-            for chunk_id, content, file_path, doc_order, chunk_order_index in zip(
+            cached0 = pdf["cached_resp0"] if has_cache else [None] * len(pdf)
+            cached1 = pdf["cached_resp1"] if has_cache else [None] * len(pdf)
+            for chunk_id, content, file_path, doc_order, chunk_order_index, c0, c1 in zip(
                 pdf["chunk_id"],
                 pdf["content"],
                 pdf["file_path"],
                 pdf["doc_order"],
                 pdf["chunk_order_index"],
+                cached0,
+                cached1,
             ):
-                response0 = model.respond(content, pass_index=0)
+                # NB: a left-join miss arrives as NaN in pandas, not None —
+                # test for "is a string", not "is not None".
+                if isinstance(c0, str):
+                    response0 = c0
+                else:
+                    response0 = model.respond(content, pass_index=0)
+                    if counter is not None:
+                        counter.add(1)
                 nodes, edges = parse_extraction_result(
                     response0, chunk_id, run_ts, file_path
                 )
                 responses = [response0]
                 if gleaning > 0:
-                    response1 = model.respond(content, pass_index=1)
+                    if isinstance(c1, str):
+                        response1 = c1
+                    else:
+                        response1 = model.respond(content, pass_index=1)
+                        if counter is not None:
+                            counter.add(1)
                     responses.append(response1)
                     g_nodes, g_edges = parse_extraction_result(
                         response1, chunk_id, run_ts, file_path
@@ -191,9 +221,7 @@ def extract_records(
                         )
             yield pd.DataFrame(rows, columns=cols)
 
-    return chunks.select(
-        "chunk_id", "content", "file_path", "doc_order", "chunk_order_index"
-    ).mapInPandas(extract_batches, schema=RECORDS_SCHEMA)
+    return chunks.select(*in_cols).mapInPandas(extract_batches, schema=RECORDS_SCHEMA)
 
 
 def split_records(records: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:

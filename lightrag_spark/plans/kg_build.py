@@ -68,11 +68,20 @@ class KGBuildResult:
     config: KGBuildConfig = field(default_factory=KGBuildConfig)
 
 
-def build_kg(docs: DataFrame, cfg: KGBuildConfig | None = None) -> KGBuildResult:
+def build_kg(
+    docs: DataFrame,
+    cfg: KGBuildConfig | None = None,
+    llm_cache: DataFrame | None = None,
+    model_call_counter=None,
+) -> KGBuildResult:
     """docs(doc_id, text, file_path, doc_order) -> knowledge-graph tables.
 
     All returned DataFrames are lazy; callers decide what to materialize
     (tests collect, the pipeline writes partitioned parquet/Iceberg).
+
+    ``llm_cache`` (args_hash, chunk_id, pass_index, content, create_time) is
+    the prior run's extraction cache: cached responses are re-parsed instead
+    of re-calling the model (the resume primitive, SURVEY.md §3.3).
     """
     cfg = cfg or KGBuildConfig()
 
@@ -84,12 +93,23 @@ def build_kg(docs: DataFrame, cfg: KGBuildConfig | None = None) -> KGBuildResult
         with_source_spans=cfg.with_source_spans,
     )
 
+    extract_input = chunks
+    if llm_cache is not None:
+        from pyspark.sql import functions as F
+
+        pivoted = llm_cache.groupBy("chunk_id").agg(
+            F.max(F.when(F.col("pass_index") == 0, F.col("content"))).alias("cached_resp0"),
+            F.max(F.when(F.col("pass_index") == 1, F.col("content"))).alias("cached_resp1"),
+        )
+        extract_input = chunks.join(pivoted, "chunk_id", "left")
+
     records = extract_records(
-        chunks,
+        extract_input,
         max_gleaning=cfg.max_gleaning,
         run_ts=cfg.run_ts,
         model_min_len=cfg.model_min_len,
         model_corruption=cfg.model_corruption,
+        model_call_counter=model_call_counter,
     )
     if cfg.cache_records:
         from pyspark.storagelevel import StorageLevel

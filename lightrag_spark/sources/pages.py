@@ -143,12 +143,16 @@ _DOCS_SCHEMA = StructType(
 )
 
 
-def enqueue_documents(pages: DataFrame) -> DataFrame:
+def enqueue_documents(pages: DataFrame, streaming: bool = False) -> DataFrame:
     """pages -> docs(doc_id, text, file_path, doc_order, content_hash, status).
 
     The sanitize step runs in one Arrow pass (byte-identical invariant);
     dedup keeps the first page per content hash (by page order — the
     reference's "first-seen wins within a batch", pipeline.py:962-974).
+
+    ``streaming=True`` swaps the row_number window (batch-only) for
+    stateful ``dropDuplicates`` — same keep-one-per-hash semantics, except
+    "first" means first-arriving micro-batch row.
     """
 
     def sanitize_batches(batches):
@@ -168,14 +172,20 @@ def enqueue_documents(pages: DataFrame) -> DataFrame:
     sanitized = pages.select("url", "text", "page_order").mapInPandas(
         sanitize_batches, schema=_DOCS_SCHEMA
     )
-    from pyspark.sql.window import Window
+    nonempty = sanitized.filter(F.col("text") != "")
+    if streaming:
+        deduped = nonempty.dropDuplicates(["content_hash"])
+    else:
+        from pyspark.sql.window import Window
 
-    w = Window.partitionBy("content_hash").orderBy("page_order")
+        w = Window.partitionBy("content_hash").orderBy("page_order")
+        deduped = (
+            nonempty.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     return (
-        sanitized.filter(F.col("text") != "")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        deduped
         .select(
             "doc_id",
             "text",

@@ -1,0 +1,74 @@
+"""Incremental ingest: stream new pages through chunk+extract, merge in batch.
+
+The reference has no streaming engine — "new documents" arrive through the
+enqueue pipeline and a doc-status scan (SURVEY.md §2.10) — so the idiomatic
+Spark translation is a Structured Streaming *ingest* stage feeding the
+batch merge:
+
+- ``stream_chunk_extract``: readStream over a pages directory -> sanitize ->
+  chunk -> extract (the same mapInPandas operators as batch — they are
+  streaming-safe because they are stateless per row) -> append-only records
+  sink.  This is the scale path for continuous crawls: extraction cost is
+  paid exactly once per chunk, checkpointed by the stream.
+- the merge stays a periodic batch job over the accumulated records table
+  (entity merge is a global aggregation with caps and order keys —
+  append-mode streaming cannot express it exactly, and the reference's own
+  semantics are batch-per-document-set).
+
+``foreachBatch`` wires both together when a single continuous job is
+preferred.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.chunking import chunk_documents
+from ..operators.extraction import extract_records
+from ..plans.kg_build import KGBuildConfig
+from ..sources.pages import PAGES_SCHEMA, enqueue_documents
+
+
+def stream_chunk_extract(
+    spark: SparkSession,
+    pages_dir: str,
+    records_out: str,
+    checkpoint_dir: str,
+    cfg: KGBuildConfig | None = None,
+    trigger_once: bool = True,
+):
+    """readStream(pages parquet dir) -> records parquet sink (append).
+
+    Returns the started StreamingQuery.  ``trigger_once`` processes the
+    backlog and stops — the incremental-batch pattern; set False for a
+    continuous micro-batch stream.
+    """
+    cfg = cfg or KGBuildConfig()
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA).format("parquet").load(pages_dir)
+    )
+    docs = enqueue_documents(pages, streaming=True)
+    chunks = chunk_documents(
+        docs,
+        tokenizer_kind=cfg.tokenizer_kind,
+        chunk_token_size=cfg.chunk_token_size,
+        chunk_overlap_token_size=cfg.chunk_overlap_token_size,
+        with_source_spans=cfg.with_source_spans,
+        with_lineage=False,  # monotonically_increasing_id is batch-only
+    )
+    records = extract_records(
+        chunks,
+        max_gleaning=cfg.max_gleaning,
+        run_ts=cfg.run_ts,
+        model_min_len=cfg.model_min_len,
+        model_corruption=cfg.model_corruption,
+    )
+    writer = (
+        records.writeStream.format("parquet")
+        .option("path", records_out)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
