@@ -50,7 +50,11 @@ SIMPLE_CFG = KGBuildConfig(
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The testdata tables are single parquet files -> single-partition scans;
+    # fan out once here so every downstream operator (md5-heavy dedup
+    # expressions especially) uses all cores.
+    par = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par, "doc_id")
 
 
 def _docs_for_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,8 +73,19 @@ def _docs_for_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+_BUILD_CACHE: dict = {}
+
+
 def _build(spark: SparkSession, sf_dir: str):
-    return build_kg(_docs_for_kg(spark, sf_dir), SIMPLE_CFG)
+    """Memoized simple-mode build: seven kg_* queries share one pipeline
+    (records persisted), instead of re-running extraction per query."""
+    key = (id(spark), sf_dir)
+    if key not in _BUILD_CACHE:
+        import dataclasses
+
+        cfg = dataclasses.replace(SIMPLE_CFG, cache_records=True)
+        _BUILD_CACHE[key] = build_kg(_docs_for_kg(spark, sf_dir), cfg)
+    return _BUILD_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

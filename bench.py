@@ -6,8 +6,13 @@ Prints ONE JSON line:
    "docs": N, "chunks": N, "triples": N, "triples_per_sec": N, "cpus": N}
 
 Env:
-  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  SPARK_GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_MODE  "sf" (default: testdata corpus + operator suite) or
+                          "synth" (FIXTURES.md §1 bench corpus: long synthetic
+                          pages, KG build only — the two-parallelism scaling
+                          job; sized so real work dominates fixed overhead)
+  SPARK_GRAFT_N_PAGES     synth corpus size (default 8000)
 
 The headline job is the full-mode pipeline (regex tokenizer windows 1200/100
 are pointless on ~100-word synthetic docs, so the bench uses 64/8 windows —
@@ -30,6 +35,9 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "sf")
+    n_pages = int(os.environ.get("SPARK_GRAFT_N_PAGES", "8000"))
+
     import __spark_entry__ as em
     from lightrag_spark.plans.kg_build import KGBuildConfig, build_kg
     from lightrag_spark.session import get_spark
@@ -44,18 +52,33 @@ def main():
     timings: dict[str, float] = {}
 
     # --- headline: full-mode KG build --------------------------------------
-    docs = em._docs_for_kg(spark, sf_dir)
+    if mode == "synth":
+        from lightrag_spark.sources.pages import enqueue_documents, synthesize_pages
+
+        pages = synthesize_pages(spark, n_pages, seed=42)
+        docs = enqueue_documents(pages)
+        cfg = KGBuildConfig(
+            tokenizer_kind="regex",
+            chunk_token_size=256,
+            chunk_overlap_token_size=32,
+            max_gleaning=1,
+            merge_salts=16,
+            with_source_spans=True,
+            cache_records=True,
+        )
+    else:
+        docs = em._docs_for_kg(spark, sf_dir)
+        cfg = KGBuildConfig(
+            tokenizer_kind="regex",
+            chunk_token_size=64,
+            chunk_overlap_token_size=8,
+            max_gleaning=1,
+            merge_salts=16,
+            with_source_spans=True,
+            cache_records=True,
+        )
     docs.cache()
     n_docs = docs.count()
-    cfg = KGBuildConfig(
-        tokenizer_kind="regex",
-        chunk_token_size=64,
-        chunk_overlap_token_size=8,
-        max_gleaning=1,
-        merge_salts=16,
-        with_source_spans=True,
-        cache_records=True,
-    )
     t0 = time.time()
     r = build_kg(docs, cfg)
     n_nodes = r.kg_nodes.count()
@@ -68,7 +91,7 @@ def main():
     n_triples = r.triples.count()
 
     # --- secondary operator benchmarks --------------------------------------
-    for name in (
+    secondary = () if mode == "synth" else (
         "kg_chunks",
         "kg_triples",
         "kg_nodes",
@@ -78,7 +101,8 @@ def main():
         "text_quality",
         "events_sessions",
         "tpch_q1ish",
-    ):
+    )
+    for name in secondary:
         fn = em.queries()[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -91,6 +115,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "mode": mode,
         "cpus": cpus,
         "docs": n_docs,
         "chunks": n_chunks,

@@ -144,9 +144,15 @@ def normalize_extracted_info(name: str, remove_inner_quotes: bool = False) -> st
     return name
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=65536)
 def sanitize_and_normalize_extracted_text(text: str, remove_inner_quotes: bool = False) -> str:
     """sanitize -> normalize composition used on every extracted field
-    (utils.py:4675-4695)."""
+    (utils.py:4675-4695).  Pure -> memoized: entity names and types repeat
+    across records with a heavy Zipf head, so the extraction UDF hits this
+    cache far more often than it computes."""
     safe = sanitize_text_for_encoding(text)
     if not safe:
         return ""
@@ -158,13 +164,21 @@ def normalize_entity_name(name: str) -> str:
     return sanitize_and_normalize_extracted_text(name, remove_inner_quotes=True)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _split_pattern(markers: tuple[str, ...]):
+    return re.compile("|".join(re.escape(m) for m in markers))
+
+
 def split_string_by_multi_markers(content: str, markers: list[str]) -> list[str]:
     """Split on any of ``markers``, strip fragments, drop empties
     (utils.py:3310-3316)."""
     if not markers:
         return [content]
     content = content if content is not None else ""
-    parts = re.split("|".join(re.escape(m) for m in markers), content)
+    parts = _split_pattern(tuple(markers)).split(content)
     return [p.strip() for p in parts if p.strip()]
 
 
@@ -176,6 +190,22 @@ def fix_tuple_delimiter_corruption(record: str, delimiter_core: str, tuple_delim
     """
     if not record or not delimiter_core or not tuple_delimiter:
         return record
+    # Fast path: every corruption pattern needs a '<' or '|' somewhere, and
+    # matches that lie entirely inside well-formed delimiters replace them
+    # with themselves (identity).  So if the record minus its exact
+    # delimiters contains neither '<' nor '|', all 14 substitutions are
+    # no-ops and can be skipped.  (C-level scan vs 14 regex passes — the
+    # common case for a well-behaved model.)
+    stripped = record.replace(tuple_delimiter, "")
+    if "<" not in stripped and "|" not in stripped:
+        return record
+    for pattern, repl in _corruption_fixes(delimiter_core, tuple_delimiter):
+        record = pattern.sub(repl, record)
+    return record
+
+
+@lru_cache(maxsize=16)
+def _corruption_fixes(delimiter_core: str, tuple_delimiter: str):
     core = re.escape(delimiter_core)
     fixes = [
         # doubled cores: <|##|>, <|#||#|>, <|#|||#|>
@@ -205,9 +235,7 @@ def fix_tuple_delimiter_corruption(record: str, delimiter_core: str, tuple_delim
         # pipes only, no angles: ||#||
         (rf"\|\|{core}\|\|", tuple_delimiter),
     ]
-    for pattern, repl in fixes:
-        record = re.sub(pattern, repl, record)
-    return record
+    return [(re.compile(p), r) for p, r in fixes]
 
 
 def truncate_entity_identifier(

@@ -112,11 +112,46 @@ def extract_records(
     if has_cache:
         in_cols += ["cached_resp0", "cached_resp1"]
 
+    # Yield bounded frames (column-wise builders, not lists of row tuples):
+    # a 2048-chunk Arrow batch explodes ~180x into the records frame, and
+    # materializing a ~370k-row object-dtype DataFrame per batch turns 32
+    # concurrent workers into an mmap/munmap storm (observed 60-80%% kernel
+    # time at local[32]).  Emitting every EMIT_EVERY chunks keeps per-frame
+    # allocations small and steady.
+    EMIT_EVERY = 128
+
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _get_model(min_len, corruption)
         cols = [f.name for f in RECORDS_SCHEMA.fields]
+
+        def new_buf():
+            return {c: [] for c in cols}
+
+        def to_frame(buf):
+            return pd.DataFrame(buf, columns=cols)
+
         for pdf in batches:
-            rows: list[tuple] = []
+            buf = new_buf()
+            emitted = 0
+
+            def add(kind, entity_name, entity_type, src, tgt, weight, description,
+                    keywords, chunk_id, file_path, c_order, r_order, args_hash):
+                buf["kind"].append(kind)
+                buf["entity_name"].append(entity_name)
+                buf["entity_type"].append(entity_type)
+                buf["src"].append(src)
+                buf["tgt"].append(tgt)
+                buf["weight"].append(weight)
+                buf["description"].append(description)
+                buf["keywords"].append(keywords)
+                buf["chunk_id"].append(chunk_id)
+                buf["file_path"].append(file_path)
+                buf["ts"].append(run_ts)
+                buf["doc_order"].append(add_doc_order)
+                buf["chunk_order_index"].append(c_order)
+                buf["rec_order"].append(r_order)
+                buf["args_hash"].append(args_hash)
+
             cached0 = pdf["cached_resp0"] if has_cache else [None] * len(pdf)
             cached1 = pdf["cached_resp1"] if has_cache else [None] * len(pdf)
             for chunk_id, content, file_path, doc_order, chunk_order_index, c0, c1 in zip(
@@ -153,73 +188,32 @@ def extract_records(
                     )
                     nodes, edges = merge_gleaning(nodes, edges, g_nodes, g_edges)
 
+                add_doc_order = doc_order
                 rec_order = 0
                 for name, recs in nodes.items():
                     for r in recs:
-                        rows.append(
-                            (
-                                "entity",
-                                name,
-                                r["entity_type"],
-                                None,
-                                None,
-                                None,
-                                r["description"],
-                                None,
-                                chunk_id,
-                                file_path,
-                                run_ts,
-                                doc_order,
-                                chunk_order_index,
-                                rec_order,
-                                None,
-                            )
-                        )
+                        add("entity", name, r["entity_type"], None, None, None,
+                            r["description"], None, chunk_id, file_path,
+                            chunk_order_index, rec_order, None)
                         rec_order += 1
                 for (src, tgt), recs in edges.items():
                     for r in recs:
-                        rows.append(
-                            (
-                                "relation",
-                                None,
-                                None,
-                                src,
-                                tgt,
-                                r["weight"],
-                                r["description"],
-                                r["keywords"],
-                                chunk_id,
-                                file_path,
-                                run_ts,
-                                doc_order,
-                                chunk_order_index,
-                                rec_order,
-                                None,
-                            )
-                        )
+                        add("relation", None, None, src, tgt, r["weight"],
+                            r["description"], r["keywords"], chunk_id, file_path,
+                            chunk_order_index, rec_order, None)
                         rec_order += 1
                 if emit_cache:
                     for pass_index, resp in enumerate(responses):
-                        rows.append(
-                            (
-                                "cache",
-                                None,
-                                None,
-                                None,
-                                None,
-                                None,
-                                resp,
-                                None,
-                                chunk_id,
-                                file_path,
-                                run_ts,
-                                doc_order,
-                                chunk_order_index,
-                                pass_index,
-                                extraction_cache_key(chunk_id, content, pass_index),
-                            )
-                        )
-            yield pd.DataFrame(rows, columns=cols)
+                        add("cache", None, None, None, None, None, resp, None,
+                            chunk_id, file_path, chunk_order_index, pass_index,
+                            extraction_cache_key(chunk_id, content, pass_index))
+                emitted += 1
+                if emitted >= EMIT_EVERY:
+                    yield to_frame(buf)
+                    buf = new_buf()
+                    emitted = 0
+            if buf["kind"]:
+                yield to_frame(buf)
 
     return chunks.select(*in_cols).mapInPandas(extract_batches, schema=RECORDS_SCHEMA)
 

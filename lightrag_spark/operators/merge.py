@@ -63,21 +63,44 @@ def _two_phase_head(
     df: DataFrame,
     key_cols: list[str],
     salt_col: Column,
-    sort_struct: Column,
+    order_cols: list[Column],
+    payload: Column,
     cap: int,
     out_name: str,
 ) -> DataFrame:
-    """Exact head-``cap`` of ``sort_struct`` values per key via salted
-    two-phase aggregation.  Returns one row per key with an array column
-    ``out_name`` of sorted structs (ascending)."""
-    phase1 = (
+    """Exact head-``cap`` of ``payload`` values per key, ordered by
+    ``order_cols`` (which must be a total order), skew-safe.
+
+    Two windowed row_number passes instead of collect_list+array_sort:
+    phase 1 ranks within (key, salt) — bounded groups even for a hot key —
+    and keeps the per-salt head; phase 2 ranks the <= cap*S survivors per
+    key and keeps the global head.  Windows run through whole-stage-codegen
+    sort + streaming rank (no object aggregation, no interpreted struct
+    comparisons — the collect_list(struct)/array_sort formulation measured
+    ~20x slower on 6.5M input rows).  The final collect_list only ever sees
+    <= cap rows per key, sorted by the carried rank.
+
+    Exactness: the global head-cap of an ordered set equals the head-cap of
+    the union of per-salt head-caps, because every element of the true head
+    is also in its salt's head.
+    """
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    survivors = (
         df.withColumn("_salt", salt_col)
-        .withColumn("_item", sort_struct)
-        .groupBy(*key_cols, "_salt")
-        .agg(F.slice(F.array_sort(F.collect_list("_item")), 1, cap).alias("_partial"))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= cap)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= cap)
+        .withColumn("_payload", payload)
     )
-    return phase1.groupBy(*key_cols).agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("_partial"))), 1, cap).alias(out_name)
+    return survivors.groupBy(*key_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_rn2").alias("i"), F.col("_payload").alias("v")))),
+            lambda x: x["v"],
+        ).alias(out_name)
     )
 
 
@@ -131,11 +154,10 @@ def merge_entity_nodes(
         first_per_chunk,
         ["entity_name"],
         _salt(F.col("chunk_id"), salts),
-        F.struct(F.col("o"), F.col("chunk_id")),
+        [F.col("o.d"), F.col("o.c"), F.col("o.r")],
+        F.col("chunk_id"),
         max_source_ids,
-        "_src",
-    ).select(
-        "entity_name", F.transform("_src", lambda x: x["chunk_id"]).alias("source_ids")
+        "source_ids",
     )
 
     # --- file_paths: ordered dedup + head cap --------------------------------
@@ -144,11 +166,10 @@ def merge_entity_nodes(
         first_per_path,
         ["entity_name"],
         _salt(F.col("file_path"), salts),
-        F.struct(F.col("o"), F.col("file_path")),
+        [F.col("o.d"), F.col("o.c"), F.col("o.r")],
+        F.col("file_path"),
         max_file_paths,
-        "_fp",
-    ).select(
-        "entity_name", F.transform("_fp", lambda x: x["file_path"]).alias("file_paths")
+        "file_paths",
     )
 
     # --- descriptions: first-occurrence dedup, then (ts, -len) sort ----------
@@ -164,17 +185,16 @@ def merge_entity_nodes(
         first_per_desc,
         ["entity_name"],
         _salt(F.col("description"), salts),
-        F.struct(
-            F.col("f.ts").alias("ts"),
-            (-F.length("description")).alias("neglen"),
-            F.col("f.order").alias("order"),
-            F.col("description").alias("description"),
-        ),
+        [
+            F.col("f.ts"),
+            -F.length("description"),
+            F.col("f.order.d"),
+            F.col("f.order.c"),
+            F.col("f.order.r"),
+        ],
+        F.col("description"),
         max_fragments,
-        "_ds",
-    ).select(
-        "entity_name",
-        F.transform("_ds", lambda x: x["description"]).alias("descriptions"),
+        "descriptions",
     )
 
     return (
@@ -236,20 +256,22 @@ def merge_relation_edges(
         first_per_chunk,
         ["_lo", "_hi"],
         _salt(F.col("chunk_id"), salts),
-        F.struct(F.col("o"), F.col("chunk_id")),
+        [F.col("o.d"), F.col("o.c"), F.col("o.r")],
+        F.col("chunk_id"),
         max_source_ids,
-        "_src",
-    ).select("_lo", "_hi", F.transform("_src", lambda x: x["chunk_id"]).alias("source_ids"))
+        "source_ids",
+    )
 
     first_per_path = t.groupBy("_lo", "_hi", "file_path").agg(F.min("order").alias("o"))
     paths = _two_phase_head(
         first_per_path,
         ["_lo", "_hi"],
         _salt(F.col("file_path"), salts),
-        F.struct(F.col("o"), F.col("file_path")),
+        [F.col("o.d"), F.col("o.c"), F.col("o.r")],
+        F.col("file_path"),
         max_file_paths,
-        "_fp",
-    ).select("_lo", "_hi", F.transform("_fp", lambda x: x["file_path"]).alias("file_paths"))
+        "file_paths",
+    )
 
     first_per_desc = (
         t.filter(F.col("description").isNotNull() & (F.col("description") != ""))
@@ -260,16 +282,16 @@ def merge_relation_edges(
         first_per_desc,
         ["_lo", "_hi"],
         _salt(F.col("description"), salts),
-        F.struct(
-            F.col("f.ts").alias("ts"),
-            (-F.length("description")).alias("neglen"),
-            F.col("f.order").alias("order"),
-            F.col("description").alias("description"),
-        ),
+        [
+            F.col("f.ts"),
+            -F.length("description"),
+            F.col("f.order.d"),
+            F.col("f.order.c"),
+            F.col("f.order.r"),
+        ],
+        F.col("description"),
         max_fragments,
-        "_ds",
-    ).select(
-        "_lo", "_hi", F.transform("_ds", lambda x: x["description"]).alias("descriptions")
+        "descriptions",
     )
 
     keys = ["_lo", "_hi"]

@@ -55,6 +55,11 @@ class KGBuildConfig:
     # stage).  On a cluster this is the natural place for the llm_cache /
     # records table write; locally MEMORY_AND_DISK.
     cache_records: bool = False
+    # Partition fan-out for the two mapInPandas stages.  mapInPandas is a
+    # narrow transform: whatever partitioning the source has is what the
+    # Python workers get — a single-file parquet scan would run the chunker
+    # AND the extractor on one core.  None = 2x defaultParallelism.
+    parallelism: int | None = None
 
 
 @dataclass
@@ -85,13 +90,30 @@ def build_kg(
     """
     cfg = cfg or KGBuildConfig()
 
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("SPARK_KG_DEBUG_TIMING") == "1"
+
+    def _tick(label, t0):
+        if _dbg:
+            print(f"[kg_build] {label}: {_time.time()-t0:.1f}s", flush=True)
+        return _time.time()
+
+    _t = _time.time()
+    par = cfg.parallelism or docs.sparkSession.sparkContext.defaultParallelism * 2
+    # Spread documents across workers for the chunking UDF (narrow transform
+    # — inherits input partitioning otherwise), then re-spread chunks for the
+    # extraction UDF: long documents explode into many chunks, so without the
+    # second repartition one worker would own every chunk of a hot document.
     chunks = chunk_documents(
-        docs,
+        docs.repartition(par, "doc_id"),
         tokenizer_kind=cfg.tokenizer_kind,
         chunk_token_size=cfg.chunk_token_size,
         chunk_overlap_token_size=cfg.chunk_overlap_token_size,
         with_source_spans=cfg.with_source_spans,
     )
+    chunks = chunks.repartition(par, "chunk_id")
 
     extract_input = chunks
     if llm_cache is not None:
@@ -115,7 +137,29 @@ def build_kg(
         from pyspark.storagelevel import StorageLevel
 
         records = records.persist(StorageLevel.MEMORY_AND_DISK)
+        # Materialize NOW: the merge stage fans out into several concurrent
+        # jobs (AQE builds broadcast sides asynchronously), and concurrent
+        # first-touch of an unmaterialized cache races — every async job
+        # recomputes the whole extraction subtree (observed 4-5x extraction
+        # cost at local[32]).  One count pins the cache before the fan-out.
+        _t = _tick("plan", _t)
+        records.count()
+        _t = _tick("records.count (chunk+extract)", _t)
     mentions, triples, cache = split_records(records)
+    if cfg.cache_records:
+        from pyspark.storagelevel import StorageLevel
+
+        # Persist the NARROW splits too: records.description also carries the
+        # raw model responses (kind='cache', ~10KB each), and the merges scan
+        # their input 4-5x — reading them through the records cache would
+        # decompress the fat response column on every pass (measured 10x
+        # slowdown of both merges at local[32]).
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+        triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
+        mentions.count()
+        _t = _tick("mentions.count", _t)
+        triples.count()
+        _t = _tick("triples.count", _t)
 
     nodes = merge_entity_nodes(
         mentions, salts=cfg.merge_salts, max_fragments=cfg.max_description_fragments
@@ -123,6 +167,19 @@ def build_kg(
     edges = merge_relation_edges(
         triples, salts=cfg.merge_salts, max_fragments=cfg.max_description_fragments
     )
+    if cfg.cache_records:
+        # The merged edge table feeds FOUR downstream consumers (unknown
+        # endpoints anti-join, node degree, src/tgt degree joins) — without a
+        # materialized persist each consumer re-runs the whole two-phase
+        # aggregation (concurrently, via AQE's async broadcast builds).
+        from pyspark.storagelevel import StorageLevel
+
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        _t = _tick("edges merge", _t)
+        nodes.count()
+        _t = _tick("nodes merge", _t)
 
     if cfg.summarize:
         from pyspark.sql import functions as F

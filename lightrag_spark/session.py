@@ -31,6 +31,11 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Without this, .persist() on a DataFrame pins its plan to the
+        # non-adaptive physical strategy (static shuffle partitions, no
+        # runtime broadcast/coalesce) — measured 10-20x slowdown of the
+        # cached merge stage at local[32].
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or max(cpus, 8)),
