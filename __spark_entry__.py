@@ -180,6 +180,29 @@ def _q_kg_top_degree(spark, sf):
     )
 
 
+def _q_kg_onehop(spark, sf):
+    """1-hop expansion from the top-3 seed entities by degree — the
+    query-side join pattern of SURVEY.md §2.7 (operate.py:5634-5687)."""
+    from pyspark.sql.window import Window
+
+    from lightrag_spark.plans.query import one_hop_edges
+
+    r = _build(spark, sf)
+    w = Window.orderBy(F.desc("degree"), F.asc("entity_name"))
+    seeds = (
+        r.kg_nodes.select("entity_name", "degree")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 3)
+    )
+    hop = one_hop_edges(seeds, r.kg_edges)
+    return hop.select(
+        "src",
+        "tgt",
+        F.col("weight").cast("double").alias("weight"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_doc_dedup(spark, sf):
     d = _documents(spark, sf)
     return d.groupBy(F.md5(F.trim("text")).alias("content_hash")).agg(
@@ -276,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_top_degree": _q_kg_top_degree,
+        "kg_onehop": _q_kg_onehop,
         "doc_dedup": _q_doc_dedup,
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_buckets": _q_lsh_buckets,
@@ -410,6 +434,22 @@ SELECT entity_name, degree, pos FROM (
   SELECT entity_name, degree,
          row_number() OVER (ORDER BY degree DESC, entity_name)::BIGINT AS pos
   FROM nodes) r WHERE pos <= 20""",
+        "kg_onehop": _KG_CTE
+        + """
+, seeds AS (
+  SELECT entity_name FROM (
+    SELECT m.entity_name,
+           row_number() OVER (ORDER BY coalesce(d.degree,0) DESC, m.entity_name) AS pos
+    FROM (SELECT DISTINCT entity_name FROM mentions) m
+    LEFT JOIN node_degree d ON m.entity_name = d.e) r
+  WHERE pos <= 3)
+SELECT DISTINCT e.src, e.tgt, e.weight,
+       (ds.degree + dt.degree)::BIGINT AS rank
+FROM edges e
+JOIN node_degree ds ON e.src = ds.e
+JOIN node_degree dt ON e.tgt = dt.e
+WHERE e.src IN (SELECT entity_name FROM seeds)
+   OR e.tgt IN (SELECT entity_name FROM seeds)""",
         "doc_dedup": """
 SELECT md5(trim(text)) AS content_hash, min(doc_id) AS canonical_doc_id,
        count(*)::BIGINT AS dup_count

@@ -73,9 +73,12 @@ def main():
     md = f"""
 ## Scaling run {stamp}
 
-Same job (full-mode KG build: chunk 64/8, gleaning 1, salted merge x16) on
-identical input `{sf_dir}` at two parallelism levels (fresh JVM each —
-sandbox stand-in for N vs 4N executors):
+Same job (full-mode KG build over the FIXTURES.md synthetic page corpus,
+{r_big.get('docs','?')} docs: enqueue -> token-window chunking 256/32 ->
+mock-LLM extraction + reference parser with 1 gleaning pass -> salted
+two-phase merge x16 -> graph tables with degrees) on identical input at two
+parallelism levels (fresh JVM each — sandbox stand-in for N vs 4N
+executors):
 
 | cores | wall sec | triples/sec |
 |---|---|---|
