@@ -155,6 +155,37 @@ def chunk_text_by_tokens(
     return results
 
 
+def enforce_embedding_token_limit(
+    chunks: list[dict[str, Any]],
+    tokenizer: Tokenizer,
+    embedding_token_limit: int,
+    overlap: int = 100,
+) -> list[dict[str, Any]]:
+    """Post-chunk guard: re-split any chunk exceeding the embedding token
+    limit into (limit, overlap) windows, in place, then renumber
+    (enforce_chunk_token_limit_before_embedding, called at
+    pipeline.py:5105-5144 BEFORE chunk-id assignment — ids stay positional
+    over the final sequence).  No-op when every chunk fits."""
+    out: list[dict[str, Any]] = []
+    for ch in chunks:
+        if ch["tokens"] <= embedding_token_limit:
+            out.append(dict(ch))
+            continue
+        toks = tokenizer.encode(ch["content"])
+        for start in range(0, len(toks), _stride(embedding_token_limit, overlap)):
+            end = min(start + embedding_token_limit, len(toks))
+            out.append(
+                {
+                    "tokens": min(embedding_token_limit, len(toks) - start),
+                    "content": tokenizer.decode(toks[start:end]).strip(),
+                    "chunk_order_index": -1,
+                }
+            )
+    for i, ch in enumerate(out):
+        ch["chunk_order_index"] = i
+    return out
+
+
 def chunk_id_for(doc_id: str, order: int) -> str:
     """Positional chunk id ``{doc_id}-chunk-{order:03d}``
     (utils_pipeline.py:152-170)."""

@@ -34,7 +34,11 @@ from pyspark.sql.types import (
 )
 
 from ..constants import DEFAULT_CHUNK_OVERLAP_TOKEN_SIZE, DEFAULT_CHUNK_TOKEN_SIZE
-from ..functions.chunking_core import chunk_id_for, chunk_text_by_tokens
+from ..functions.chunking_core import (
+    chunk_id_for,
+    chunk_text_by_tokens,
+    enforce_embedding_token_limit,
+)
 from ..functions.tokenizer import get_tokenizer
 
 CHUNKS_SCHEMA = StructType(
@@ -59,16 +63,21 @@ def chunk_documents(
     chunk_overlap_token_size: int = DEFAULT_CHUNK_OVERLAP_TOKEN_SIZE,
     with_source_spans: bool = True,
     with_lineage: bool = True,
+    embedding_token_limit: int | None = None,
 ) -> DataFrame:
     """docs(doc_id, text, file_path, doc_order) -> chunks DataFrame.
 
     The tokenizer is resolved once per executor process (module-level
-    singleton), not per row or per batch.
+    singleton), not per row or per batch.  ``embedding_token_limit``
+    enables the post-chunk hard-split guard (pipeline.py:5105-5144);
+    re-split windows lose their source spans (the reference drops them
+    too — the guard runs after span assignment).
     """
     size = chunk_token_size
     overlap = chunk_overlap_token_size
     kind = tokenizer_kind
     spans = with_source_spans
+    emb_limit = embedding_token_limit
 
     def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tokenizer = get_tokenizer(kind)
@@ -79,13 +88,18 @@ def chunk_documents(
             ):
                 if text is None:
                     continue
-                for ch in chunk_text_by_tokens(
+                pieces = chunk_text_by_tokens(
                     tokenizer,
                     text,
                     chunk_overlap_token_size=overlap,
                     chunk_token_size=size,
                     with_source_spans=spans,
-                ):
+                )
+                if emb_limit is not None:
+                    pieces = enforce_embedding_token_limit(
+                        pieces, tokenizer, emb_limit, min(overlap, emb_limit - 1)
+                    )
+                for ch in pieces:
                     order = ch["chunk_order_index"]
                     span = ch.get("_source_span")
                     out["chunk_id"].append(chunk_id_for(doc_id, order))

@@ -73,6 +73,29 @@ def truncate_by_token_budget(
     )
 
 
+def naive_query_context(
+    chunks: DataFrame,
+    query_text: str,
+    top_k: int = 10,
+    max_total_tokens: int = 30000,
+) -> DataFrame:
+    """naive mode (operate.py:6145-6330): pure vector retrieval over chunk
+    embeddings + dynamic token budget.  Embeds chunk content on the fly
+    with the mock embedder (production: a stored embedding column)."""
+    from ..operators.embedding import vector_search, with_embeddings
+
+    vdb = with_embeddings(
+        chunks.select("chunk_id", "content"), "content"
+    ).withColumnRenamed("chunk_id", "vdb_id")
+    hits = vector_search(vdb, query_text, k=top_k, min_sim=0.0)
+    return truncate_by_token_budget(
+        hits.withColumnRenamed("vdb_id", "chunk_id"),
+        "content",
+        [F.desc("sim"), F.asc("chunk_id")],
+        max_total_tokens,
+    ).select("chunk_id", "content", "sim")
+
+
 def build_local_context(
     nodes: DataFrame,
     edges: DataFrame,

@@ -69,3 +69,18 @@ def test_build_local_context(spark):
     assert seeds.count() == 3
     # seeds a,b,c -> incident edges ab, ac, bc, cd (cd touches seed c)
     assert hop.count() == 4
+
+
+def test_naive_query_context(spark):
+    from lightrag_spark.plans.query import naive_query_context
+
+    chunks = spark.createDataFrame(
+        [
+            {"chunk_id": "c1", "content": "solar energy panels power"},
+            {"chunk_id": "c2", "content": "wind turbine blades"},
+            {"chunk_id": "c3", "content": "solar panels rooftop energy"},
+        ]
+    )
+    got = naive_query_context(chunks, "solar energy", top_k=2).collect()
+    assert len(got) == 2
+    assert {r["chunk_id"] for r in got} <= {"c1", "c3"}
