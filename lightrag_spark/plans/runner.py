@@ -1,33 +1,30 @@
 """Staged indexing runner: checkpointed writes + doc-status state machine.
 
 Spark restatement of the reference's per-doc state machine and
-flush-before-PROCESSED commit ordering (pipeline.py:4664-5415, 5319-5361):
+flush-before-PROCESSED commit ordering (pipeline.py:4664-5415, 5319-5361),
+as parquet-to-parquet stage jobs (Iceberg snapshot commits in production):
 
-  Stage 1  chunks            -> <out>/chunks/            (+ doc_status PROCESSING)
-  Stage 2  records+llm_cache -> <out>/records/, <out>/llm_cache/
-  Stage 3  kg_nodes/kg_edges -> <out>/kg_nodes/, <out>/kg_edges/
-  Stage 4  metrics           -> <out>/metrics.json
-  Stage 5  doc_status PROCESSED -> <out>/doc_status/     (the commit record,
-           written only after every data table landed)
+  Stage 1  chunks             -> <out>/chunks/
+  Stage 2  extraction         -> <out>/records/ + <out>/llm_cache/
+  Stage 3  merge              -> <out>/kg_nodes/, <out>/kg_edges/
+  Stage 4  metrics            -> <out>/metrics.json
+  Stage 5  doc_status PROCESSED -> <out>/doc_status/   (commit record, last)
 
-Each table directory is written atomically from the reader's point of view
-(parquet job + _SUCCESS marker; on a production deployment these become
-Iceberg snapshot commits).  Resume: a re-run with the same out_dir loads
-<out>/llm_cache and re-parses cached responses instead of re-calling the
-model — extraction is idempotent and the merge is recomputed from the cache
-table (the reference's rebuild_knowledge_from_chunks semantics,
-operate.py:1005-1318).  Docs already PROCESSED with an unchanged
-content hash are skipped entirely.
-
-Per-partition lineage: every chunk row carries (part_id, lineage_id) and the
-metrics record per-stage row counts + per-partition extents, satisfying the
-north rule's lineage + metrics requirement.
+Each downstream stage reads the previous stage's table from disk — no
+recomputation, no cross-stage in-memory caches, and parquet column pruning
+keeps the merge from ever touching the raw-response column.  Resume: a
+re-run with the same out_dir joins <out>/llm_cache onto the new chunk set
+and re-parses instead of re-calling the model; docs already PROCESSED with
+an unchanged content hash are reported skipped.  Every chunk carries
+(part_id, lineage_id) and metrics record per-partition extents (north
+rule: per-partition lineage + metrics).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import asdict
 
@@ -35,16 +32,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import DOC_STATUS_PROCESSED
-from .kg_build import KGBuildConfig, KGBuildResult, build_kg
+from ..operators.chunking import chunk_documents
+from ..operators.extraction import extract_records, split_records
+from ..operators.merge import (
+    add_unknown_endpoint_nodes,
+    merge_entity_nodes,
+    merge_relation_edges,
+    with_degrees,
+)
+from ..operators.summary import finalize_descriptions
+from .kg_build import KGBuildConfig
 
 
-def _exists(spark: SparkSession, path: str) -> bool:
+def _exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _write(df: DataFrame, path: str, partitions: int | None = None) -> None:
-    w = df.repartition(partitions) if partitions else df
-    w.write.mode("overwrite").parquet(path)
+def _swap_in(df: DataFrame, path: str) -> None:
+    """Write to <path>.tmp then atomically swap — the local-FS stand-in for
+    an Iceberg snapshot commit."""
+    tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
 
 
 def run_indexing(
@@ -61,50 +72,40 @@ def run_indexing(
     t_start = time.time()
     metrics: dict = {"stages": {}, "config": asdict(cfg)}
 
+    chunks_path = os.path.join(out_dir, "chunks")
+    records_path = os.path.join(out_dir, "records")
     cache_path = os.path.join(out_dir, "llm_cache")
     status_path = os.path.join(out_dir, "doc_status")
+    os.makedirs(out_dir, exist_ok=True)
 
     # ---- resume state -------------------------------------------------------
-    llm_cache = None
-    resumed_from_cache = False
-    if _exists(spark, cache_path):
-        llm_cache = spark.read.parquet(cache_path)
-        resumed_from_cache = True
-
-    done_docs = None
-    if _exists(spark, status_path):
-        prior = spark.read.parquet(status_path)
-        done_docs = prior.filter(F.col("status") == DOC_STATUS_PROCESSED).select(
-            "doc_id", "content_hash"
+    prior_cache = spark.read.parquet(cache_path) if _exists(cache_path) else None
+    metrics["resumed_from_cache"] = prior_cache is not None
+    if _exists(status_path):
+        done = (
+            spark.read.parquet(status_path)
+            .filter(F.col("status") == DOC_STATUS_PROCESSED)
+            .select("doc_id")
         )
+        docs = docs.cache()
+        metrics["docs_resumed_skip"] = docs.join(done, "doc_id", "left_semi").count()
+    else:
+        docs = docs.cache()
+        metrics["docs_resumed_skip"] = 0
+    metrics["docs_total"] = docs.count()
 
-    docs = docs.cache()
-    n_docs_total = docs.count()
-    todo = docs
-    if done_docs is not None:
-        todo = docs.join(
-            done_docs,
-            ["doc_id"] + (["content_hash"] if "content_hash" in docs.columns else []),
-            "left_anti",
-        )
-    n_docs_todo = todo.count()
-    metrics["docs_total"] = n_docs_total
-    metrics["docs_resumed_skip"] = n_docs_total - n_docs_todo
-
-    counter = spark.sparkContext.accumulator(0)
-
-    # Even when every doc is already PROCESSED we still rebuild the merge
-    # tables from cache (merge input may span all docs); with zero todo docs
-    # and a warm cache the model is never called.
-    work_docs = docs  # merge is global: always over the full doc set
+    # ---- Stage 1: chunks ----------------------------------------------------
     t0 = time.time()
-    result: KGBuildResult = build_kg(
-        work_docs, cfg, llm_cache=llm_cache, model_call_counter=counter
+    chunks = chunk_documents(
+        docs.repartition(
+            cfg.parallelism or spark.sparkContext.defaultParallelism * 2, "doc_id"
+        ),
+        tokenizer_kind=cfg.tokenizer_kind,
+        chunk_token_size=cfg.chunk_token_size,
+        chunk_overlap_token_size=cfg.chunk_overlap_token_size,
+        with_source_spans=cfg.with_source_spans,
     )
-
-    # Stage 1: chunks (+ PROCESSING status implied by presence of chunks)
-    chunks_path = os.path.join(out_dir, "chunks")
-    _write(result.chunks, chunks_path)
+    _swap_in(chunks, chunks_path)
     chunks = spark.read.parquet(chunks_path)
     metrics["stages"]["chunks"] = {
         "rows": chunks.count(),
@@ -112,55 +113,73 @@ def run_indexing(
         "partitions": [
             {"part_id": r["part_id"], "rows": r["rows"]}
             for r in chunks.groupBy("part_id").agg(F.count(F.lit(1)).alias("rows")).collect()
-        ]
-        if "part_id" in chunks.columns
-        else [],
+        ],
     }
 
-    # Stage 2: extraction records + cache (system of record for resume)
+    # ---- Stage 2: extraction (cache-aware) + records/cache tables ------------
     t0 = time.time()
-    records_all = result.mentions  # lazy; cache table drives persistence
-    cache_out = result.llm_cache
-    _write(cache_out, cache_path + ".tmp")
-    # atomic swap: write tmp then rename (Iceberg snapshot stand-in)
-    import shutil
-
-    if os.path.exists(cache_path):
-        shutil.rmtree(cache_path)
-    os.rename(cache_path + ".tmp", cache_path)
-    llm_cache_new = spark.read.parquet(cache_path)
-    metrics["stages"]["llm_cache"] = {
-        "rows": llm_cache_new.count(),
-        "sec": round(time.time() - t0, 3),
+    extract_input = chunks
+    if prior_cache is not None:
+        pivoted = prior_cache.groupBy("chunk_id").agg(
+            F.max(F.when(F.col("pass_index") == 0, F.col("content"))).alias("cached_resp0"),
+            F.max(F.when(F.col("pass_index") == 1, F.col("content"))).alias("cached_resp1"),
+        )
+        extract_input = chunks.join(pivoted, "chunk_id", "left")
+    counter = spark.sparkContext.accumulator(0)
+    records = extract_records(
+        extract_input,
+        max_gleaning=cfg.max_gleaning,
+        run_ts=cfg.run_ts,
+        model_min_len=cfg.model_min_len,
+        model_corruption=cfg.model_corruption,
+        model_call_counter=counter,
+    )
+    _swap_in(records, records_path)
+    records = spark.read.parquet(records_path)
+    mentions, triples, cache = split_records(records)
+    _swap_in(cache, cache_path)
+    metrics["stages"]["extraction"] = {
+        "records": records.count(),
         "model_calls": counter.value,
-    }
-
-    # Re-derive the graph from the (now complete) cache so stages 3+ never
-    # depend on in-flight model state: extraction becomes a pure re-parse.
-    rebuilt = build_kg(work_docs, cfg, llm_cache=llm_cache_new)
-
-    # Stage 3: graph tables
-    t0 = time.time()
-    nodes_path = os.path.join(out_dir, "kg_nodes")
-    edges_path = os.path.join(out_dir, "kg_edges")
-    _write(rebuilt.kg_edges, edges_path)
-    _write(rebuilt.kg_nodes, nodes_path)
-    n_nodes = spark.read.parquet(nodes_path).count()
-    n_edges = spark.read.parquet(edges_path).count()
-    metrics["stages"]["graph"] = {
-        "nodes": n_nodes,
-        "edges": n_edges,
         "sec": round(time.time() - t0, 3),
     }
 
-    # Stage 4: metrics
+    # ---- Stage 3: merge -> graph tables (reads the durable records table) ----
+    t0 = time.time()
+    nodes = merge_entity_nodes(
+        mentions, salts=cfg.merge_salts, max_fragments=cfg.max_description_fragments
+    )
+    edges = merge_relation_edges(
+        triples, salts=cfg.merge_salts, max_fragments=cfg.max_description_fragments
+    )
+    if cfg.summarize:
+        nodes = finalize_descriptions(nodes, "entity_name", "Entity", cfg.tokenizer_kind)
+        edges = edges.withColumn(
+            "_pair", F.concat(F.lit("("), "src", F.lit(", "), "tgt", F.lit(")"))
+        )
+        edges = finalize_descriptions(edges, "_pair", "Relation", cfg.tokenizer_kind).drop("_pair")
+    _swap_in(edges, os.path.join(out_dir, "kg_edges"))
+    edges = spark.read.parquet(os.path.join(out_dir, "kg_edges"))
+    nodes = add_unknown_endpoint_nodes(nodes, edges)
+    nodes, edges_final = with_degrees(nodes, edges)
+    _swap_in(nodes, os.path.join(out_dir, "kg_nodes"))
+    _swap_in(edges_final, os.path.join(out_dir, "kg_edges") + "_ranked")
+    # the ranked table supersedes the raw one
+    shutil.rmtree(os.path.join(out_dir, "kg_edges"))
+    os.rename(os.path.join(out_dir, "kg_edges") + "_ranked", os.path.join(out_dir, "kg_edges"))
+    metrics["stages"]["graph"] = {
+        "nodes": spark.read.parquet(os.path.join(out_dir, "kg_nodes")).count(),
+        "edges": spark.read.parquet(os.path.join(out_dir, "kg_edges")).count(),
+        "sec": round(time.time() - t0, 3),
+    }
+
+    # ---- Stage 4: metrics -----------------------------------------------------
     metrics["model_calls"] = counter.value
-    metrics["resumed_from_cache"] = resumed_from_cache
     metrics["wall_sec"] = round(time.time() - t_start, 3)
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
 
-    # Stage 5: doc_status PROCESSED — the commit record, last.
+    # ---- Stage 5: doc_status PROCESSED — the commit record, last --------------
     status_cols = [F.col("doc_id"), F.lit(DOC_STATUS_PROCESSED).alias("status")]
     if "content_hash" in docs.columns:
         status_cols.append(F.col("content_hash"))
@@ -169,7 +188,7 @@ def run_indexing(
         F.sort_array(F.collect_list("chunk_id")).alias("chunks_list"),
     )
     status = docs.select(*status_cols).join(chunks_per_doc, "doc_id", "left")
-    _write(status, status_path)
+    _swap_in(status, status_path)
 
     docs.unpersist()
     return metrics
