@@ -76,6 +76,25 @@ def _docs_for_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUILD_CACHE: dict = {}
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """Runtime-settable knobs this pipeline depends on — applied here because
+    the driver owns the SparkSession.  Most important: without
+    canChangeCachedPlanOutputPartitioning, .persist() pins cached subtrees to
+    the non-adaptive plan (measured 10-20x slowdown of the merge)."""
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable in some deployments; defaults still work
+
+
 def _build(spark: SparkSession, sf_dir: str):
     """Memoized simple-mode build: seven kg_* queries share one pipeline
     (records persisted), instead of re-running extraction per query."""
@@ -83,6 +102,7 @@ def _build(spark: SparkSession, sf_dir: str):
     if key not in _BUILD_CACHE:
         import dataclasses
 
+        _tune_session(spark)
         cfg = dataclasses.replace(SIMPLE_CFG, cache_records=True)
         _BUILD_CACHE[key] = build_kg(_docs_for_kg(spark, sf_dir), cfg)
     return _BUILD_CACHE[key]
@@ -96,6 +116,7 @@ def _build(spark: SparkSession, sf_dir: str):
 def entry(spark: SparkSession) -> DataFrame:
     """Full-mode KG build (regex tokenizer, gleaning, summarization) on
     sf0.001; returns the top-100 entities by degree with merged payloads."""
+    _tune_session(spark)
     docs = _docs_for_kg(spark, "/root/testdata/sf0.001")
     cfg = KGBuildConfig(
         tokenizer_kind="regex",
