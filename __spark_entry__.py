@@ -260,6 +260,11 @@ def _q_cosine_topk(spark, sf):
     )
 
 
+def _q_knn_vote(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return dp.knn_label_vote(emb)
+
+
 def _q_token_stats(spark, sf):
     return dp.token_stats(_documents(spark, sf)).select(
         "doc_id",
@@ -327,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_pairs": _q_near_pairs,
         "dedup_simhash": _q_simhash,
         "sim_cosine_topk": _q_cosine_topk,
+        "sim_knn_label_vote": _q_knn_vote,
         "text_token_stats": _q_token_stats,
         "text_quality": _q_quality,
         "text_lang_stats": _q_lang_stats,
@@ -522,6 +528,30 @@ r AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::BIGINT AS rank
   FROM s)
 SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""",
+        "sim_knn_label_vote": """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS dv
+  FROM embeddings),
+s AS (
+  SELECT a.vec_id AS qid, a.label AS actual_label,
+         b.vec_id AS nid, b.label AS nlabel,
+         round(list_dot_product(a.dv, b.dv)
+               / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 4) AS sim
+  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+    FROM s) r WHERE rnk <= 5),
+votes AS (
+  SELECT qid, actual_label, nlabel, count(*) AS votes
+  FROM topk GROUP BY 1, 2, 3),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS vr
+  FROM votes)
+SELECT qid AS vec_id, actual_label::BIGINT AS actual_label,
+       nlabel::BIGINT AS predicted_label,
+       (nlabel = actual_label) AS correct
+FROM win WHERE vr = 1""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tx
            FROM documents)

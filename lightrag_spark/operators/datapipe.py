@@ -234,6 +234,59 @@ def cosine_topk(
     )
 
 
+def knn_label_vote(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification by cosine similarity: each vector gets the
+    majority label of its k nearest neighbors (ties -> smallest label).
+    Output: (vec_id, actual_label, predicted_label, correct).
+
+    All-pairs at test scale; the LSH-banded candidate path
+    (near_duplicate_pairs) is the same operator's scale route.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("actual_label"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.col(label_col).alias("nlabel"),
+    )
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    votes = topk.groupBy("qid", "actual_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("nlabel"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("actual_label").cast("long").alias("actual_label"),
+            F.col("nlabel").cast("long").alias("predicted_label"),
+            (F.col("nlabel") == F.col("actual_label")).alias("correct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
