@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lightrag_spark.constants import DEFAULT_ENTITY_TYPES
+from lightrag_spark.operators import ann
 from lightrag_spark.operators import datapipe as dp
 from lightrag_spark.plans.kg_build import KGBuildConfig, build_kg
 
@@ -190,30 +191,32 @@ def _q_kg_edges(spark, sf):
 
 
 def _q_kg_top_degree(spark, sf):
+    """Top-k head via orderBy().limit(k) — planned as TakeOrderedAndProject
+    (parallel per-partition heaps), not a single-task global window.  The
+    ``pos`` rank is computed by a window over the k survivors only."""
     r = _build(spark, sf)
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.desc("degree"), F.asc("entity_name"))
-    return (
+    head = (
         r.kg_nodes.select("entity_name", F.col("degree").cast("long").alias("degree"))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .filter(F.col("pos") <= 20)
+        .orderBy(F.desc("degree"), F.asc("entity_name"))
+        .limit(20)
     )
+    w = Window.orderBy(F.desc("degree"), F.asc("entity_name"))
+    return head.withColumn("pos", F.row_number().over(w).cast("long"))
 
 
 def _q_kg_onehop(spark, sf):
     """1-hop expansion from the top-3 seed entities by degree — the
     query-side join pattern of SURVEY.md §2.7 (operate.py:5634-5687)."""
-    from pyspark.sql.window import Window
-
     from lightrag_spark.plans.query import one_hop_edges
 
     r = _build(spark, sf)
-    w = Window.orderBy(F.desc("degree"), F.asc("entity_name"))
+    # TakeOrderedAndProject head, not a single-task global window.
     seeds = (
         r.kg_nodes.select("entity_name", "degree")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= 3)
+        .orderBy(F.desc("degree"), F.asc("entity_name"))
+        .limit(3)
     )
     hop = one_hop_edges(seeds, r.kg_edges)
     return hop.select(
@@ -261,8 +264,20 @@ def _q_cosine_topk(spark, sf):
 
 
 def _q_knn_vote(spark, sf):
+    """LSH-bucketed k-NN vote (operators/ann.py) — candidates come from
+    shared random-hyperplane band buckets, never an all-pairs crossJoin.
+    The oracle replays the identical bucketing (md5-derived hyperplanes)."""
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return dp.knn_label_vote(emb)
+    return ann.knn_label_vote_lsh(emb)
+
+
+def _q_ann_topk(spark, sf):
+    """Approximate cosine top-k over LSH band buckets — the scale path for
+    sim_cosine_topk (recall vs brute force measured in tests/test_ann.py)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ann.ann_topk(emb).select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def _q_token_stats(spark, sf):
@@ -333,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_knn_label_vote": _q_knn_vote,
+        "sim_ann_topk": _q_ann_topk,
         "text_token_stats": _q_token_stats,
         "text_quality": _q_quality,
         "text_lang_stats": _q_lang_stats,
@@ -416,6 +432,10 @@ bands AS (
   SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true) FROM sigs)
 """
 
+_MH_MATCH_SUM = " + ".join(
+    f"(CASE WHEN ga.mh{i} = gb.mh{i} THEN 1 ELSE 0 END)" for i in range(dp.MINHASH_K)
+)
+
 _SIMHASH_BIT_SUMS = ", ".join(
     f"sum(((hv >> {b}) & 1)*2 - 1) AS s{b}" for b in range(dp.SIMHASH_BITS)
 )
@@ -496,11 +516,15 @@ FROM bands GROUP BY 1, 2 HAVING count(*) > 1""",
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+screened AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sigs ga ON ga.doc_id = c.doc_a JOIN sigs gb ON gb.doc_id = c.doc_b
+  WHERE ({_MH_MATCH_SUM}) >= {dp.NEARDUP_PREFILTER_MATCHES}),
 j AS (
   SELECT c.doc_a, c.doc_b,
          round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
                / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
-  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
+  FROM screened c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {dp.NEARDUP_THRESHOLD}""",
         "dedup_simhash": f"""
 WITH toks AS (
@@ -528,16 +552,17 @@ r AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::BIGINT AS rank
   FROM s)
 SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""",
-        "sim_knn_label_vote": """
-WITH v AS (
-  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS dv
-  FROM embeddings),
+        "sim_knn_label_vote": ann.duckdb_bands_cte(64)
+        + """
+, cand AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
 s AS (
-  SELECT a.vec_id AS qid, a.label AS actual_label,
-         b.vec_id AS nid, b.label AS nlabel,
-         round(list_dot_product(a.dv, b.dv)
-               / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 4) AS sim
-  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+  SELECT c.qid, va.label AS actual_label, c.nid, vb.label AS nlabel,
+         round(list_dot_product(va.dv, vb.dv)
+               / (sqrt(list_dot_product(va.dv, va.dv)) * sqrt(list_dot_product(vb.dv, vb.dv))), 4) AS sim
+  FROM cand c JOIN v va ON va.vec_id = c.qid JOIN v vb ON vb.vec_id = c.nid),
 topk AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
@@ -552,6 +577,23 @@ SELECT qid AS vec_id, actual_label::BIGINT AS actual_label,
        nlabel::BIGINT AS predicted_label,
        (nlabel = actual_label) AS correct
 FROM win WHERE vr = 1""",
+        "sim_ann_topk": ann.duckdb_bands_cte(64)
+        + """
+, cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 8),
+s AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(va.dv, vb.dv)
+               / (sqrt(list_dot_product(va.dv, va.dv)) * sqrt(list_dot_product(vb.dv, vb.dv))), 4) AS sim
+  FROM cand c JOIN v va ON va.vec_id = c.query_id JOIN v vb ON vb.vec_id = c.neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::BIGINT AS rank
+  FROM s)
+SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tx
            FROM documents)

@@ -32,6 +32,14 @@ MINHASH_K = 12         # minhash functions
 LSH_BANDS = 3          # bands (x LSH_ROWS = MINHASH_K)
 LSH_ROWS = 4           # rows per band
 NEARDUP_THRESHOLD = 0.5
+# Minhash-estimate prefilter: candidate pairs must match at least this many
+# of the MINHASH_K signature components before the exact-Jaccard verify is
+# allowed to shuffle their full shingle arrays.  3/12 = est 0.25 against a
+# 0.5 exact threshold: a true J=0.5 pair fails the prefilter with
+# P(Binom(12,.5)<=2) ~ 1.9% — an accepted part of the operator contract
+# (the oracle replays the identical prefilter), bought for shuffling ~400 B
+# of signature instead of the full shingle set per candidate.
+NEARDUP_PREFILTER_MATCHES = 3
 SIMHASH_BITS = 16      # simhash width (md5 nibbles 1-4 of each token)
 STOPWORDS = ["the", "a", "of", "and", "in", "on", "at", "is", "was"]
 
@@ -114,14 +122,33 @@ def near_duplicate_pairs(
     id_col: str = "doc_id",
     threshold: float = NEARDUP_THRESHOLD,
 ) -> DataFrame:
-    """MinHash-LSH candidate generation + exact n-gram Jaccard verification.
+    """MinHash-LSH candidate generation + minhash-estimate prefilter +
+    exact n-gram Jaccard verification.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard (rounded
     to 4dp) >= threshold.  Candidates are pairs sharing at least one LSH
     band bucket — the scale path: the join is within buckets, never
-    all-pairs over the corpus.
+    all-pairs over the corpus.  Before the exact verify (which must shuffle
+    each pair's full shingle arrays), pairs are screened by the minhash
+    Jaccard estimate — matching signature components / MINHASH_K — which
+    costs only the 12-hash signature per side (NEARDUP_PREFILTER_MATCHES).
     """
-    bands = minhash_bands(docs, text, id_col)
+    sh_col = shingles_col(tokens_col(text))
+    sigs = docs.select(
+        F.col(id_col), F.array(*minhash_signature_cols(sh_col)).alias("sig")
+    ).filter(F.col("sig")[0].isNotNull())
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws("|", *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)])
+            ).alias("bucket"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
     a = bands.select(F.col("band_idx"), F.col("bucket"), F.col(id_col).alias("doc_a"))
     b = bands.select(F.col("band_idx"), F.col("bucket"), F.col(id_col).alias("doc_b"))
     cand = (
@@ -130,11 +157,25 @@ def near_duplicate_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    sig_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    mh_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    screened = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .filter(mh_matches >= NEARDUP_PREFILTER_MATCHES)
+        .select("doc_a", "doc_b")
+    )
     sh = docs.select(
         F.col(id_col), shingles_col(tokens_col(text)).alias("sh")
     )
     return (
-        cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        screened.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
         .withColumn(
             "jaccard",
@@ -241,12 +282,14 @@ def knn_label_vote(
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
-    """k-NN classification by cosine similarity: each vector gets the
+    """EXACT k-NN classification by cosine similarity: each vector gets the
     majority label of its k nearest neighbors (ties -> smallest label).
     Output: (vec_id, actual_label, predicted_label, correct).
 
-    All-pairs at test scale; the LSH-banded candidate path
-    (near_duplicate_pairs) is the same operator's scale route.
+    All-pairs (crossJoin) by definition — kept ONLY as the brute-force
+    ground truth for the ANN recall test (tests/test_ann.py).  The
+    production path is ann.knn_label_vote_lsh (random-hyperplane LSH
+    buckets, no crossJoin), which is what __spark_entry__ serves.
     """
     a = embeddings.select(
         F.col(id_col).alias("qid"),

@@ -18,13 +18,21 @@ from pyspark.sql.window import Window
 
 def top_entities_by_degree(nodes: DataFrame, k: int = 40) -> DataFrame:
     """Seed selection stand-in for the entity-VDB top-k (operate.py:5574-5631):
-    rank = degree, deterministic tiebreak on name."""
-    w = Window.orderBy(F.desc("degree"), F.asc("entity_name"))
-    return (
+    rank = degree, deterministic tiebreak on name.
+
+    Planned as TakeOrderedAndProject (per-partition heap + driver merge of k
+    rows), NOT a global window — a ``Window.orderBy`` with no partitionBy
+    funnels the whole node table through one task, which is a single-task
+    sort of billions of entities at corpus scale.  The rank column is then
+    derived by a window over the k survivors only (k rows, one tiny task).
+    """
+    head = (
         nodes.select("entity_name", "entity_type", "degree", "description")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .orderBy(F.desc("degree"), F.asc("entity_name"))
+        .limit(k)
     )
+    w = Window.orderBy(F.desc("degree"), F.asc("entity_name"))
+    return head.withColumn("rank", F.row_number().over(w))
 
 
 def one_hop_edges(seeds: DataFrame, edges: DataFrame) -> DataFrame:

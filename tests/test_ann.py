@@ -1,0 +1,121 @@
+"""ANN (random-hyperplane LSH) — recall vs brute force, plan shape, and
+cross-engine signature parity.
+
+The reference's vector retrieval is a brute-force cosine scan
+(kg/nano_vector_db_impl.py); ann.py is the bucketed scale path.  The
+VERDICT gate for it: recall >= 0.9 of the true cosine top-5 on the real
+testdata embeddings, and no cartesian product anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lightrag_spark.operators import ann
+from lightrag_spark.operators import datapipe as dp
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _numpy_top5(vectors: np.ndarray) -> np.ndarray:
+    vn = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    np.fill_diagonal(sims, -2.0)
+    return np.argsort(-sims, axis=1)[:, :5]
+
+
+def test_ann_candidate_recall_vs_brute_force(spark, emb):
+    """Bucket-derived candidate pools must contain >=90% of each vector's
+    true cosine top-5 (measured over ALL 500 vectors as queries)."""
+    rows = emb.orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+    idx_of = {v: i for i, v in enumerate(ids)}
+    true5 = _numpy_top5(vecs)
+
+    bands = ann.ann_bands(emb).collect()
+    buckets: dict = {}
+    for r in bands:
+        buckets.setdefault((r.band_idx, r.bucket), []).append(idx_of[r.vec_id])
+    cand = [set() for _ in ids]
+    for members in buckets.values():
+        if len(members) > 1:
+            for m in members:
+                cand[m].update(members)
+
+    hits = total = 0
+    for i in range(len(ids)):
+        pool = cand[i] - {i}
+        for t in true5[i]:
+            total += 1
+            hits += t in pool
+    recall = hits / total
+    assert recall >= 0.9, f"ANN candidate recall {recall:.3f} < 0.9"
+
+
+def test_ann_topk_matches_brute_force_within_candidates(spark, emb):
+    """For every query, ann_topk's ranked neighbours must be the true
+    nearest among its candidate pool: sims agree with the brute-force
+    operator (dp.cosine_topk) wherever both rank the same neighbour."""
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim for r in dp.cosine_topk(emb).collect()
+    }
+    approx = ann.ann_topk(emb).collect()
+    assert len(approx) > 0
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in brute:
+            assert abs(brute[key] - r.sim) < 1e-9
+
+
+def test_ann_plans_have_no_cartesian_product(spark, emb):
+    for df in (ann.ann_topk(emb), ann.knn_label_vote_lsh(emb)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_lsh_vote_agrees_with_exact_knn_mostly(spark, emb):
+    """LSH-kNN is approximate.  Candidate recall is 0.95 (test above), but
+    a single missed neighbour can flip a 3-2 majority, so label agreement
+    amplifies recall misses — measured 0.898 on this data; gate at 0.85."""
+    exact = {r.vec_id: r.predicted_label for r in dp.knn_label_vote(emb).collect()}
+    lsh = {r.vec_id: r.predicted_label for r in ann.knn_label_vote_lsh(emb).collect()}
+    assert len(lsh) >= 0.99 * len(exact)  # nobody (or almost nobody) drops out
+    agree = sum(1 for k, v in lsh.items() if exact.get(k) == v)
+    assert agree / len(lsh) >= 0.85
+
+
+def test_signature_parity_spark_vs_duckdb(spark, emb):
+    """The md5-derived hyperplane signatures must be bit-identical between
+    Spark's zip_with/aggregate fold and DuckDB's list_dot_product."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    oracle = con.execute(
+        ann.duckdb_bands_cte(64)
+        + "SELECT vec_id, band_idx, bucket FROM bands ORDER BY vec_id, band_idx"
+    ).fetchall()
+    got = [
+        (r.vec_id, r.band_idx, r.bucket)
+        for r in ann.ann_bands(emb).orderBy("vec_id", "band_idx").collect()
+    ]
+    assert got == [(a, b, c) for a, b, c in oracle]
+
+
+def test_hyperplanes_are_deterministic():
+    h1 = ann.hyperplanes(64)
+    h2 = ann.hyperplanes(64)
+    assert h1 == h2
+    assert all(-1.0 <= x < 1.0 for row in h1 for x in row)
+    # not degenerate: components vary
+    assert len({round(x, 6) for x in h1[0]}) > 32
