@@ -227,6 +227,51 @@ def _q_kg_onehop(spark, sf):
     )
 
 
+def _q_kg_global_context(spark, sf):
+    """Global-mode context seed chain (operate.py:5849-5938): top-10
+    relations by (weight, rank) -> their src/tgt entities in first-seen
+    order, with node payloads joined back."""
+    from lightrag_spark.plans.context import entities_from_relations, top_relations
+
+    r = _build(spark, sf)
+    rels = top_relations(r.kg_edges, k=10)
+    return entities_from_relations(rels, r.kg_nodes).select(
+        "entity_name", "entity_type", "degree", "pos"
+    )
+
+
+def _q_kg_hybrid_interleave(spark, sf):
+    """Hybrid-mode round-robin interleave-dedup (operate.py:4880-4934):
+    local list = top-10 entities by degree; global list = entities of the
+    top-10 relations; position i emits local[i] then global[i], skipping
+    seen entity names."""
+    from pyspark.sql.window import Window
+
+    from lightrag_spark.plans.context import (
+        entities_from_relations,
+        interleave_round_robin,
+        top_relations,
+    )
+
+    r = _build(spark, sf)
+    local_head = (
+        r.kg_nodes.select("entity_name", "degree")
+        .orderBy(F.desc("degree"), F.asc("entity_name"))
+        .limit(10)
+    )
+    wl = Window.orderBy(F.desc("degree"), F.asc("entity_name"))
+    local = local_head.withColumn("pos", F.row_number().over(wl).cast("long")).select(
+        "entity_name", "pos"
+    )
+    glob = (
+        entities_from_relations(top_relations(r.kg_edges, k=10), r.kg_nodes)
+        .filter(F.col("pos") <= 10)
+        .select("entity_name", "pos")
+    )
+    inter = interleave_round_robin(local, glob, ["entity_name"])
+    return inter.select("entity_name", "origin", F.col("pos").cast("long").alias("pos"))
+
+
 def _q_doc_dedup(spark, sf):
     d = _documents(spark, sf)
     return d.groupBy(F.md5(F.trim("text")).alias("content_hash")).agg(
@@ -341,6 +386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_top_degree": _q_kg_top_degree,
         "kg_onehop": _q_kg_onehop,
+        "kg_global_context": _q_kg_global_context,
+        "kg_hybrid_interleave": _q_kg_hybrid_interleave,
         "doc_dedup": _q_doc_dedup,
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_buckets": _q_lsh_buckets,
@@ -432,6 +479,31 @@ bands AS (
   SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true) FROM sigs)
 """
 
+# Global-mode context chain: ranked relations -> ordered entity sides ->
+# first-seen dedup -> final entity order.  Appended after _KG_CTE.
+_GLOBAL_ENT_CTE = """
+, ranked_edges AS (
+  SELECT e.src, e.tgt,
+         row_number() OVER (
+           ORDER BY e.weight DESC, (ds.degree + dt.degree) DESC, e.src, e.tgt) AS rpos
+  FROM edges e
+  JOIN node_degree ds ON e.src = ds.e
+  JOIN node_degree dt ON e.tgt = dt.e),
+rel_seeds AS (SELECT * FROM ranked_edges WHERE rpos <= 10),
+ent_sides AS (
+  SELECT src AS entity_name, rpos, 0 AS side FROM rel_seeds
+  UNION ALL
+  SELECT tgt AS entity_name, rpos, 1 AS side FROM rel_seeds),
+ent_first AS (
+  SELECT entity_name, rpos, side,
+         row_number() OVER (PARTITION BY entity_name ORDER BY rpos, side) AS rn
+  FROM ent_sides),
+global_ents AS (
+  SELECT entity_name,
+         row_number() OVER (ORDER BY rpos, side, entity_name)::BIGINT AS pos
+  FROM ent_first WHERE rn = 1)
+"""
+
 _MH_MATCH_SUM = " + ".join(
     f"(CASE WHEN ga.mh{i} = gb.mh{i} THEN 1 ELSE 0 END)" for i in range(dp.MINHASH_K)
 )
@@ -497,6 +569,38 @@ JOIN node_degree ds ON e.src = ds.e
 JOIN node_degree dt ON e.tgt = dt.e
 WHERE e.src IN (SELECT entity_name FROM seeds)
    OR e.tgt IN (SELECT entity_name FROM seeds)""",
+        "kg_global_context": _KG_CTE
+        + _GLOBAL_ENT_CTE
+        + f"""
+SELECT g.entity_name,
+       ({_TYPE_LIST})[(('0x' || substr(md5(g.entity_name),1,8))::BIGINT % {len(TYPES)}) + 1] AS entity_type,
+       coalesce(d.degree, 0)::BIGINT AS degree,
+       g.pos
+FROM global_ents g LEFT JOIN node_degree d ON g.entity_name = d.e""",
+        "kg_hybrid_interleave": _KG_CTE
+        + _GLOBAL_ENT_CTE
+        + """
+, all_nodes AS (
+  SELECT m.entity_name, coalesce(d.degree, 0)::BIGINT AS degree
+  FROM (SELECT DISTINCT entity_name FROM mentions) m
+  LEFT JOIN node_degree d ON m.entity_name = d.e),
+local_ents AS (
+  SELECT entity_name, pos FROM (
+    SELECT entity_name,
+           row_number() OVER (ORDER BY degree DESC, entity_name)::BIGINT AS pos
+    FROM all_nodes) t WHERE pos <= 10),
+unioned AS (
+  SELECT entity_name, pos, 0 AS side, 'L' AS origin FROM local_ents
+  UNION ALL
+  SELECT entity_name, pos, 1 AS side, 'G' AS origin
+  FROM global_ents WHERE pos <= 10),
+firstseen AS (
+  SELECT entity_name, pos, side, origin,
+         row_number() OVER (PARTITION BY entity_name ORDER BY pos, side) AS rn
+  FROM unioned)
+SELECT entity_name, origin,
+       row_number() OVER (ORDER BY pos, side, entity_name)::BIGINT AS pos
+FROM firstseen WHERE rn = 1""",
         "doc_dedup": """
 SELECT md5(trim(text)) AS content_hash, min(doc_id) AS canonical_doc_id,
        count(*)::BIGINT AS dup_count
