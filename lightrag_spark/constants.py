@@ -24,6 +24,16 @@ MAX_ENTITY_RECORDS_PER_CHUNK = 40
 # Gleaning passes (constants.py:17)
 DEFAULT_MAX_GLEANING = 1
 
+# Gleaning budget guard (reference constants.py:38, operate.py:3864-3892):
+# the gleaning call replays system prompt + the chunk prompt + the first
+# response + a continue instruction; if that payload exceeds the model's
+# input budget, gleaning is SKIPPED for the chunk rather than failed.
+DEFAULT_MAX_EXTRACT_INPUT_TOKENS = 20480
+# Stand-in for the reference's prompt-template token mass (system prompt +
+# continue instruction, prompt.py) — counted live there, a constant here
+# because the mock model has no templates.
+GLEANING_PROMPT_OVERHEAD_TOKENS = 2048
+
 # Entity identifier limits (constants.py:18,23; operate.py:205-242)
 ENTITY_NAME_MAX_CHARS = 256
 ENTITY_NAME_MAX_BYTES = 512

@@ -64,6 +64,7 @@ def chunk_documents(
     with_source_spans: bool = True,
     with_lineage: bool = True,
     embedding_token_limit: int | None = None,
+    strategy: str = "token",
 ) -> DataFrame:
     """docs(doc_id, text, file_path, doc_order) -> chunks DataFrame.
 
@@ -72,15 +73,52 @@ def chunk_documents(
     enables the post-chunk hard-split guard (pipeline.py:5105-5144);
     re-split windows lose their source spans (the reference drops them
     too — the guard runs after span assignment).
+
+    ``strategy`` mirrors the reference's chunking dispatch
+    (pipeline.py:4903-4928): "token"/"F" fixed token windows (default),
+    "recursive"/"R" recursive-character, "semantic"/"V" semantic-vector
+    (sentence embeddings via the worker-side embedder).  All strategies
+    run in the same mapInPandas stage — the dispatch picks the per-doc
+    kernel, not the plan shape.
     """
     size = chunk_token_size
     overlap = chunk_overlap_token_size
     kind = tokenizer_kind
     spans = with_source_spans
     emb_limit = embedding_token_limit
+    strat = {"F": "token", "R": "recursive", "V": "semantic"}.get(strategy, strategy)
+    if strat not in ("token", "recursive", "semantic"):
+        raise ValueError(f"unknown chunking strategy: {strategy!r}")
 
     def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tokenizer = get_tokenizer(kind)
+        if strat == "recursive":
+            from ..functions.recursive_chunking import chunk_text_recursive
+
+            def chunk_one(text):
+                return chunk_text_recursive(
+                    tokenizer, text, chunk_token_size=size,
+                    chunk_overlap_token_size=overlap,
+                )
+        elif strat == "semantic":
+            from ..functions.semantic_chunking import chunk_text_semantic
+
+            def chunk_one(text):
+                return chunk_text_semantic(
+                    tokenizer, text, chunk_token_size=size,
+                    chunk_overlap_token_size=overlap,
+                )
+        else:
+
+            def chunk_one(text):
+                return chunk_text_by_tokens(
+                    tokenizer,
+                    text,
+                    chunk_overlap_token_size=overlap,
+                    chunk_token_size=size,
+                    with_source_spans=spans,
+                )
+
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in CHUNKS_SCHEMA.fields}
             for doc_id, text, file_path, doc_order in zip(
@@ -88,13 +126,7 @@ def chunk_documents(
             ):
                 if text is None:
                     continue
-                pieces = chunk_text_by_tokens(
-                    tokenizer,
-                    text,
-                    chunk_overlap_token_size=overlap,
-                    chunk_token_size=size,
-                    with_source_spans=spans,
-                )
+                pieces = chunk_one(text)
                 if emb_limit is not None:
                     pieces = enforce_embedding_token_limit(
                         pieces, tokenizer, emb_limit, min(overlap, emb_limit - 1)

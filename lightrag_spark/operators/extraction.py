@@ -37,7 +37,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..constants import DEFAULT_MAX_GLEANING
+from ..constants import (
+    DEFAULT_MAX_EXTRACT_INPUT_TOKENS,
+    DEFAULT_MAX_GLEANING,
+    GLEANING_PROMPT_OVERHEAD_TOKENS,
+)
 from ..functions.extraction_parser import merge_gleaning, parse_extraction_result
 from ..functions.hashing import compute_args_hash
 from ..functions.mock_llm import MockExtractorModel
@@ -87,6 +91,9 @@ def extract_records(
     model_corruption: bool = False,
     emit_cache_rows: bool = True,
     model_call_counter=None,
+    model_fail_marker: str | None = None,
+    max_extract_input_tokens: int = DEFAULT_MAX_EXTRACT_INPUT_TOKENS,
+    tokenizer_kind: str = "whitespace",
 ) -> DataFrame:
     """chunks -> records DataFrame (kinds entity/relation/cache).
 
@@ -101,12 +108,26 @@ def extract_records(
     the cache table the system of record for extraction.
     ``model_call_counter`` (a Spark accumulator) counts actual model calls so
     tests can assert a warm resume performs zero.
+
+    Failure capture: a model-call exception for a chunk does NOT kill the
+    Spark task (which would fail the whole job after 4 retries) — it is
+    caught per chunk and emitted as a ``kind='error'`` record carrying the
+    exception text; the runner rolls the owning DOCUMENT up to FAILED with
+    error_msg and excludes its records from the merge, mirroring the
+    reference's per-doc try/except + FAILED transition
+    (pipeline.py:5575-5632, base.py:888-941).  ``model_fail_marker`` is the
+    fault-injection hook: a model call on a chunk containing the marker
+    raises (cache hits bypass the model and therefore never fail, exactly
+    like the reference's use_llm_func_with_cache).
     """
     gleaning = max_gleaning
     min_len = model_min_len
     corruption = model_corruption
     emit_cache = emit_cache_rows
     counter = model_call_counter
+    fail_marker = model_fail_marker
+    max_glean_tokens = max_extract_input_tokens
+    tok_kind = tokenizer_kind
     has_cache = "cached_resp0" in chunks.columns
     in_cols = ["chunk_id", "content", "file_path", "doc_order", "chunk_order_index"]
     if has_cache:
@@ -121,7 +142,10 @@ def extract_records(
     EMIT_EVERY = 128
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.tokenizer import get_tokenizer
+
         model = _get_model(min_len, corruption)
+        tokenizer = get_tokenizer(tok_kind) if max_glean_tokens > 0 else None
         cols = [f.name for f in RECORDS_SCHEMA.fields]
 
         def new_buf():
@@ -163,32 +187,55 @@ def extract_records(
                 cached0,
                 cached1,
             ):
-                # NB: a left-join miss arrives as NaN in pandas, not None —
-                # test for "is a string", not "is not None".
-                if isinstance(c0, str):
-                    response0 = c0
-                else:
-                    response0 = model.respond(content, pass_index=0)
+                def call_model(pass_index: int) -> str:
+                    if fail_marker and fail_marker in content:
+                        raise RuntimeError(
+                            f"injected model failure (marker {fail_marker!r}) "
+                            f"on chunk {chunk_id} pass {pass_index}"
+                        )
+                    resp = model.respond(content, pass_index=pass_index)
                     if counter is not None:
                         counter.add(1)
-                nodes, edges = parse_extraction_result(
-                    response0, chunk_id, run_ts, file_path
-                )
-                responses = [response0]
-                if gleaning > 0:
-                    if isinstance(c1, str):
-                        response1 = c1
-                    else:
-                        response1 = model.respond(content, pass_index=1)
-                        if counter is not None:
-                            counter.add(1)
-                    responses.append(response1)
-                    g_nodes, g_edges = parse_extraction_result(
-                        response1, chunk_id, run_ts, file_path
-                    )
-                    nodes, edges = merge_gleaning(nodes, edges, g_nodes, g_edges)
+                    return resp
 
                 add_doc_order = doc_order
+                # NB: a left-join miss arrives as NaN in pandas, not None —
+                # test for "is a string", not "is not None".
+                try:
+                    response0 = c0 if isinstance(c0, str) else call_model(0)
+                    nodes, edges = parse_extraction_result(
+                        response0, chunk_id, run_ts, file_path
+                    )
+                    responses = [response0]
+                    # Gleaning budget guard (operate.py:3864-3892): the
+                    # gleaning payload replays the chunk + first response +
+                    # prompt templates; over budget -> skip, don't fail.
+                    run_gleaning = gleaning > 0
+                    if run_gleaning and tokenizer is not None:
+                        glean_tokens = (
+                            tokenizer.count(content)
+                            + tokenizer.count(response0)
+                            + GLEANING_PROMPT_OVERHEAD_TOKENS
+                        )
+                        if glean_tokens > max_glean_tokens:
+                            run_gleaning = False
+                    if run_gleaning:
+                        response1 = c1 if isinstance(c1, str) else call_model(1)
+                        responses.append(response1)
+                        g_nodes, g_edges = parse_extraction_result(
+                            response1, chunk_id, run_ts, file_path
+                        )
+                        nodes, edges = merge_gleaning(nodes, edges, g_nodes, g_edges)
+                except Exception as exc:  # per-chunk capture, not task death
+                    add("error", None, None, None, None, None,
+                        f"{type(exc).__name__}: {exc}", None, chunk_id, file_path,
+                        chunk_order_index, 0, None)
+                    emitted += 1
+                    if emitted >= EMIT_EVERY:
+                        yield to_frame(buf)
+                        buf = new_buf()
+                        emitted = 0
+                    continue
                 rec_order = 0
                 for name, recs in nodes.items():
                     for r in recs:
@@ -254,6 +301,8 @@ def split_records(records: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         "ts",
         "order",
     )
+    # kind='error' rows are intentionally excluded from all three streams;
+    # pick them up with split_errors for the doc-status FAILED rollup.
     cache = ordered.filter(F.col("kind") == "cache").select(
         F.col("args_hash"),
         F.col("chunk_id"),
@@ -262,3 +311,31 @@ def split_records(records: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         F.col("ts").alias("create_time"),
     )
     return mentions, triples, cache
+
+
+def split_errors(records: DataFrame) -> DataFrame:
+    """The per-chunk model failures captured by extract_records:
+    (chunk_id, file_path, error_msg, chunk_order_index)."""
+    return records.filter(F.col("kind") == "error").select(
+        "chunk_id",
+        "file_path",
+        F.col("description").alias("error_msg"),
+        "chunk_order_index",
+    )
+
+
+def args_hash_col(*parts) -> F.Column:
+    """Spark-column restatement of compute_args_hash for >1 argument:
+    md5 of the length-prefixed concatenation "{len}:{part}..." — used to
+    compute extraction cache keys scan-side so the runner's resume join is
+    CONTENT-keyed (a chunk whose text changed — different doc revision OR
+    different chunking options — misses the cache and re-calls the model,
+    matching the reference's prompt-content cache key, utils.py:4470-4570).
+    A hash mismatch can only cost an extra model call, never reuse a stale
+    response.  ``parts``: Columns or python strings (become literals)."""
+    cols = [p if isinstance(p, F.Column) else F.lit(p) for p in parts]
+    pieces = []
+    for c in cols:
+        c = c.cast("string")
+        pieces.append(F.concat(F.length(c).cast("string"), F.lit(":"), c))
+    return F.md5(F.concat(*pieces))

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from ..constants import (
     DEFAULT_CHUNK_OVERLAP_TOKEN_SIZE,
     DEFAULT_CHUNK_TOKEN_SIZE,
+    DEFAULT_MAX_EXTRACT_INPUT_TOKENS,
     DEFAULT_MAX_GLEANING,
     DEFAULT_MERGE_SALTS,
     MAX_DESCRIPTION_FRAGMENTS,
@@ -60,6 +61,15 @@ class KGBuildConfig:
     # Python workers get — a single-file parquet scan would run the chunker
     # AND the extractor on one core.  None = 2x defaultParallelism.
     parallelism: int | None = None
+    # Gleaning budget guard (reference constants.py:38): chunks whose
+    # gleaning payload would exceed this token count skip the gleaning pass.
+    max_extract_input_tokens: int = DEFAULT_MAX_EXTRACT_INPUT_TOKENS
+    # Fault-injection hook: model calls on chunks containing this marker
+    # raise; the chunk becomes a kind='error' record and its document rolls
+    # up to doc-status FAILED (reference pipeline.py:5575-5632).
+    model_fail_marker: str | None = None
+    # Batch tag recorded on every doc_status row (reference base.py:925).
+    track_id: str | None = None
 
 
 @dataclass
@@ -132,6 +142,9 @@ def build_kg(
         model_min_len=cfg.model_min_len,
         model_corruption=cfg.model_corruption,
         model_call_counter=model_call_counter,
+        model_fail_marker=cfg.model_fail_marker,
+        max_extract_input_tokens=cfg.max_extract_input_tokens,
+        tokenizer_kind=cfg.tokenizer_kind,
     )
     if cfg.cache_records:
         from pyspark.storagelevel import StorageLevel

@@ -135,6 +135,180 @@ def delete_relation(nodes: DataFrame, edges: DataFrame, src: str, tgt: str) -> t
     return with_degrees(nodes.drop("degree"), new_edges.drop("src_degree", "tgt_degree", "rank"))
 
 
+# ---------------------------------------------------------------------------
+# Manual entity merge — amerge_entities (utils_graph.py:1343-2040)
+# ---------------------------------------------------------------------------
+
+# Default per-field strategies (utils_graph.py:1388-1393, 1519-1526).  Our
+# multi-valued fields are arrays (the <SEP> join is an export concern), so
+# "concatenate" = list concat and "join_unique" = ordered-unique concat.
+# Deviation, documented: the reference's join_unique iterates a Python set
+# (undefined order); here first-occurrence order, which is deterministic.
+ENTITY_MERGE_STRATEGY = {
+    "descriptions": "concatenate",
+    "description": "concatenate_str",
+    "entity_type": "keep_first",
+    "source_ids": "join_unique",
+    "file_paths": "join_unique",
+    "mention_count": "sum",
+    "created_at": "min",
+}
+
+RELATION_MERGE_STRATEGY = {
+    "descriptions": "concatenate",
+    "description": "concatenate_str",
+    "keywords": "join_unique_comma",
+    "source_ids": "join_unique",
+    "file_paths": "join_unique",
+    "weight": "max",
+    "relation_count": "sum",
+    "created_at": "min",
+}
+
+
+def _merge_field(values: list, strategy: str):
+    """_merge_attributes for one field (utils_graph.py:1962-2040), restated
+    over array-typed columns.  ``values`` are the non-empty per-entity
+    values in merge order (sources first, existing target last)."""
+    from ..constants import GRAPH_FIELD_SEP
+
+    if strategy == "concatenate":
+        out = []
+        for v in values:
+            out.extend(v if isinstance(v, list) else [v])
+        return out
+    if strategy == "concatenate_str":
+        return GRAPH_FIELD_SEP.join(str(v) for v in values)
+    if strategy == "keep_first":
+        return values[0]
+    if strategy == "keep_last":
+        return values[-1]
+    if strategy == "join_unique":
+        seen: dict = {}
+        for v in values:
+            for item in v if isinstance(v, list) else str(v).split(GRAPH_FIELD_SEP):
+                if item and item not in seen:
+                    seen[item] = True
+        return list(seen)
+    if strategy == "join_unique_comma":
+        items = set()
+        for v in values:
+            parts = v if isinstance(v, list) else str(v).split(",")
+            items.update(p.strip() for p in map(str, parts) if str(p).strip())
+        return sorted(items)
+    if strategy == "max":
+        return max(float(v) for v in values)
+    if strategy == "sum":
+        return sum(values)
+    if strategy == "min":
+        return min(values)
+    return values[0]  # reference default: keep_first
+
+
+def merge_entities(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    source_entities: list[str],
+    target_entity: str,
+    merge_strategy: dict[str, str] | None = None,
+    target_entity_data: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """amerge_entities (utils_graph.py:1343-1560): merge sources into
+    ``target_entity`` with per-field strategies, redirect every incident
+    edge to the target, drop self-loops among merged entities, and merge
+    duplicate redirected edges with the relation strategy matrix.
+
+    The node-payload merge runs driver-side over len(sources)+1 collected
+    rows (an admin operation on named entities, bounded by construction);
+    the edge redirect/dedup — which can touch a hot entity's full incident
+    set — stays distributed.
+    """
+    if not source_entities:
+        raise ValueError("At least one source entity is required for merge")
+    strategy = {**ENTITY_MERGE_STRATEGY, **(merge_strategy or {})}
+    src_list = list(dict.fromkeys(source_entities))
+    affected = src_list + ([target_entity] if target_entity not in src_list else [])
+
+    rows = nodes.filter(F.col("entity_name").isin(affected)).collect()
+    by_name = {r["entity_name"]: r.asDict(recursive=True) for r in rows}
+    missing = [s for s in src_list if s not in by_name]
+    if missing:
+        raise ValueError(f"Source entities do not exist: {missing}")
+    target_exists = target_entity in by_name
+
+    ordered = [by_name[s] for s in src_list]
+    if target_exists and target_entity not in src_list:
+        ordered.append(by_name[target_entity])
+
+    merged: dict = {}
+    all_keys = {k for d in ordered for k in d}
+    for key in all_keys - {"entity_name", "degree"}:
+        values = [d.get(key) for d in ordered if d.get(key)]
+        if values:
+            merged[key] = _merge_field(values, strategy.get(key, "keep_first"))
+    merged["entity_name"] = target_entity
+    merged.update(target_entity_data or {})
+
+    keep_schema = [f for f in nodes.schema.fields if f.name != "degree"]
+    new_row = {f.name: merged.get(f.name) for f in keep_schema}
+    from pyspark.sql.types import StructType
+
+    merged_df = spark.createDataFrame([new_row], StructType(keep_schema))
+    rest = nodes.filter(~F.col("entity_name").isin(affected)).drop("degree")
+    new_nodes = rest.unionByName(merged_df)
+
+    # ---- edges: redirect, self-loop drop, duplicate merge (distributed) ----
+    e = edges.drop("src_degree", "tgt_degree", "rank")
+    src_in = F.col("src").isin(src_list)
+    tgt_in = F.col("tgt").isin(src_list)
+    touches = src_in | tgt_in | (F.col("src") == target_entity) | (F.col("tgt") == target_entity)
+    untouched = e.filter(~touches)
+    red = (
+        e.filter(touches)
+        .withColumn("_nsrc", F.when(src_in, F.lit(target_entity)).otherwise(F.col("src")))
+        .withColumn("_ntgt", F.when(tgt_in, F.lit(target_entity)).otherwise(F.col("tgt")))
+        .filter(F.col("_nsrc") != F.col("_ntgt"))  # self-loops dropped
+        .withColumn("_lo", F.least("_nsrc", "_ntgt"))
+        .withColumn("_hi", F.greatest("_nsrc", "_ntgt"))
+    )
+    # deterministic merge order: the ORIGINAL (src, tgt) key
+    okey = F.struct(F.col("src").alias("s"), F.col("tgt").alias("t"))
+
+    def ordered_vals(col: str):
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct(okey.alias("k"), F.col(col).alias("v")))),
+            lambda x: x["v"],
+        )
+
+    aggs = [
+        F.max("weight").alias("weight"),
+        F.sum("relation_count").alias("relation_count"),
+        F.min("created_at").alias("created_at"),
+    ]
+    cols = set(e.columns)
+    if "keywords" in cols:
+        aggs.append(F.array_sort(F.array_distinct(F.flatten(ordered_vals("keywords")))).alias("keywords"))
+    if "source_ids" in cols:
+        aggs.append(F.array_distinct(F.flatten(ordered_vals("source_ids"))).alias("source_ids"))
+    if "file_paths" in cols:
+        aggs.append(F.array_distinct(F.flatten(ordered_vals("file_paths"))).alias("file_paths"))
+    if "descriptions" in cols:
+        aggs.append(F.flatten(ordered_vals("descriptions")).alias("descriptions"))
+    if "description" in cols:
+        from ..constants import GRAPH_FIELD_SEP
+
+        aggs.append(F.array_join(ordered_vals("description"), GRAPH_FIELD_SEP).alias("description"))
+    if "llm_was_used" in cols:
+        aggs.append(F.max("llm_was_used").alias("llm_was_used"))
+    merged_edges = (
+        red.groupBy(F.col("_lo").alias("src"), F.col("_hi").alias("tgt"))
+        .agg(*aggs)
+    )
+    new_edges = untouched.select(*merged_edges.columns).unionByName(merged_edges)
+    return with_degrees(new_nodes, new_edges)
+
+
 def rename_entity(
     nodes: DataFrame, edges: DataFrame, old_name: str, new_name: str
 ) -> tuple[DataFrame, DataFrame]:

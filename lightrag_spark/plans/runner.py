@@ -31,9 +31,14 @@ from dataclasses import asdict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..constants import DOC_STATUS_PROCESSED
+from ..constants import DOC_STATUS_FAILED, DOC_STATUS_PROCESSED
 from ..operators.chunking import chunk_documents
-from ..operators.extraction import extract_records, split_records
+from ..operators.extraction import (
+    args_hash_col,
+    extract_records,
+    split_errors,
+    split_records,
+)
 from ..operators.merge import (
     add_unknown_endpoint_nodes,
     merge_entity_nodes,
@@ -79,19 +84,45 @@ def run_indexing(
     os.makedirs(out_dir, exist_ok=True)
 
     # ---- resume state -------------------------------------------------------
+    # chunk-options fingerprint: recorded every run; a changed fingerprint is
+    # surfaced in metrics.  Correctness under changed options does not depend
+    # on this flag — the cache rejoin below is content-keyed, so stale
+    # responses can never be reused (reference pipeline.py:5417+).
+    chunk_fingerprint = json.dumps(
+        {
+            "tokenizer_kind": cfg.tokenizer_kind,
+            "chunk_token_size": cfg.chunk_token_size,
+            "chunk_overlap_token_size": cfg.chunk_overlap_token_size,
+            "with_source_spans": cfg.with_source_spans,
+        },
+        sort_keys=True,
+    )
+    metrics["chunk_options_fingerprint"] = chunk_fingerprint
+    prior_metrics_path = os.path.join(out_dir, "metrics.json")
+    if os.path.exists(prior_metrics_path):
+        try:
+            with open(prior_metrics_path) as f:
+                prior_fp = json.load(f).get("chunk_options_fingerprint")
+            metrics["chunk_options_changed"] = (
+                prior_fp is not None and prior_fp != chunk_fingerprint
+            )
+        except (json.JSONDecodeError, OSError):
+            metrics["chunk_options_changed"] = False
+    else:
+        metrics["chunk_options_changed"] = False
+
     prior_cache = spark.read.parquet(cache_path) if _exists(cache_path) else None
     metrics["resumed_from_cache"] = prior_cache is not None
+    docs = docs.cache()
     if _exists(status_path):
-        done = (
-            spark.read.parquet(status_path)
-            .filter(F.col("status") == DOC_STATUS_PROCESSED)
-            .select("doc_id")
-        )
-        docs = docs.cache()
+        prior_status = spark.read.parquet(status_path)
+        done = prior_status.filter(F.col("status") == DOC_STATUS_PROCESSED).select("doc_id")
+        retry = prior_status.filter(F.col("status") == DOC_STATUS_FAILED).select("doc_id")
         metrics["docs_resumed_skip"] = docs.join(done, "doc_id", "left_semi").count()
+        metrics["docs_retried_failed"] = docs.join(retry, "doc_id", "left_semi").count()
     else:
-        docs = docs.cache()
         metrics["docs_resumed_skip"] = 0
+        metrics["docs_retried_failed"] = 0
     metrics["docs_total"] = docs.count()
 
     # ---- Stage 1: chunks ----------------------------------------------------
@@ -117,14 +148,38 @@ def run_indexing(
     }
 
     # ---- Stage 2: extraction (cache-aware) + records/cache tables ------------
+    # The resume join is CONTENT-keyed (args_hash = md5 of chunk_id + chunk
+    # text + pass), NOT chunk_id-keyed: re-running with changed chunking
+    # options produces different chunk text under the same positional
+    # chunk_id, and a chunk_id join would silently reuse stale responses.
+    # With the content key, stale entries simply miss and the model is
+    # re-called — the distributed form of the reference's stale-extraction
+    # purge on changed chunk options (pipeline.py:5417+).
     t0 = time.time()
     extract_input = chunks
     if prior_cache is not None:
-        pivoted = prior_cache.groupBy("chunk_id").agg(
-            F.max(F.when(F.col("pass_index") == 0, F.col("content"))).alias("cached_resp0"),
-            F.max(F.when(F.col("pass_index") == 1, F.col("content"))).alias("cached_resp1"),
+        by_hash = prior_cache.select("args_hash", "content").dropDuplicates(["args_hash"])
+        h0 = args_hash_col(F.col("chunk_id"), F.col("content"), "extract-0")
+        h1 = args_hash_col(F.col("chunk_id"), F.col("content"), "extract-1")
+        extract_input = (
+            chunks.withColumn("_h0", h0)
+            .withColumn("_h1", h1)
+            .join(
+                by_hash.select(
+                    F.col("args_hash").alias("_h0"), F.col("content").alias("cached_resp0")
+                ),
+                "_h0",
+                "left",
+            )
+            .join(
+                by_hash.select(
+                    F.col("args_hash").alias("_h1"), F.col("content").alias("cached_resp1")
+                ),
+                "_h1",
+                "left",
+            )
+            .drop("_h0", "_h1")
         )
-        extract_input = chunks.join(pivoted, "chunk_id", "left")
     counter = spark.sparkContext.accumulator(0)
     records = extract_records(
         extract_input,
@@ -133,6 +188,9 @@ def run_indexing(
         model_min_len=cfg.model_min_len,
         model_corruption=cfg.model_corruption,
         model_call_counter=counter,
+        model_fail_marker=cfg.model_fail_marker,
+        max_extract_input_tokens=cfg.max_extract_input_tokens,
+        tokenizer_kind=cfg.tokenizer_kind,
     )
     _swap_in(records, records_path)
     records = spark.read.parquet(records_path)
@@ -143,6 +201,31 @@ def run_indexing(
         "model_calls": counter.value,
         "sec": round(time.time() - t0, 3),
     }
+
+    # ---- failure rollup: chunk-level error records -> per-doc FAILED ----------
+    # chunk ids are positional "{doc_id}-chunk-{NNN}", so the owning doc is
+    # derivable scan-side — no join, no shuffle.
+    errors = split_errors(records).withColumn(
+        "doc_id", F.regexp_replace("chunk_id", "-chunk-[0-9]+$", "")
+    )
+    failed_docs = (
+        errors.groupBy("doc_id")
+        .agg(F.min(F.struct("chunk_id", "error_msg")).alias("_e"))
+        .select("doc_id", F.col("_e.error_msg").alias("error_msg"))
+        .cache()
+    )
+    n_failed = failed_docs.count()
+    metrics["docs_failed"] = n_failed
+    if n_failed:
+        # A FAILED doc contributes nothing to the graph: every record from
+        # any of its chunks is excluded from the merge (reference: the whole
+        # per-doc extraction task fails atomically, pipeline.py:5575-5632).
+        doc_of = lambda df: F.regexp_replace(df["chunk_id"], "-chunk-[0-9]+$", "")  # noqa: E731
+        bad = F.broadcast(failed_docs.select("doc_id")) if n_failed < 100_000 else failed_docs.select("doc_id")
+        mentions = mentions.join(
+            bad, doc_of(mentions) == bad["doc_id"], "left_anti"
+        )
+        triples = triples.join(bad, doc_of(triples) == bad["doc_id"], "left_anti")
 
     # ---- Stage 3: merge -> graph tables (reads the durable records table) ----
     t0 = time.time()
@@ -179,16 +262,44 @@ def run_indexing(
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
 
-    # ---- Stage 5: doc_status PROCESSED — the commit record, last --------------
-    status_cols = [F.col("doc_id"), F.lit(DOC_STATUS_PROCESSED).alias("status")]
+    # ---- Stage 5: doc_status — the commit record, last ------------------------
+    # PROCESSED for clean docs, FAILED (+error_msg) for docs with captured
+    # model failures; both keep the chunks snapshot (chunks_count/chunks_list
+    # — the chunk stage succeeded even when extraction failed), matching
+    # DocProcessingStatus (base.py:903-941).  A FAILED doc is NOT in the
+    # PROCESSED skip set, so the next run retries it — and its error'd
+    # passes never wrote cache rows, so the retry really re-calls the model.
+    track_id = cfg.track_id or f"run-{cfg.run_ts}"
+    status_cols = [F.col("doc_id")]
+    if "text" in docs.columns:
+        status_cols += [
+            F.substring(F.col("text"), 1, 100).alias("content_summary"),
+            F.length("text").cast("long").alias("content_length"),
+        ]
     if "content_hash" in docs.columns:
         status_cols.append(F.col("content_hash"))
+    if "file_path" in docs.columns:
+        status_cols.append(F.col("file_path"))
     chunks_per_doc = chunks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("chunks_count"),
         F.sort_array(F.collect_list("chunk_id")).alias("chunks_list"),
     )
-    status = docs.select(*status_cols).join(chunks_per_doc, "doc_id", "left")
+    status = (
+        docs.select(*status_cols)
+        .join(chunks_per_doc, "doc_id", "left")
+        .join(failed_docs, "doc_id", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("error_msg").isNotNull(), F.lit(DOC_STATUS_FAILED)).otherwise(
+                F.lit(DOC_STATUS_PROCESSED)
+            ),
+        )
+        .withColumn("created_at", F.lit(cfg.run_ts).cast("long"))
+        .withColumn("updated_at", F.lit(int(time.time())).cast("long"))
+        .withColumn("track_id", F.lit(track_id))
+    )
     _swap_in(status, status_path)
 
+    failed_docs.unpersist()
     docs.unpersist()
     return metrics
