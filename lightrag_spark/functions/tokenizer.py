@@ -150,3 +150,39 @@ def get_tokenizer(kind: str = "auto") -> Tokenizer:
         raise ValueError(f"unknown tokenizer kind: {kind}")
     _SINGLETONS[kind] = tok
     return tok
+
+
+def truncate_by_token_limit(tokenizer: Tokenizer, text: str, limit: int) -> str:
+    """Longest prefix of ``text`` that VERIFIABLY fits ``limit`` tokens —
+    the reference's Tokenizer.truncate_by_token_limit contract
+    (operate.py:293-340 relies on it): the candidate is re-encoded and
+    shrunk until it actually fits, because decode(tokens[:k]) is not
+    guaranteed to round-trip to <= k tokens for every tokenizer.
+    """
+    if limit <= 0:
+        raise ValueError(f"token limit must be positive, got {limit}")
+    toks = tokenizer.encode(text)
+    if len(toks) <= limit:
+        return text
+    k = limit
+    cand = tokenizer.decode(toks[:k])
+    while k > 1 and tokenizer.count(cand) > limit:
+        k -= 1
+        cand = tokenizer.decode(toks[:k])
+    return cand
+
+
+def truncate_vdb_content(
+    content: str,
+    tokenizer: Tokenizer | None,
+    embedding_token_limit: int | None,
+) -> str:
+    """_truncate_vdb_content (operate.py:293-340): clamp a vector-store
+    payload under the embedding model's input limit; no-op when no limit
+    or no tokenizer is configured."""
+    if not content or embedding_token_limit is None or tokenizer is None:
+        return content
+    threshold = int(embedding_token_limit)
+    if threshold <= 0:
+        return content
+    return truncate_by_token_limit(tokenizer, content, threshold)

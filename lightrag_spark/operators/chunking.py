@@ -86,8 +86,10 @@ def chunk_documents(
     kind = tokenizer_kind
     spans = with_source_spans
     emb_limit = embedding_token_limit
-    strat = {"F": "token", "R": "recursive", "V": "semantic"}.get(strategy, strategy)
-    if strat not in ("token", "recursive", "semantic"):
+    strat = {
+        "F": "token", "R": "recursive", "V": "semantic", "P": "paragraph",
+    }.get(strategy, strategy)
+    if strat not in ("token", "recursive", "semantic", "paragraph"):
         raise ValueError(f"unknown chunking strategy: {strategy!r}")
 
     def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,6 +107,17 @@ def chunk_documents(
 
             def chunk_one(text):
                 return chunk_text_semantic(
+                    tokenizer, text, chunk_token_size=size,
+                    chunk_overlap_token_size=overlap,
+                )
+        elif strat == "paragraph":
+            # P over a text column == the reference's own no-sidecar
+            # fallback (paragraph_semantic.py:2200-2224); block-mode P is
+            # functions.paragraph_chunking.chunk_blocks_paragraph.
+            from ..functions.paragraph_chunking import chunk_text_paragraph
+
+            def chunk_one(text):
+                return chunk_text_paragraph(
                     tokenizer, text, chunk_token_size=size,
                     chunk_overlap_token_size=overlap,
                 )

@@ -45,6 +45,64 @@ def entity_vdb(nodes: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
     return with_embeddings(base, "content", dim)
 
 
+def relation_vdb(
+    edges: DataFrame,
+    dim: int = DEFAULT_DIM,
+    embedding_token_limit: int | None = None,
+    tokenizer_kind: str = "regex",
+) -> DataFrame:
+    """rel- rows (operate.py:3179-3200): id = rel-md5(src+tgt) over the
+    SORTED pair, content = "{keywords}\\t{src}\\n{tgt}\\n{description}"
+    clamped by _truncate_vdb_content when an embedding limit is set."""
+    kw = F.array_join(F.col("keywords"), ",") if "keywords" in edges.columns else F.lit("")
+    desc = F.col("description") if "description" in edges.columns else F.array_join(
+        "descriptions", "\n"
+    )
+    base = edges.select(
+        F.concat(F.lit("rel-"), F.md5(F.concat(F.col("src"), F.col("tgt")))).alias("vdb_id"),
+        "src",
+        "tgt",
+        F.col("weight"),
+        F.concat(kw, F.lit("\t"), F.col("src"), F.lit("\n"), F.col("tgt"),
+                 F.lit("\n"), desc).alias("content"),
+    )
+    if embedding_token_limit is not None:
+        from pyspark.sql.types import StringType
+
+        limit = int(embedding_token_limit)
+        kind = tokenizer_kind
+
+        @F.pandas_udf(StringType())
+        def clamp(texts: pd.Series) -> pd.Series:
+            from ..functions.tokenizer import get_tokenizer, truncate_vdb_content
+
+            tok = get_tokenizer(kind)
+            return texts.map(lambda t: truncate_vdb_content(t or "", tok, limit))
+
+        base = base.withColumn("content", clamp(F.col("content")))
+    return with_embeddings(base, "content", dim)
+
+
+def get_edge_data(
+    edges: DataFrame,
+    query_text: str,
+    k: int = 40,
+    min_sim: float = 0.2,
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """_get_edge_data (operate.py:5849-5905): relation-VDB cosine top-k for
+    the query keywords, payload joined back from the edge table, vector-
+    search order preserved as ``pos``."""
+    hits = vector_search(relation_vdb(edges, dim), query_text, k=k, min_sim=min_sim)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("sim"), F.asc("vdb_id"))
+    ranked = hits.withColumn("pos", F.row_number().over(w).cast("long")).select(
+        "src", "tgt", "sim", "pos"
+    )
+    return ranked.join(edges, ["src", "tgt"], "left")
+
+
 def vector_search(
     vdb: DataFrame,
     query_text: str,
