@@ -325,6 +325,13 @@ def _q_ann_topk(spark, sf):
     )
 
 
+def _q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs over LSH band candidates — the
+    vector analogue of dedup_near_pairs (no all-pairs join)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ann.embedding_near_pairs(emb)
+
+
 def _q_token_stats(spark, sf):
     return dp.token_stats(_documents(spark, sf)).select(
         "doc_id",
@@ -396,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_cosine_topk,
         "sim_knn_label_vote": _q_knn_vote,
         "sim_ann_topk": _q_ann_topk,
+        "dedup_embedding_near": _q_dedup_embedding,
         "text_token_stats": _q_token_stats,
         "text_quality": _q_quality,
         "text_lang_stats": _q_lang_stats,
@@ -698,6 +706,18 @@ r AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::BIGINT AS rank
   FROM s)
 SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""",
+        "dedup_embedding_near": ann.duckdb_bands_cte(64)
+        + """
+, cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+s AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_dot_product(va.dv, vb.dv)
+               / (sqrt(list_dot_product(va.dv, va.dv)) * sqrt(list_dot_product(vb.dv, vb.dv))), 4) AS sim
+  FROM cand c JOIN v va ON va.vec_id = c.vec_a JOIN v vb ON vb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.5""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tx
            FROM documents)

@@ -91,22 +91,42 @@ def main():
     n_triples = r.triples.count()
 
     # --- secondary operator benchmarks --------------------------------------
-    secondary = () if mode == "synth" else (
+    # Two groups: queries that reuse the kg build's persisted records run
+    # first (warm cache is their intended state); then the session cache is
+    # dropped so the standalone datapipe/sim operators are timed without the
+    # build's cached blocks competing for executor memory (measured 2-4x
+    # inflation of the md5-heavy codegen stages when timed under the build's
+    # residency).
+    kg_dependent = () if mode == "synth" else (
         "kg_chunks",
         "kg_triples",
         "kg_nodes",
+        "kg_global_context",
+        "kg_hybrid_interleave",
+    )
+    standalone = () if mode == "synth" else (
         "dedup_near_pairs",
         "dedup_simhash",
         "sim_cosine_topk",
+        "sim_ann_topk",
+        "sim_knn_label_vote",
         "text_quality",
         "events_sessions",
         "tpch_q1ish",
     )
-    for name in secondary:
+
+    def _time(name):
         fn = em.queries()[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    for name in kg_dependent:
+        _time(name)
+    if standalone:
+        spark.catalog.clearCache()
+    for name in standalone:
+        _time(name)
 
     total = timings["kg_build_full"]
     out = {

@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--gleaning", type=int, default=1)
     ap.add_argument("--salts", type=int, default=16)
     ap.add_argument("--tokenizer", default="auto")
+    ap.add_argument(
+        "--chunking", default="F", choices=["F", "R", "V", "P"],
+        help="chunking strategy (reference pipeline.py:4903-4928 dispatch)",
+    )
+    ap.add_argument("--track-id", default=None, help="batch tag on doc_status rows")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,10 +55,12 @@ def main():
     docs = enqueue_documents(pages)
     cfg = KGBuildConfig(
         tokenizer_kind=args.tokenizer,
+        chunking_strategy=args.chunking,
         chunk_token_size=args.chunk_size,
         chunk_overlap_token_size=args.chunk_overlap,
         max_gleaning=args.gleaning,
         merge_salts=args.salts,
+        track_id=args.track_id,
     )
     metrics = run_indexing(spark, docs, args.out, cfg)
     print(json.dumps(metrics))

@@ -229,6 +229,44 @@ def knn_label_vote_lsh(
     )
 
 
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector analogue of
+    datapipe.near_duplicate_pairs: candidates from shared LSH band buckets
+    (never all-pairs), exact cosine verify >= threshold.  Output
+    (vec_a, vec_b, sim) with vec_a < vec_b, sim rounded to 4dp.
+
+    Contract note (same as every LSH dedup at scale): a qualifying pair
+    that shares NO band bucket is missed — P(miss) = (1-p_band)^bands,
+    ~1.5% at cosine 0.5 with 12x3 bands, vanishing as similarity rises.
+    The oracle replays the identical bucketing, so results are exact
+    w.r.t. the operator's own contract.
+    """
+    bands = ann_bands(embeddings, id_col, vec_col, dim)
+    a = bands.select(F.col(id_col).alias("vec_a"), "band_idx", "bucket")
+    b = bands.select(F.col(id_col).alias("vec_b"), "band_idx", "bucket")
+    cand = (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("av"))
+    vb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("bv"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("sim", _cosine(F.col("av"), F.col("bv")))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL builders (DuckDB) — the same formula, inlined as literals
 # --------------------------------------------------------------------------

@@ -212,13 +212,20 @@ def extract_records(
                     # prompt templates; over budget -> skip, don't fail.
                     run_gleaning = gleaning > 0
                     if run_gleaning and tokenizer is not None:
-                        glean_tokens = (
-                            tokenizer.count(content)
-                            + tokenizer.count(response0)
-                            + GLEANING_PROMPT_OVERHEAD_TOKENS
-                        )
-                        if glean_tokens > max_glean_tokens:
-                            run_gleaning = False
+                        # Cheap short-circuit: token count <= char count for
+                        # every tokenizer here (each token is >=1 char), so
+                        # a payload whose CHAR total fits the budget cannot
+                        # exceed it — the real tokenization only runs for
+                        # payloads big enough to possibly blow the limit.
+                        chars = len(content) + len(response0)
+                        if chars + GLEANING_PROMPT_OVERHEAD_TOKENS > max_glean_tokens:
+                            glean_tokens = (
+                                tokenizer.count(content)
+                                + tokenizer.count(response0)
+                                + GLEANING_PROMPT_OVERHEAD_TOKENS
+                            )
+                            if glean_tokens > max_glean_tokens:
+                                run_gleaning = False
                     if run_gleaning:
                         response1 = c1 if isinstance(c1, str) else call_model(1)
                         responses.append(response1)

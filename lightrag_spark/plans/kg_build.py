@@ -41,6 +41,9 @@ from ..operators.summary import finalize_descriptions
 @dataclass
 class KGBuildConfig:
     tokenizer_kind: str = "regex"
+    # chunking strategy dispatch (reference pipeline.py:4903-4928):
+    # token|F (default), recursive|R, semantic|V, paragraph|P
+    chunking_strategy: str = "token"
     chunk_token_size: int = DEFAULT_CHUNK_TOKEN_SIZE
     chunk_overlap_token_size: int = DEFAULT_CHUNK_OVERLAP_TOKEN_SIZE
     max_gleaning: int = DEFAULT_MAX_GLEANING
@@ -122,6 +125,7 @@ def build_kg(
         chunk_token_size=cfg.chunk_token_size,
         chunk_overlap_token_size=cfg.chunk_overlap_token_size,
         with_source_spans=cfg.with_source_spans,
+        strategy=cfg.chunking_strategy,
     )
     chunks = chunks.repartition(par, "chunk_id")
 

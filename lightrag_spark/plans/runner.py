@@ -91,6 +91,7 @@ def run_indexing(
     chunk_fingerprint = json.dumps(
         {
             "tokenizer_kind": cfg.tokenizer_kind,
+            "chunking_strategy": cfg.chunking_strategy,
             "chunk_token_size": cfg.chunk_token_size,
             "chunk_overlap_token_size": cfg.chunk_overlap_token_size,
             "with_source_spans": cfg.with_source_spans,
@@ -135,6 +136,7 @@ def run_indexing(
         chunk_token_size=cfg.chunk_token_size,
         chunk_overlap_token_size=cfg.chunk_overlap_token_size,
         with_source_spans=cfg.with_source_spans,
+        strategy=cfg.chunking_strategy,
     )
     _swap_in(chunks, chunks_path)
     chunks = spark.read.parquet(chunks_path)

@@ -55,6 +55,7 @@ def stream_chunk_extract(
         chunk_overlap_token_size=cfg.chunk_overlap_token_size,
         with_source_spans=cfg.with_source_spans,
         with_lineage=False,  # monotonically_increasing_id is batch-only
+        strategy=cfg.chunking_strategy,
     )
     records = extract_records(
         chunks,
@@ -72,3 +73,40 @@ def stream_chunk_extract(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_ingest_counts(
+    events: DataFrame,
+    window_minutes: int = 10,
+    watermark_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked tumbling-window event counts — the late-data pattern
+    (north rule: "watermarks + windowed aggs for late data").
+
+    Events later than ``watermark_minutes`` behind the max seen event time
+    are dropped; each (key, window) aggregate finalizes once the watermark
+    passes the window end, so append-mode sinks emit exactly one row per
+    window.  State is bounded by (keys x open windows), never by stream
+    length.  Works identically on a batch frame (windows just all close).
+    """
+    from pyspark.sql import functions as F
+
+    withered = events.select(
+        F.col(key_col),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).withWatermark("_ts", f"{watermark_minutes} minutes")
+    return (
+        withered.groupBy(
+            F.window("_ts", f"{window_minutes} minutes").alias("win"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
