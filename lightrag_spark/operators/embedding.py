@@ -34,8 +34,15 @@ def with_embeddings(df: DataFrame, text_col: str, dim: int = DEFAULT_DIM,
 
 def entity_vdb(nodes: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
     """ent- rows: content = name + newline + description (operate.py:2574,
-    _truncate_vdb_content shape) -> embedding column."""
-    content = F.concat_ws("\n", F.col("entity_name"), F.col("description"))
+    _truncate_vdb_content shape) -> embedding column.  Nodes without the
+    finalized ``description`` string (summarize off) fall back to the
+    joined fragments."""
+    desc = (
+        F.col("description")
+        if "description" in nodes.columns
+        else F.array_join("descriptions", "\n")
+    )
+    content = F.concat_ws("\n", F.col("entity_name"), desc)
     base = nodes.select(
         F.concat(F.lit("ent-"), F.md5("entity_name")).alias("vdb_id"),
         "entity_name",

@@ -124,3 +124,195 @@ def build_local_context(
         max_relation_tokens,
     )
     return seeds_t, hop_t
+
+
+def pick_chunks_by_vector(
+    chunks_vdb: DataFrame,
+    candidate_chunk_ids: list,
+    query_text: str,
+    num_of_chunks: int,
+) -> list:
+    """pick_by_vector_similarity (utils.py:5271-5400) — rank candidate
+    chunks by query cosine and keep the top ``num_of_chunks``.  The
+    candidate filter + scoring runs Spark-side (the chunks table can be
+    corpus-scale; the candidate set is top-k-bounded)."""
+    from ..operators.embedding import vector_search
+
+    if not candidate_chunk_ids or num_of_chunks <= 0:
+        return []
+    cands = chunks_vdb.filter(F.col("vdb_id").isin(list(candidate_chunk_ids)))
+    hits = vector_search(cands, query_text, k=num_of_chunks, min_sim=-1.0)
+    return [r["vdb_id"] for r in hits.collect()]
+
+
+def kg_query_context(
+    result,
+    query_text: str,
+    mode: str = "hybrid",
+    top_k: int = 40,
+    related_chunk_number: int = 5,
+    kg_chunk_pick_method: str = "WEIGHT",
+    max_total_tokens: int = 30000,
+    keywords_cache: dict | None = None,
+    keyword_model_fn=None,
+):
+    """The kg_query retrieval driver minus the final LLM answer
+    (operate.py:4191-4423): keyword extraction (cached) -> local entity-VDB
+    seeds / global relation-VDB seeds -> mode dispatch with round-robin
+    interleave-dedup -> 1-hop relations -> chunk selection (WEIGHT
+    linear-gradient polling, utils.py:5189-5270, or VECTOR cosine re-rank)
+    -> context render with dynamic token budget.
+
+    ``result`` is a KGBuildResult (kg_nodes / kg_edges / chunks).  Returns
+    (context_str, reference_list, debug) where debug carries the
+    intermediate lists.  Every collect here is top-k-bounded by
+    construction — the corpus-scale work (VDB scoring, joins) is Spark-side.
+    """
+    from ..functions.chunk_pick import pick_by_weighted_polling
+    from ..functions.keywords import extract_keywords_only
+    from ..operators.embedding import entity_vdb, get_edge_data, vector_search
+    from .context import build_context_str, entities_from_relations
+
+    hl, ll = extract_keywords_only(
+        query_text, mode=mode, cache=keywords_cache, model_fn=keyword_model_fn
+    )
+    ll_query = " ".join(ll) if ll else query_text
+    hl_query = " ".join(hl) if hl else query_text
+
+    nodes, edges, chunks = result.kg_nodes, result.kg_edges, result.chunks
+
+    local_entities: list[dict] = []
+    global_entities: list[dict] = []
+    local_relations: list[dict] = []
+    global_relations: list[dict] = []
+
+    if mode in ("local", "hybrid", "mix"):
+        vdb = entity_vdb(nodes)
+        hits = vector_search(vdb, ll_query, k=top_k).collect()
+        seeds = [
+            {"entity_name": r["entity_name"], "pos": i + 1}
+            for i, r in enumerate(hits)
+        ]
+        local_entities = seeds
+        if seeds:
+            sdf = nodes.sparkSession.createDataFrame(
+                [(s["entity_name"], s["pos"]) for s in seeds],
+                "entity_name string, pos long",
+            )
+            hop = one_hop_edges(sdf, edges).limit(top_k).collect()
+            local_relations = [
+                {"src": r["src"], "tgt": r["tgt"], "pos": i + 1}
+                for i, r in enumerate(hop)
+            ]
+    if mode in ("global", "hybrid", "mix"):
+        rel_hits = get_edge_data(edges, hl_query, k=top_k).orderBy("pos").collect()
+        global_relations = [
+            {"src": r["src"], "tgt": r["tgt"], "pos": int(r["pos"])} for r in rel_hits
+        ]
+        if rel_hits:
+            rdf = edges.sparkSession.createDataFrame(
+                [(r["src"], r["tgt"], int(r["pos"])) for r in rel_hits],
+                "src string, tgt string, pos long",
+            )
+            global_entities = [
+                {"entity_name": r["entity_name"], "pos": int(r["pos"])}
+                for r in entities_from_relations(rdf, nodes).orderBy("pos").collect()
+            ]
+
+    # round-robin interleave-dedup (operate.py:4880-4934), driver-side over
+    # the bounded lists (reference shape)
+    def interleave(local, global_, key):
+        out, seen = [], set()
+        for i in range(max(len(local), len(global_))):
+            for lst in (local, global_):
+                if i < len(lst):
+                    k = key(lst[i])
+                    if k not in seen:
+                        seen.add(k)
+                        out.append(lst[i])
+        return out
+
+    final_entities = interleave(local_entities, global_entities, lambda e: e["entity_name"])
+    final_relations = interleave(
+        local_relations, global_relations, lambda r: tuple(sorted((r["src"], r["tgt"])))
+    )
+
+    # entity payloads + per-entity chunk lists (source_ids), importance order
+    ent_names = [e["entity_name"] for e in final_entities]
+    desc_col = (
+        F.col("description")
+        if "description" in nodes.columns
+        else F.array_join("descriptions", "\n")
+    )
+    payloads = {
+        r["entity_name"]: r
+        for r in nodes.filter(F.col("entity_name").isin(ent_names))
+        .select(
+            "entity_name", "entity_type", "degree",
+            desc_col.alias("description"), "source_ids",
+        )
+        .collect()
+    }
+    seen_chunks: set = set()
+    polled_input = []
+    for e in final_entities:
+        p = payloads.get(e["entity_name"])
+        if p is None:
+            continue
+        fresh = [c for c in (p["source_ids"] or []) if c not in seen_chunks]
+        seen_chunks.update(fresh)
+        polled_input.append({"entity_name": e["entity_name"], "sorted_chunks": fresh})
+
+    if kg_chunk_pick_method == "VECTOR":
+        from ..operators.embedding import with_embeddings
+
+        all_ids = [c for ent in polled_input for c in ent["sorted_chunks"]]
+        vdb = with_embeddings(
+            chunks.select(F.col("chunk_id").alias("vdb_id"), "content"), "content"
+        )
+        chunk_ids = pick_chunks_by_vector(
+            vdb, all_ids, query_text, related_chunk_number * max(len(polled_input), 1)
+        )
+        if not chunk_ids:  # reference falls back to WEIGHT
+            chunk_ids = pick_by_weighted_polling(polled_input, related_chunk_number)
+    else:
+        chunk_ids = pick_by_weighted_polling(polled_input, related_chunk_number)
+
+    contents = {
+        r["chunk_id"]: r
+        for r in chunks.filter(F.col("chunk_id").isin(chunk_ids))
+        .select("chunk_id", "content", "file_path")
+        .collect()
+    }
+    chunk_dicts = [
+        {
+            "chunk_id": cid,
+            "content": contents[cid]["content"],
+            "file_path": contents[cid]["file_path"] or "unknown_source",
+        }
+        for cid in chunk_ids
+        if cid in contents
+    ]
+    ent_dicts = [
+        {
+            "entity_name": e["entity_name"],
+            "entity_type": payloads[e["entity_name"]]["entity_type"],
+            "degree": int(payloads[e["entity_name"]]["degree"]),
+        }
+        for e in final_entities
+        if e["entity_name"] in payloads
+    ]
+    rel_dicts = [
+        {"src": r["src"], "tgt": r["tgt"]} for r in final_relations
+    ]
+    context, refs = build_context_str(
+        ent_dicts, rel_dicts, chunk_dicts, max_total_tokens=max_total_tokens
+    )
+    debug = {
+        "hl_keywords": hl,
+        "ll_keywords": ll,
+        "entities": ent_dicts,
+        "relations": rel_dicts,
+        "chunk_ids": chunk_ids,
+    }
+    return context, refs, debug

@@ -1,0 +1,84 @@
+"""pick_by_weighted_polling: hypothesis differential against the
+REFERENCE's own function (utils.py:5189-5270), plus the kg_query_context
+driver end-to-end on a small build."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lightrag_spark.functions.chunk_pick import pick_by_weighted_polling
+
+CHUNKLIST = st.lists(st.sampled_from([f"c{i}" for i in range(12)]), max_size=8)
+ENTS = st.lists(
+    CHUNKLIST.map(lambda ch: {"sorted_chunks": ch}),
+    max_size=6,
+)
+
+
+def _reference_fn():
+    from refshim import load_reference
+
+    ref_pkg = load_reference()
+    assert ref_pkg is not None, "reference package failed to import"
+    return ref_pkg.utils.pick_by_weighted_polling
+
+
+@settings(max_examples=300, deadline=None)
+@given(ents=ENTS, max_rel=st.integers(min_value=0, max_value=8),
+       min_rel=st.integers(min_value=0, max_value=4))
+def test_weighted_polling_matches_reference(ents, max_rel, min_rel):
+    ref = _reference_fn()
+    assert pick_by_weighted_polling(ents, max_rel, min_rel) == ref(
+        ents, max_rel, min_rel
+    )
+
+
+def test_weighted_polling_shape_examples():
+    ents = [
+        {"sorted_chunks": ["a1", "a2", "a3", "a4"]},
+        {"sorted_chunks": ["b1", "b2"]},
+        {"sorted_chunks": ["c1", "c2", "c3"]},
+    ]
+    # quotas: n=3, max=3, min=1 -> expected [3, 2, 1]
+    got = pick_by_weighted_polling(ents, 3, 1)
+    assert got == ["a1", "a2", "a3", "b1", "b2", "c1"]
+    # single entity: plain head
+    assert pick_by_weighted_polling([{"sorted_chunks": ["x", "y", "z"]}], 2) == ["x", "y"]
+    assert pick_by_weighted_polling([], 5) == []
+    assert pick_by_weighted_polling(ents, 0) == []
+
+
+def test_weighted_polling_second_round_reallocates():
+    ents = [
+        {"sorted_chunks": ["a1"]},            # quota 3, has 1 -> 2 remaining
+        {"sorted_chunks": ["b1", "b2", "b3", "b4"]},  # quota 1
+    ]
+    got = pick_by_weighted_polling(ents, 3, 1)
+    # first round: a1, b1; second round scans re-allocating 2 -> b2, b3
+    assert got == ["a1", "b1", "b2", "b3"]
+
+
+def test_kg_query_context_end_to_end(spark):
+    import __spark_entry__ as m
+    from lightrag_spark.plans.query import kg_query_context
+
+    r = m._build(spark, "/root/testdata/sf0.001")
+    cache: dict = {}
+    for mode in ("local", "global", "hybrid"):
+        ctx, refs, dbg = kg_query_context(
+            r, "network customer united_states analysis", mode=mode,
+            top_k=8, related_chunk_number=2, keywords_cache=cache,
+        )
+        assert "-----Entities-----" in ctx and "-----Chunks-----" in ctx
+        assert dbg["entities"], mode
+        if mode != "local":
+            assert dbg["relations"], mode
+        assert refs, mode
+    assert cache  # keywords were cached
+    # VECTOR pick method also runs
+    ctx, refs, dbg = kg_query_context(
+        r, "network customer analysis", mode="hybrid", top_k=5,
+        related_chunk_number=2, kg_chunk_pick_method="VECTOR",
+    )
+    assert dbg["chunk_ids"]
