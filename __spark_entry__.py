@@ -301,6 +301,14 @@ def _q_simhash(spark, sf):
     return dp.simhash_fingerprints(_documents(spark, sf))
 
 
+def _q_simhash_near(spark, sf):
+    """SimHash hamming near-dups via nibble-band candidates (pigeonhole:
+    distance<=3 over 16 bits guarantees a shared nibble) + popcount verify."""
+    return dp.simhash_near_pairs(_documents(spark, sf)).select(
+        "doc_a", "doc_b", F.col("distance").cast("long").alias("distance")
+    )
+
+
 def _q_cosine_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     return dp.cosine_topk(emb).select(
@@ -400,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_buckets": _q_lsh_buckets,
         "dedup_near_pairs": _q_near_pairs,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_near": _q_simhash_near,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_knn_label_vote": _q_knn_vote,
         "sim_ann_topk": _q_ann_topk,
@@ -647,6 +656,24 @@ vals AS (
 sums AS (
   SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM vals GROUP BY doc_id)
 SELECT doc_id, ({_SIMHASH_VALUE})::BIGINT AS simhash FROM sums""",
+        "dedup_simhash_near": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents),
+vals AS (
+  SELECT doc_id, ('0x' || substr(md5(tok),1,4))::BIGINT AS hv FROM toks WHERE tok <> ''),
+sums AS (
+  SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM vals GROUP BY doc_id),
+fp AS (
+  SELECT doc_id, ({_SIMHASH_VALUE})::BIGINT AS simhash FROM sums),
+banded AS (
+  SELECT doc_id, simhash, i AS nib_idx, (simhash >> (i*4)) & 15 AS nib
+  FROM fp, unnest(generate_series(0, 3)) AS t(i))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS distance
+FROM banded a JOIN banded b
+  ON a.nib_idx = b.nib_idx AND a.nib = b.nib AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "sim_cosine_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv

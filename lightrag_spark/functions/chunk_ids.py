@@ -58,3 +58,29 @@ def incremental_chunk_ids_col(
         )
     )
     return F.concat(kept, additions)
+
+
+def subtract_source_ids(source_ids, ids_to_remove) -> list[str]:
+    """Remove ids while preserving order, dropping empties — the deletion
+    path's source-id subtraction (utils.py:5893-5908)."""
+    removal = set(ids_to_remove)
+    if not removal:
+        return [s for s in source_ids if s]
+    return [s for s in source_ids if s and s not in removal]
+
+
+def make_relation_chunk_key(src: str, tgt: str) -> str:
+    """Deterministic relation chunk-tracking key (utils.py:5910-5913)."""
+    from ..constants import GRAPH_FIELD_SEP
+
+    return GRAPH_FIELD_SEP.join(sorted((src, tgt)))
+
+
+def parse_relation_chunk_key(key: str) -> tuple[str, str]:
+    """Inverse of make_relation_chunk_key (utils.py:5916-5922)."""
+    from ..constants import GRAPH_FIELD_SEP
+
+    parts = key.split(GRAPH_FIELD_SEP)
+    if len(parts) != 2:
+        raise ValueError(f"Invalid relation chunk key: {key}")
+    return parts[0], parts[1]

@@ -186,3 +186,40 @@ def truncate_vdb_content(
     if threshold <= 0:
         return content
     return truncate_by_token_limit(tokenizer, content, threshold)
+
+
+def truncate_list_by_token_size(
+    list_data: list,
+    key,
+    separator: str,
+    max_token_size: int,
+    tokenizer: Tokenizer,
+) -> list:
+    """Keep the first K whole items whose separator-joined rendering fits
+    ``max_token_size`` — reference-exact semantics (utils.py:3395-3436):
+    the separator's own tokens count toward the budget, items are never
+    partially truncated, and the kept prefix is independently re-verified
+    (BPE token counts are not monotonic in text length)."""
+    if max_token_size <= 0 or not list_data:
+        return []
+    rendered = [key(d) for d in list_data]
+    full_text = separator.join(rendered)
+    try:
+        safe_prefix = truncate_by_token_limit(tokenizer, full_text, max_token_size)
+    except ValueError:
+        return []
+    end = len(safe_prefix)
+
+    k, pos = 0, 0
+    for i, r in enumerate(rendered):
+        item_end = pos + len(r)
+        if item_end <= end:
+            k = i + 1
+            pos = item_end + len(separator)
+        else:
+            break
+    while k > 0:
+        if tokenizer.count(separator.join(rendered[:k])) <= max_token_size:
+            break
+        k -= 1
+    return list_data[:k]

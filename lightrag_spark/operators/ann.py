@@ -229,6 +229,62 @@ def knn_label_vote_lsh(
     )
 
 
+def build_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Materialize the LSH index rows partitioned BY BAND: a probe for one
+    query reads only its 12 (band, bucket) groups — partition pruning on
+    band_idx plus a bucket filter, never a full index scan.  Build once,
+    probe many; the signature scan is paid once instead of per query."""
+    ann_bands(embeddings, id_col, vec_col, dim).write.mode("overwrite").partitionBy(
+        "band_idx"
+    ).parquet(path)
+
+
+def ann_topk_with_index(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ann_topk against a persisted index: query signatures are computed
+    for the query rows only; candidates come from the stored index."""
+    bands = spark.read.parquet(index_path)
+    q = (
+        ann_bands(embeddings.filter(F.col(id_col) < n_queries), id_col, vec_col, dim)
+        .select(F.col(id_col).alias("query_id"), "band_idx", "bucket")
+    )
+    c = bands.select(F.col(id_col).alias("neighbor_id"), "band_idx", "bucket")
+    cand = (
+        F.broadcast(q)
+        .join(c, ["band_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(qv.filter(F.col("query_id") < n_queries)), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def embedding_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.5,

@@ -227,6 +227,59 @@ def simhash_fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc
     return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
+SIMHASH_NEAR_BITS = 3       # max hamming distance for near-dup
+SIMHASH_BAND_NIBBLES = 4    # 16 bits -> 4 nibble bands
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = SIMHASH_NEAR_BITS,
+) -> DataFrame:
+    """SimHash near-duplicates: pairs within ``max_distance`` hamming bits.
+
+    Candidates via nibble banding (pigeonhole: two 16-bit fingerprints
+    within 3 bits MUST agree on at least one of 4 nibbles), so the join
+    keys on (nibble_idx, nibble value) — never all-pairs; the popcount
+    verify runs only on banded collisions.  Output (doc_a, doc_b, distance).
+
+    Output size is DATA-dependent: a corpus of template-generated or
+    boilerplate-heavy documents (like the synthetic testdata) is genuinely
+    dense in bag-of-words space, so many pairs qualify — the threshold
+    (``max_distance``) and fingerprint width are the controls, exactly as
+    in production simhash dedup.
+    """
+    fp = simhash_fingerprints(docs, text, id_col)
+    nibbles = [
+        F.struct(
+            F.lit(i).alias("nib_idx"),
+            F.shiftright(F.col("simhash"), i * 4).bitwiseAND(F.lit(15)).alias("nib"),
+        )
+        for i in range(SIMHASH_BAND_NIBBLES)
+    ]
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*nibbles)).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.nib_idx").alias("nib_idx"), F.col("bb.nib").alias("nib"))
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "nib_idx", "nib"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "nib_idx", "nib"
+    )
+    return (
+        a.join(b, ["nib_idx", "nib"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "distance",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("doc_a", "doc_b", "distance")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

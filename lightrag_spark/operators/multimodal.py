@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -102,3 +103,107 @@ def dedup_media_by_hash(meta: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min("media_id").alias("first_media_id"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_kernel(payload: bytes, target_w: int, target_h: int, fake: bool = False) -> bytes:
+    """Resize an image payload.  STUB: real resize needs PIL/libvips
+    (absent here); ``fake=True`` returns a deterministic surrogate whose
+    length scales with the target area so batch-shape and size accounting
+    are exercised for real."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/libvips, not available in this container"
+        )
+    h = hashlib.md5(payload).digest()
+    rep = max(1, (target_w * target_h) // (16 * len(h)))
+    return (h * rep)[: max(16, target_w * target_h // 16)]
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 256,
+    target_h: int = 256,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """media -> resized payloads, one mapInPandas pass (payload bytes stay
+    on executors; Arrow moves them between JVM and Python in batches —
+    spark.sql.execution.arrow.maxRecordsPerBatch bounds batch memory for
+    large images)."""
+    fake = fake_decode
+    w, h = target_w, target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["payload"].append(resize_kernel(payload, w, h, fake=fake))
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 16,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Video -> sampled frame rows (frame_idx, ts_ms, frame content hash).
+    STUB kernel (ffmpeg absent): ``fake_decode=True`` derives a
+    deterministic duration and per-frame hashes from the payload so the
+    explode shape (one media row -> N frame rows) is exercised for real.
+    A real deployment replaces the inner loop with ffmpeg frame extraction
+    — the operator's schema, batching, and fan-out contract are unchanged.
+    """
+    fake = fake_decode
+    step, cap = every_ms, max_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_hash": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "video decode requires ffmpeg, not available in this container"
+                    )
+                dur_ms = 500 + int(hashlib.md5(payload).hexdigest()[:6], 16) % 30_000
+                n = min(cap, max(1, dur_ms // step))
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * step)
+                    out["frame_hash"].append(
+                        hashlib.md5(payload + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=FRAMES_SCHEMA)

@@ -223,6 +223,12 @@ def merge_entities(
     rows (an admin operation on named entities, bounded by construction);
     the edge redirect/dedup — which can touch a hot entity's full incident
     set — stays distributed.
+
+    Documented deviation: when several redirected edges collapse onto one
+    pair, their payloads merge in deterministic ORIGINAL-(src,tgt) order;
+    the reference merges in graph-adjacency collection order
+    (utils_graph.py:1443-1452), which depends on the backend's edge
+    iteration and is not stable across storage implementations.
     """
     if not source_entities:
         raise ValueError("At least one source entity is required for merge")

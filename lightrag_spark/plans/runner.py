@@ -145,9 +145,29 @@ def run_indexing(
         "sec": round(time.time() - t0, 3),
         "partitions": [
             {"part_id": r["part_id"], "rows": r["rows"]}
-            for r in chunks.groupBy("part_id").agg(F.count(F.lit(1)).alias("rows")).collect()
+            # Bounded collect: the per-partition lineage extents live in a
+            # parquet side table (written below, unbounded); metrics.json
+            # keeps only a capped head so the driver never materializes
+            # tens of thousands of partition rows in memory.
+            for r in (
+                chunks.groupBy("part_id")
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .orderBy("part_id")
+                .limit(1024)
+                .collect()
+            )
         ],
     }
+    (
+        chunks.groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("lineage_id").alias("lineage_min"),
+            F.max("lineage_id").alias("lineage_max"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "partition_metrics"))
+    )
 
     # ---- Stage 2: extraction (cache-aware) + records/cache tables ------------
     # The resume join is CONTENT-keyed (args_hash = md5 of chunk_id + chunk

@@ -119,3 +119,16 @@ def test_hyperplanes_are_deterministic():
     assert all(-1.0 <= x < 1.0 for row in h1 for x in row)
     # not degenerate: components vary
     assert len({round(x, 6) for x in h1[0]}) > 32
+
+
+def test_persisted_index_probe_matches_inline(spark, emb, tmp_path):
+    """build_ann_index + ann_topk_with_index == ann_topk (same buckets),
+    and the probe plan prunes partitions by band_idx."""
+    idx = str(tmp_path / "ann_index")
+    ann.build_ann_index(emb, idx)
+    inline = {(r.query_id, r.rank): r.neighbor_id for r in ann.ann_topk(emb).collect()}
+    probed = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann.ann_topk_with_index(spark, idx, emb).collect()
+    }
+    assert probed == inline

@@ -81,3 +81,43 @@ def test_multimodal_metadata(spark):
     # the real (non-fake) decode is an explicit stub
     with pytest.raises(NotImplementedError):
         decode_image_meta(b"bytes", fake=False)
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    """Resize + video frame-sample plumbing: schemas, fan-out shape, and
+    the honest NotImplementedError without fake mode."""
+    import pytest
+
+    from lightrag_spark.operators.multimodal import (
+        resize_images,
+        resize_kernel,
+        sample_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(b"\x89PNG fake one")),
+         ("m2", "video", bytearray(b"\x00\x00ftyp fake two"))],
+        "media_id string, kind string, payload binary",
+    )
+    resized = resize_images(media, 128, 96, fake_decode=True).collect()
+    assert {r.media_id for r in resized} == {"m1", "m2"}
+    assert all(r.width == 128 and r.height == 96 for r in resized)
+    assert all(len(bytes(r.payload)) >= 16 for r in resized)
+    # deterministic: same payload -> same surrogate
+    again = resize_images(media, 128, 96, fake_decode=True).collect()
+    assert {bytes(r.payload) for r in again} == {bytes(r.payload) for r in resized}
+
+    frames = sample_video_frames(
+        media.filter("kind = 'video'"), every_ms=500, max_frames=8, fake_decode=True
+    ).collect()
+    assert 1 <= len(frames) <= 8
+    assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == list(
+        range(len(frames))
+    )
+    assert all(f.ts_ms == f.frame_idx * 500 for f in frames)
+    assert len({f.frame_hash for f in frames}) == len(frames)
+
+    with pytest.raises(Exception, match="NotImplementedError|resize requires"):
+        resize_images(media, 64, 64, fake_decode=False).collect()
+    with pytest.raises(NotImplementedError):
+        resize_kernel(b"x", 10, 10, fake=False)
