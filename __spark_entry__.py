@@ -272,6 +272,28 @@ def _q_kg_hybrid_interleave(spark, sf):
     return inter.select("entity_name", "origin", F.col("pos").cast("long").alias("pos"))
 
 
+def _q_kg_related_chunks(spark, sf):
+    """Entity -> chunk selection with occurrence dedup (operate.py:
+    5690-5790): top-3 seed entities by degree, each entity's source chunks
+    in first-occurrence order, chunks claimed by an earlier-ranked entity
+    skipped, 5 per entity."""
+    from pyspark.sql.window import Window
+
+    from lightrag_spark.plans.query import related_chunks_dedup_for_entities
+
+    r = _build(spark, sf)
+    head = (
+        r.kg_nodes.select("entity_name", "degree")
+        .orderBy(F.desc("degree"), F.asc("entity_name"))
+        .limit(3)
+    )
+    w = Window.orderBy(F.desc("degree"), F.asc("entity_name"))
+    seeds = head.withColumn("pos", F.row_number().over(w).cast("long"))
+    return related_chunks_dedup_for_entities(seeds, r.kg_nodes, per_entity=5).select(
+        "entity_name", F.col("pos").cast("long").alias("pos"), "chunk_id", "chunk_pos"
+    )
+
+
 def _q_doc_dedup(spark, sf):
     d = _documents(spark, sf)
     return d.groupBy(F.md5(F.trim("text")).alias("content_hash")).agg(
@@ -403,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_onehop": _q_kg_onehop,
         "kg_global_context": _q_kg_global_context,
         "kg_hybrid_interleave": _q_kg_hybrid_interleave,
+        "kg_related_chunks": _q_kg_related_chunks,
         "doc_dedup": _q_doc_dedup,
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_buckets": _q_lsh_buckets,
@@ -586,6 +609,31 @@ JOIN node_degree ds ON e.src = ds.e
 JOIN node_degree dt ON e.tgt = dt.e
 WHERE e.src IN (SELECT entity_name FROM seeds)
    OR e.tgt IN (SELECT entity_name FROM seeds)""",
+        "kg_related_chunks": _KG_CTE
+        + """
+, seeds AS (
+  SELECT entity_name, spos FROM (
+    SELECT m.entity_name,
+           row_number() OVER (ORDER BY coalesce(d.degree,0) DESC, m.entity_name)::BIGINT AS spos
+    FROM (SELECT DISTINCT entity_name FROM mentions) m
+    LEFT JOIN node_degree d ON m.entity_name = d.e) r
+  WHERE spos <= 3),
+ent_chunks AS (
+  SELECT m.entity_name, s.spos, c.chunk_id,
+         row_number() OVER (
+           PARTITION BY m.entity_name ORDER BY dd.doc_id, c.chunk_order_index) AS list_idx
+  FROM (SELECT DISTINCT chunk_id, entity_name FROM mentions) m
+  JOIN chunks c ON c.chunk_id = m.chunk_id
+  JOIN dedup dd ON dd.doc_key = c.doc_key
+  JOIN seeds s ON s.entity_name = m.entity_name),
+firstseen AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk_id ORDER BY spos, list_idx) AS rn
+  FROM ent_chunks)
+SELECT entity_name, spos AS pos, chunk_id, chunk_pos FROM (
+  SELECT entity_name, spos, chunk_id,
+         row_number() OVER (PARTITION BY spos ORDER BY list_idx)::BIGINT AS chunk_pos
+  FROM firstseen WHERE rn = 1) t
+WHERE chunk_pos <= 5""",
         "kg_global_context": _KG_CTE
         + _GLOBAL_ENT_CTE
         + f"""

@@ -62,6 +62,34 @@ def related_chunks_for_entities(
     return exploded.filter(F.col("pos") < per_entity).drop("pos")
 
 
+def related_chunks_dedup_for_entities(
+    seeds_with_pos: DataFrame, nodes: DataFrame, per_entity: int = 5
+) -> DataFrame:
+    """Entity -> chunk selection with the reference's occurrence dedup
+    (operate.py:5690-5790): explode each seed entity's source chunk ids in
+    list order, a chunk already claimed by an earlier-ranked entity is
+    skipped (first-seen wins), each entity keeps at most ``per_entity``
+    survivors.  Input seeds carry (entity_name, pos).  Output
+    (entity_name, pos, chunk_id, chunk_pos) — the SQL-checkable form of
+    the WEIGHT path's dedup stage."""
+    joined = seeds_with_pos.select("entity_name", "pos").join(
+        nodes.select("entity_name", "source_ids"), "entity_name"
+    )
+    exploded = joined.select(
+        "entity_name", "pos", F.posexplode("source_ids").alias("list_idx", "chunk_id")
+    )
+    first = Window.partitionBy("chunk_id").orderBy("pos", "list_idx")
+    deduped = exploded.withColumn("_rn", F.row_number().over(first)).filter(
+        F.col("_rn") == 1
+    )
+    per_ent = Window.partitionBy("pos").orderBy("list_idx")
+    return (
+        deduped.withColumn("chunk_pos", F.row_number().over(per_ent).cast("long"))
+        .filter(F.col("chunk_pos") <= per_entity)
+        .select("entity_name", "pos", "chunk_id", "chunk_pos")
+    )
+
+
 def truncate_by_token_budget(
     df: DataFrame,
     text_col: str,
