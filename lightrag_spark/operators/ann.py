@@ -106,6 +106,21 @@ def ann_bands(
     ).select(id_col, F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
 
 
+def prune_megabuckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop (band_idx, bucket) groups larger than ``max_bucket`` before any
+    candidate self-join — the standard LSH skew guard at corpus scale: a
+    degenerate bucket of B identical-signature rows (boilerplate pages,
+    zero vectors, near-duplicate floods) emits B^2 candidate rows from the
+    join; AQE's skew splitting parallelizes the work but cannot shrink the
+    OUTPUT.  Pruned buckets are exactly the ones whose members are already
+    better handled by exact dedup.  One extra aggregation on the banded
+    rows; the oracle-gated queries run unpruned (max_bucket=None) so the
+    guard never changes checked results at test scale."""
+    sizes = bands.groupBy("band_idx", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    keep = sizes.filter(F.col("_n") <= max_bucket).select("band_idx", "bucket")
+    return bands.join(keep, ["band_idx", "bucket"], "left_semi")
+
+
 def _cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -132,6 +147,7 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Bucketed approximate cosine top-k for the first ``n_queries`` vectors.
 
@@ -143,6 +159,8 @@ def ann_topk(
     bounded by bucket sizes, not corpus².
     """
     bands = ann_bands(embeddings, id_col, vec_col, dim)
+    if max_bucket is not None:
+        bands = prune_megabuckets(bands, max_bucket)
     q = bands.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), "band_idx", "bucket"
     )
@@ -176,6 +194,7 @@ def knn_label_vote_lsh(
     vec_col: str = "embedding",
     label_col: str = "label",
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """k-NN classification over LSH-bucketed candidates (the scale path for
     datapipe.knn_label_vote, which is all-pairs by construction).
@@ -188,6 +207,8 @@ def knn_label_vote_lsh(
     Output: (vec_id, actual_label, predicted_label, correct).
     """
     bands = ann_bands(embeddings, id_col, vec_col, dim)
+    if max_bucket is not None:
+        bands = prune_megabuckets(bands, max_bucket)
     a = bands.select(F.col(id_col).alias("qid"), "band_idx", "bucket")
     b = bands.select(F.col(id_col).alias("nid"), "band_idx", "bucket")
     cand = (
@@ -291,6 +312,7 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector analogue of
     datapipe.near_duplicate_pairs: candidates from shared LSH band buckets
@@ -304,6 +326,8 @@ def embedding_near_pairs(
     w.r.t. the operator's own contract.
     """
     bands = ann_bands(embeddings, id_col, vec_col, dim)
+    if max_bucket is not None:
+        bands = prune_megabuckets(bands, max_bucket)
     a = bands.select(F.col(id_col).alias("vec_a"), "band_idx", "bucket")
     b = bands.select(F.col(id_col).alias("vec_b"), "band_idx", "bucket")
     cand = (

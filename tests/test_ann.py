@@ -132,3 +132,36 @@ def test_persisted_index_probe_matches_inline(spark, emb, tmp_path):
         for r in ann.ann_topk_with_index(spark, idx, emb).collect()
     }
     assert probed == inline
+
+
+def test_megabucket_prune_caps_candidate_blowup(spark):
+    """A flood of identical vectors forms one degenerate bucket per band;
+    the guard drops those buckets so candidates stay bounded while normal
+    neighbourhoods survive."""
+    import pyspark.sql.functions as F
+
+    base = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: (i * (F.col("id") % 7 + 1)).cast("float") / 100.0
+                    ).alias("embedding"),
+        (F.col("id") % 3).cast("int").alias("label"),
+    )
+    # 200 clones of one vector = a megabucket in every band
+    flood = spark.range(1000, 1200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: F.lit(0.125).cast("float")).alias("embedding"),
+        F.lit(0).cast("int").alias("label"),
+    )
+    emb2 = base.unionByName(flood)
+    unpruned = ann.embedding_near_pairs(emb2, threshold=0.99)
+    pruned = ann.embedding_near_pairs(emb2, threshold=0.99, max_bucket=50)
+    n_unpruned = unpruned.count()
+    assert n_unpruned >= 200 * 199 // 2  # the flood is quadratic
+    # guard removed the degenerate 200-member buckets: no flood-flood pair
+    # survives (all base vectors here are collinear by construction, so the
+    # base's own pairs remain — they live in 40-member buckets <= the cap)
+    flood_pairs = pruned.filter("vec_a >= 1000 AND vec_b >= 1000").count()
+    assert flood_pairs == 0
+    assert pruned.count() == 40 * 39 // 2
