@@ -384,6 +384,12 @@ def _q_lang_stats(spark, sf):
     )
 
 
+def _q_lang_detect(spark, sf):
+    """Heuristic language-ID: script gates (CJK/Cyrillic char ratio) then a
+    distinctive-stopword vote — deterministic, oracle-replayable."""
+    return dp.detect_language(_documents(spark, sf))
+
+
 def _q_fingerprints(spark, sf):
     return dp.fingerprints(_documents(spark, sf))
 
@@ -439,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_token_stats,
         "text_quality": _q_quality,
         "text_lang_stats": _q_lang_stats,
+        "text_lang_detect": _q_lang_detect,
         "text_fingerprints": _q_fingerprints,
         "events_sessions": _q_sessions,
         "tpch_q1ish": _q_tpch_q1ish,
@@ -556,6 +563,39 @@ _SIMHASH_VALUE = " + ".join(
 )
 
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in dp.STOPWORDS) + "]"
+
+_LANG_CODES = sorted(dp.LANG_STOPWORDS)
+_LANG_SCORE_COLS = ", ".join(
+    "len(list_filter(lt, x -> list_contains([{words}], x))) AS s_{c}".format(
+        words=", ".join(f"'{w}'" for w in dp.LANG_STOPWORDS[c]), c=c
+    )
+    for c in _LANG_CODES
+)
+_LANG_BEST = "greatest(" + ", ".join(f"s_{c}" for c in _LANG_CODES) + ")"
+# CASE checks codes in ascending order -> first match wins = smallest code,
+# matching the Spark tie-break.
+_LANG_PICK = " ".join(f"WHEN s_{c} = best THEN '{c}'" for c in _LANG_CODES)
+_LANG_DETECT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS tx,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS lt
+  FROM documents),
+sc AS (
+  SELECT doc_id, {_LANG_SCORE_COLS},
+         len(tx) AS n,
+         len(regexp_replace(tx, '[^一-鿿]', '', 'g')) AS cjk,
+         len(regexp_replace(tx, '[^Ѐ-ӿ]', '', 'g')) AS cyr
+  FROM t),
+b AS (SELECT *, {_LANG_BEST} AS best FROM sc)
+SELECT doc_id,
+  CASE WHEN n > 0 AND cjk::DOUBLE/n >= {dp.CJK_RATIO} THEN 'zh'
+       WHEN n > 0 AND cyr::DOUBLE/n >= {dp.CYRILLIC_RATIO} THEN 'ru'
+       WHEN best >= {dp.LANG_MIN_SCORE} THEN (CASE {_LANG_PICK} END)
+       ELSE 'und' END AS detected_lang,
+  (CASE WHEN n > 0 AND cjk::DOUBLE/n >= {dp.CJK_RATIO} THEN cjk
+        WHEN n > 0 AND cyr::DOUBLE/n >= {dp.CYRILLIC_RATIO} THEN cyr
+        ELSE best END)::BIGINT AS score
+FROM b"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -811,6 +851,7 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        round(avg(len(trim(text))), 2) AS avg_chars,
        sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS total_tokens
 FROM documents GROUP BY lang""",
+        "text_lang_detect": _LANG_DETECT_SQL,
         "text_fingerprints": f"""
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
 s AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM t)

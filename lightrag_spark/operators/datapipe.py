@@ -434,6 +434,77 @@ def lang_stats(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+# Distinctive stopword sets for the Latin-script language vote — chosen to
+# be mutually exclusive across the four languages (no shared tokens).
+LANG_STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ein", "nicht", "ist", "mit"],
+    "en": ["the", "and", "of", "with", "that", "this", "was", "are"],
+    "es": ["el", "los", "las", "una", "por", "para", "pero", "como"],
+    "fr": ["le", "les", "et", "dans", "pour", "avec", "est", "sur"],
+}
+LANG_MIN_SCORE = 1       # below this many stopword hits -> "und"
+CJK_RATIO = 0.2          # char-fraction thresholds for script detection
+CYRILLIC_RATIO = 0.2
+
+
+def detect_language(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language-ID — the n-gram/stopword detector of a training-
+    data pipeline, entirely in JVM-side expressions.
+
+    1. Script gate: >=20% CJK chars -> 'zh'; >=20% Cyrillic -> 'ru'.
+    2. Latin vote: count occurrences of each language's DISTINCTIVE
+       stopwords (sets are mutually exclusive); argmax wins, ties break to
+       the lexicographically smallest code; all-zero -> 'und' (BCP-47
+       undetermined).
+
+    Output (doc_id, detected_lang, score) — deterministic, replayed
+    exactly by the DuckDB oracle.  Accuracy on real multilingual text is
+    asserted in tests/test_lang_detect.py; the synthetic corpus's ``lang``
+    column is random metadata over English-ish text, so agreement with it
+    is not the contract.
+    """
+    toks = tokens_col(text)
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    scores = []
+    for code, words in sorted(LANG_STOPWORDS.items()):
+        wset = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.size(F.filter(lowered, lambda t: F.array_contains(wset, t))).alias(f"s_{code}")
+        )
+    n_chars = F.length(F.trim(F.col(text)))
+    cjk = F.length(F.regexp_replace(F.col(text), "[^一-鿿]", ""))
+    cyr = F.length(F.regexp_replace(F.col(text), "[^Ѐ-ӿ]", ""))
+    scored = docs.select(
+        F.col(id_col),
+        n_chars.alias("_n"),
+        cjk.alias("_cjk"),
+        cyr.alias("_cyr"),
+        *scores,
+    )
+    codes = sorted(LANG_STOPWORDS)
+    best_score = F.greatest(*[F.col(f"s_{c}") for c in codes])
+    best_lang = F.lit("und")
+    # reverse order so earlier codes win ties (lexicographically smallest)
+    for c in reversed(codes):
+        best_lang = F.when(F.col(f"s_{c}") == best_score, F.lit(c)).otherwise(best_lang)
+    lang = (
+        F.when((F.col("_n") > 0) & (F.col("_cjk") / F.col("_n") >= CJK_RATIO), F.lit("zh"))
+        .when((F.col("_n") > 0) & (F.col("_cyr") / F.col("_n") >= CYRILLIC_RATIO), F.lit("ru"))
+        .when(best_score >= LANG_MIN_SCORE, best_lang)
+        .otherwise(F.lit("und"))
+    )
+    score = (
+        F.when((F.col("_n") > 0) & (F.col("_cjk") / F.col("_n") >= CJK_RATIO), F.col("_cjk"))
+        .when((F.col("_n") > 0) & (F.col("_cyr") / F.col("_n") >= CYRILLIC_RATIO), F.col("_cyr"))
+        .otherwise(best_score)
+    )
+    return scored.select(
+        F.col(id_col),
+        lang.alias("detected_lang"),
+        score.cast("long").alias("score"),
+    )
+
+
 def fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-free document fingerprint: min/max md5 over word shingles."""
     sh = shingles_col(tokens_col(text))

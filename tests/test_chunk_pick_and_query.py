@@ -82,3 +82,22 @@ def test_kg_query_context_end_to_end(spark):
         related_chunk_number=2, kg_chunk_pick_method="VECTOR",
     )
     assert dbg["chunk_ids"]
+
+
+def test_kg_query_context_degenerate_inputs(spark):
+    """Nonsense queries and empty modes must not crash the driver — the
+    reference returns an empty-context failure payload; here the render
+    still produces a well-formed (mostly empty) context."""
+    import __spark_entry__ as m
+    from lightrag_spark.plans.query import kg_query_context
+
+    r = m._build(spark, "/root/testdata/sf0.001")
+    ctx, refs, dbg = kg_query_context(
+        r, "zzzz qqqq xxxx", mode="local", top_k=3, related_chunk_number=1,
+    )
+    assert "-----Entities-----" in ctx  # well-formed even when sparse
+    # pick_chunks_by_vector degenerate args
+    from lightrag_spark.plans.query import pick_chunks_by_vector
+
+    assert pick_chunks_by_vector(None, [], "q", 5) == []
+    assert pick_chunks_by_vector(None, ["c1"], "q", 0) == []
