@@ -121,6 +121,15 @@ def main():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Warm the memoized simple-mode build as its OWN timing entry — it used
+    # to be silently absorbed by whichever kg_* query ran first, which made
+    # that query's number meaningless round-over-round.
+    if kg_dependent:
+        t0 = time.time()
+        r_simple = em._build(spark, sf_dir)
+        r_simple.mentions.count()
+        r_simple.triples.count()
+        timings["kg_simple_build_warm"] = round(time.time() - t0, 3)
     for name in kg_dependent:
         _time(name)
     if standalone:
