@@ -403,6 +403,21 @@ def _q_sessions(spark, sf):
     )
 
 
+def _q_events_windows(spark, sf):
+    """Tumbling-window event counts — the batch face of the streaming
+    watermarked aggregation (streaming/incremental.windowed_ingest_counts):
+    same groupBy(window, key) plan, windows simply all close in batch."""
+    from lightrag_spark.streaming.incremental import windowed_ingest_counts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return windowed_ingest_counts(ev, window_minutes=10, watermark_minutes=30).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def _q_tpch_q1ish(spark, sf):
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     return (
@@ -448,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_detect": _q_lang_detect,
         "text_fingerprints": _q_fingerprints,
         "events_sessions": _q_sessions,
+        "events_windows": _q_events_windows,
         "tpch_q1ish": _q_tpch_q1ish,
     }
 
@@ -873,6 +889,13 @@ s AS (
          sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_idx
   FROM m)
 SELECT user_id, session_idx, count(*)::BIGINT AS n_events FROM s GROUP BY 1, 2""",
+        "events_windows": """
+SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+       user_id::BIGINT AS user_id,
+       count(*)::BIGINT AS n_events
+FROM events
+GROUP BY 1, 2, 3""",
         "tpch_q1ish": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,

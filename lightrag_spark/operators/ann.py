@@ -106,6 +106,60 @@ def ann_bands(
     ).select(id_col, F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
 
 
+def multiprobe_band_cols(vec: Column, dim: int) -> list[Column]:
+    """Per band, TWO buckets: the home bucket plus the neighbour with the
+    lowest-|margin| bit flipped (classic multi-probe LSH, Lv et al. 2007).
+    A vector whose projection onto some hyperplane is near zero could land
+    on either side — probing the flipped bucket recovers neighbours lost
+    to that coin-flip.  Ties break to the lowest bit index."""
+    planes = hyperplanes(dim)
+
+    out: list[Column] = []
+    for b in range(ANN_BANDS):
+        dots = [_dot_lit(vec, planes[b * ANN_ROWS + r]) for r in range(ANN_ROWS)]
+        bits = [
+            F.when(d > 0, F.lit("1")).otherwise(F.lit("0")) for d in dots
+        ]
+        home = F.concat(*bits)
+        margins = [F.abs(d) for d in dots]
+        mn = F.least(*margins)
+        flipped = None
+        for r in range(ANN_ROWS):
+            flip_bits = list(bits)
+            flip_bits[r] = F.when(dots[r] > 0, F.lit("0")).otherwise(F.lit("1"))
+            variant = F.concat(*flip_bits)
+            cond = margins[r] == mn
+            flipped = F.when(cond, variant) if flipped is None else flipped.when(cond, variant)
+        out.append(home.alias(f"band{b}"))
+        out.append(flipped.alias(f"probe{b}"))
+    return out
+
+
+def ann_query_bands_multiprobe(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, band_idx, bucket) with 2 rows per band per vector: home bucket
+    + the multi-probe neighbour.  QUERY-side only — the corpus index keeps
+    one bucket per band, so a persisted index works unchanged."""
+    wide = embeddings.select(F.col(id_col), *multiprobe_band_cols(F.col(vec_col), dim))
+    structs = []
+    for b in range(ANN_BANDS):
+        structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bucket"))
+        )
+        structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"probe{b}").alias("bucket"))
+        )
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("bb")
+    ).select(
+        id_col, F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket")
+    ).distinct()
+
+
 def prune_megabuckets(bands: DataFrame, max_bucket: int) -> DataFrame:
     """Drop (band_idx, bucket) groups larger than ``max_bucket`` before any
     candidate self-join — the standard LSH skew guard at corpus scale: a
@@ -148,6 +202,7 @@ def ann_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     max_bucket: int | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Bucketed approximate cosine top-k for the first ``n_queries`` vectors.
 
@@ -161,9 +216,14 @@ def ann_topk(
     bands = ann_bands(embeddings, id_col, vec_col, dim)
     if max_bucket is not None:
         bands = prune_megabuckets(bands, max_bucket)
-    q = bands.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), "band_idx", "bucket"
+    q_src = (
+        ann_query_bands_multiprobe(
+            embeddings.filter(F.col(id_col) < n_queries), id_col, vec_col, dim
+        )
+        if multiprobe
+        else bands.filter(F.col(id_col) < n_queries)
     )
+    q = q_src.select(F.col(id_col).alias("query_id"), "band_idx", "bucket")
     c = bands.select(F.col(id_col).alias("neighbor_id"), "band_idx", "bucket")
     cand = (
         F.broadcast(q)

@@ -165,3 +165,47 @@ def test_megabucket_prune_caps_candidate_blowup(spark):
     flood_pairs = pruned.filter("vec_a >= 1000 AND vec_b >= 1000").count()
     assert flood_pairs == 0
     assert pruned.count() == 40 * 39 // 2
+
+
+def test_multiprobe_improves_candidate_recall(spark, emb):
+    """Query-side multi-probe (lowest-margin bit flip) must strictly widen
+    candidate pools and raise top-5 recall over single-probe on the real
+    embeddings; home buckets are always a subset of the probed set."""
+    rows = emb.orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+    idx_of = {v: i for i, v in enumerate(ids)}
+    true5 = _numpy_top5(vecs)
+
+    corpus = {}
+    for r in ann.ann_bands(emb).collect():
+        corpus.setdefault((r.band_idx, r.bucket), []).append(idx_of[r.vec_id])
+
+    def recall(query_rows):
+        qb = {}
+        for r in query_rows:
+            qb.setdefault(idx_of[r.vec_id], set()).add((r.band_idx, r.bucket))
+        hits = total = 0
+        for i in range(len(ids)):
+            pool = set()
+            for key in qb.get(i, ()):
+                pool.update(corpus.get(key, ()))
+            pool.discard(i)
+            for t in true5[i]:
+                total += 1
+                hits += t in pool
+        return hits / total
+
+    single = recall(ann.ann_bands(emb).collect())
+    multi = recall(ann.ann_query_bands_multiprobe(emb).collect())
+    assert multi > single
+    assert multi >= 0.97, (single, multi)
+
+    # plumbing: ann_topk(multiprobe=True) returns supersets of candidates,
+    # so every returned sim is still an exact cosine and ranks are 1..k
+    res = ann.ann_topk(emb, multiprobe=True).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
