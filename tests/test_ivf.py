@@ -1,0 +1,85 @@
+"""IVF ANN (operators/ivf.py): recall vs brute force on the real testdata
+embeddings, plan shape (no cartesian product), and probe behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lightrag_spark.operators import ivf
+from lightrag_spark.operators import datapipe as dp
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return ivf.build_ivf_index(emb, seed=7)
+
+
+def test_assignment_covers_corpus(emb, index):
+    assigned, centroids = index
+    assert assigned.count() == emb.count()
+    n_cells = assigned.select("cell").distinct().count()
+    assert 2 <= n_cells <= len(centroids)
+    assert all(len(c) == 64 for c in centroids)
+
+
+def test_ivf_recall_vs_brute_force(spark, emb, index):
+    """Recall curve on the diffuse synthetic vectors (the WORST case for a
+    coarse quantizer — true neighbours sit at cosine ~0.3 and scatter
+    across cells; measured 0.50/0.65/0.85/1.00 at nprobe 4/8/16/22): gate
+    nprobe=16 at >=0.8 and assert probing every cell is exact.  Real
+    clustered corpora reach high recall at far smaller nprobe — the knob
+    exists precisely for this tradeoff."""
+    assigned, centroids = index
+    brute = {}
+    for r in dp.cosine_topk(emb).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(nprobe):
+        got = {}
+        for r in ivf.ivf_topk(assigned, centroids, nprobe=nprobe).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(w & got.get(q, set())) for q, w in brute.items())
+        return hits / sum(len(w) for w in brute.values())
+
+    assert recall(16) >= 0.8
+    assert recall(len(centroids)) == 1.0  # probe-all == brute force
+
+
+def test_ivf_sims_are_exact_cosines(spark, emb, index):
+    assigned, centroids = index
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim for r in dp.cosine_topk(emb, k=500).collect()
+    }
+    for r in ivf.ivf_topk(assigned, centroids, nprobe=4).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in brute:
+            assert abs(brute[key] - r.sim) < 1e-9
+
+
+def test_ivf_plan_has_no_cartesian_product(spark, emb, index):
+    assigned, centroids = index
+    plan = (
+        ivf.ivf_topk(assigned, centroids)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_more_probes_never_reduce_candidates(spark, emb, index):
+    """Uncapped (k > corpus): candidate sets grow monotonically in nprobe.
+    (With a small k the top-k of a SUPERSET may legitimately evict weaker
+    members — that is ranking, not candidate loss.)"""
+    assigned, centroids = index
+    big = emb.count() + 1
+    r2 = {(r.query_id, r.neighbor_id) for r in ivf.ivf_topk(assigned, centroids, nprobe=2, k=big).collect()}
+    r8 = {(r.query_id, r.neighbor_id) for r in ivf.ivf_topk(assigned, centroids, nprobe=8, k=big).collect()}
+    assert r2 <= r8 and len(r8) > len(r2)
