@@ -756,7 +756,7 @@ WITH toks AS (
   SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
   FROM documents),
 vals AS (
-  SELECT doc_id, ('0x' || substr(md5(tok),1,4))::BIGINT AS hv FROM toks WHERE tok <> ''),
+  SELECT doc_id, ('0x' || substr(md5(tok),1,{dp.SIMHASH_HEX_CHARS}))::BIGINT AS hv FROM toks WHERE tok <> ''),
 sums AS (
   SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM vals GROUP BY doc_id)
 SELECT doc_id, ({_SIMHASH_VALUE})::BIGINT AS simhash FROM sums""",
@@ -765,14 +765,14 @@ WITH toks AS (
   SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
   FROM documents),
 vals AS (
-  SELECT doc_id, ('0x' || substr(md5(tok),1,4))::BIGINT AS hv FROM toks WHERE tok <> ''),
+  SELECT doc_id, ('0x' || substr(md5(tok),1,{dp.SIMHASH_HEX_CHARS}))::BIGINT AS hv FROM toks WHERE tok <> ''),
 sums AS (
   SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM vals GROUP BY doc_id),
 fp AS (
   SELECT doc_id, ({_SIMHASH_VALUE})::BIGINT AS simhash FROM sums),
 banded AS (
-  SELECT doc_id, simhash, i AS nib_idx, (simhash >> (i*4)) & 15 AS nib
-  FROM fp, unnest(generate_series(0, 3)) AS t(i))
+  SELECT doc_id, simhash, i AS nib_idx, (simhash >> (i*{dp.SIMHASH_BAND_BITS})) & {dp.SIMHASH_BAND_MASK} AS nib
+  FROM fp, unnest(generate_series(0, {dp.SIMHASH_BANDS - 1})) AS t(i))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS distance
 FROM banded a JOIN banded b

@@ -40,7 +40,15 @@ NEARDUP_THRESHOLD = 0.5
 # (the oracle replays the identical prefilter), bought for shuffling ~400 B
 # of signature instead of the full shingle set per candidate.
 NEARDUP_PREFILTER_MATCHES = 3
-SIMHASH_BITS = 16      # simhash width (md5 nibbles 1-4 of each token)
+# SimHash width.  60 bits = 15 md5 hex chars: wide enough that band buckets
+# stay sparse at web scale (4 bands x 15 bits = 32,768 buckets per band, vs
+# 16 per band at the old 16-bit width, whose banded self-join degenerated to
+# ~all-pairs), while every intermediate — token hash, signed bit sums, the
+# fingerprint itself — stays a POSITIVE signed 64-bit integer, so the
+# arithmetic is bit-portable between Spark and the DuckDB oracle without
+# arithmetic-vs-logical right-shift sign traps at bit 63.
+SIMHASH_BITS = 60
+SIMHASH_HEX_CHARS = SIMHASH_BITS // 4   # md5 hex chars per token hash
 STOPWORDS = ["the", "a", "of", "and", "in", "on", "at", "is", "was"]
 
 
@@ -201,17 +209,19 @@ def near_duplicate_pairs(
 
 
 def simhash_fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash) — 16-bit SimHash over distinct tokens.
+    """(doc_id, simhash) — 60-bit SimHash over distinct tokens.
 
-    Each distinct token contributes +-1 per bit from the first 4 hex digits
+    Each distinct token contributes +-1 per bit from the first 15 hex chars
     of its md5; the fingerprint sets bit b when the signed sum is positive.
-    Pure integer arithmetic (portable to the DuckDB oracle).
+    Pure integer arithmetic (portable to the DuckDB oracle); all values stay
+    below 2^60 so signed-long shifts behave identically in both engines.
     """
     toks = docs.select(
         F.col(id_col), F.explode(F.array_distinct(tokens_col(text))).alias("tok")
     ).filter(F.col("tok") != "")
     vals = toks.withColumn(
-        "hv", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+        "hv",
+        F.conv(F.substring(F.md5("tok"), 1, SIMHASH_HEX_CHARS), 16, 10).cast("long"),
     )
     bit_cols = [
         F.sum(
@@ -228,7 +238,9 @@ def simhash_fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc
 
 
 SIMHASH_NEAR_BITS = 3       # max hamming distance for near-dup
-SIMHASH_BAND_NIBBLES = 4    # 16 bits -> 4 nibble bands
+SIMHASH_BANDS = 4           # 60 bits -> 4 bands of 15 bits each
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 def simhash_near_pairs(
@@ -239,27 +251,30 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-duplicates: pairs within ``max_distance`` hamming bits.
 
-    Candidates via nibble banding (pigeonhole: two 16-bit fingerprints
-    within 3 bits MUST agree on at least one of 4 nibbles), so the join
-    keys on (nibble_idx, nibble value) — never all-pairs; the popcount
+    Candidates via banding (pigeonhole: two 60-bit fingerprints within 3
+    bits MUST agree exactly on at least one of the 4 15-bit bands), so the
+    join keys on (band_idx, band value) — never all-pairs; the popcount
     verify runs only on banded collisions.  Output (doc_a, doc_b, distance).
 
-    Output size is DATA-dependent: a corpus of template-generated or
-    boilerplate-heavy documents (like the synthetic testdata) is genuinely
-    dense in bag-of-words space, so many pairs qualify — the threshold
-    (``max_distance``) and fingerprint width are the controls, exactly as
-    in production simhash dedup.
+    Scale: each band has 2^15 = 32,768 possible values, so band buckets
+    stay sparse as the corpus grows (collisions require 15 exact shared
+    bits, not 4 as with the earlier 16-bit/nibble scheme whose 64 total
+    join keys degenerated to an all-pairs join).  The emitted pair set is
+    still data-dependent — genuinely boilerplate-heavy corpora have
+    genuinely many near-dups — but candidates are hash-bounded.
     """
     fp = simhash_fingerprints(docs, text, id_col)
-    nibbles = [
+    bands = [
         F.struct(
             F.lit(i).alias("nib_idx"),
-            F.shiftright(F.col("simhash"), i * 4).bitwiseAND(F.lit(15)).alias("nib"),
+            F.shiftright(F.col("simhash"), i * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+            .alias("nib"),
         )
-        for i in range(SIMHASH_BAND_NIBBLES)
+        for i in range(SIMHASH_BANDS)
     ]
     banded = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*nibbles)).alias("bb")
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, "simhash", F.col("bb.nib_idx").alias("nib_idx"), F.col("bb.nib").alias("nib"))
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "nib_idx", "nib"

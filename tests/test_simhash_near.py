@@ -9,7 +9,11 @@ from hashlib import md5
 import duckdb
 
 from lightrag_spark.operators.datapipe import (
+    SIMHASH_BAND_BITS,
+    SIMHASH_BAND_MASK,
+    SIMHASH_BANDS,
     SIMHASH_BITS,
+    SIMHASH_HEX_CHARS,
     SIMHASH_NEAR_BITS,
 )
 
@@ -21,7 +25,7 @@ def _py_simhash(text: str) -> int:
     for tok in dict.fromkeys(text.strip().split()):
         if not tok:
             continue
-        hv = int(md5(tok.encode("utf-8", "replace")).hexdigest()[:4], 16)
+        hv = int(md5(tok.encode("utf-8", "replace")).hexdigest()[:SIMHASH_HEX_CHARS], 16)
         for b in range(SIMHASH_BITS):
             sums[b] += 1 if (hv >> b) & 1 else -1
     fp = 0
@@ -39,8 +43,8 @@ def _docs():
 
 
 def test_pigeonhole_banding_is_lossless():
-    """Every pair within SIMHASH_NEAR_BITS hamming bits shares >=1 nibble
-    (3 differing bits cannot touch all 4 nibbles), so banded candidates
+    """Every pair within SIMHASH_NEAR_BITS hamming bits shares >=1 band
+    (3 differing bits cannot touch all 4 bands), so banded candidates
     are a superset of true near-pairs — verified on the real corpus."""
     docs = _docs()
     fps = {d: _py_simhash(t) for d, t in docs}
@@ -53,8 +57,9 @@ def test_pigeonhole_banding_is_lossless():
     banded = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            for nib in range(4):
-                if (fps[a] >> (nib * 4)) & 15 == (fps[b] >> (nib * 4)) & 15:
+            for nib in range(SIMHASH_BANDS):
+                sh = nib * SIMHASH_BAND_BITS
+                if (fps[a] >> sh) & SIMHASH_BAND_MASK == (fps[b] >> sh) & SIMHASH_BAND_MASK:
                     banded.add((a, b))
                     break
     missed = brute - banded
