@@ -85,7 +85,12 @@ class MockExtractorModel:
         # Re-spell only the first delimiter; the parser must repair it.
         return row.replace(TUPLE_DELIMITER, form, 1)
 
-    def respond(self, chunk_content: str, pass_index: int = 0) -> str:
+    def respond(
+        self, chunk_content: str, pass_index: int = 0, prior_response: str | None = None
+    ) -> str:
+        # prior_response is part of the respond() duck-type (gleaning history
+        # for real endpoints, llm_adapter.py); the deterministic mock derives
+        # the gleaning rows from the chunk alone.
         tokens = chunk_content.split()
         entities = rule_entities(tokens, self.min_len)
         relations = rule_relations(tokens, self.min_len)

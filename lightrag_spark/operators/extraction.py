@@ -94,6 +94,7 @@ def extract_records(
     model_fail_marker: str | None = None,
     max_extract_input_tokens: int = DEFAULT_MAX_EXTRACT_INPUT_TOKENS,
     tokenizer_kind: str = "whitespace",
+    model_factory=None,
 ) -> DataFrame:
     """chunks -> records DataFrame (kinds entity/relation/cache).
 
@@ -119,6 +120,13 @@ def extract_records(
     fault-injection hook: a model call on a chunk containing the marker
     raises (cache hits bypass the model and therefore never fail, exactly
     like the reference's use_llm_func_with_cache).
+
+    ``model_factory`` swaps in a real endpoint: a zero-arg callable (built
+    driver-side, executed once per Arrow-batch worker) returning any object
+    with ``respond(content, pass_index=0, prior_response=None) -> str`` —
+    e.g. functions/llm_adapter.PromptedExtractorModel, which wraps the
+    client in the verbatim reference prompt envelope.  Default stays the
+    deterministic mock.
     """
     gleaning = max_gleaning
     min_len = model_min_len
@@ -128,6 +136,7 @@ def extract_records(
     fail_marker = model_fail_marker
     max_glean_tokens = max_extract_input_tokens
     tok_kind = tokenizer_kind
+    factory = model_factory
     has_cache = "cached_resp0" in chunks.columns
     in_cols = ["chunk_id", "content", "file_path", "doc_order", "chunk_order_index"]
     if has_cache:
@@ -144,7 +153,7 @@ def extract_records(
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.tokenizer import get_tokenizer
 
-        model = _get_model(min_len, corruption)
+        model = factory() if factory is not None else _get_model(min_len, corruption)
         tokenizer = get_tokenizer(tok_kind) if max_glean_tokens > 0 else None
         cols = [f.name for f in RECORDS_SCHEMA.fields]
 
@@ -187,13 +196,17 @@ def extract_records(
                 cached0,
                 cached1,
             ):
-                def call_model(pass_index: int) -> str:
+                def call_model(pass_index: int, prior_response=None) -> str:
                     if fail_marker and fail_marker in content:
                         raise RuntimeError(
                             f"injected model failure (marker {fail_marker!r}) "
                             f"on chunk {chunk_id} pass {pass_index}"
                         )
-                    resp = model.respond(content, pass_index=pass_index)
+                    resp = model.respond(
+                        content,
+                        pass_index=pass_index,
+                        prior_response=prior_response,
+                    )
                     if counter is not None:
                         counter.add(1)
                     return resp
@@ -227,7 +240,10 @@ def extract_records(
                             if glean_tokens > max_glean_tokens:
                                 run_gleaning = False
                     if run_gleaning:
-                        response1 = c1 if isinstance(c1, str) else call_model(1)
+                        response1 = (
+                            c1 if isinstance(c1, str)
+                            else call_model(1, prior_response=response0)
+                        )
                         responses.append(response1)
                         g_nodes, g_edges = parse_extraction_result(
                             response1, chunk_id, run_ts, file_path

@@ -183,6 +183,8 @@ def kg_query_context(
     max_total_tokens: int = 30000,
     keywords_cache: dict | None = None,
     keyword_model_fn=None,
+    hl_keywords: list | None = None,
+    ll_keywords: list | None = None,
 ):
     """The kg_query retrieval driver minus the final LLM answer
     (operate.py:4191-4423): keyword extraction (cached) -> local entity-VDB
@@ -201,9 +203,12 @@ def kg_query_context(
     from ..operators.embedding import entity_vdb, get_edge_data, vector_search
     from .context import build_context_str, entities_from_relations
 
-    hl, ll = extract_keywords_only(
-        query_text, mode=mode, cache=keywords_cache, model_fn=keyword_model_fn
-    )
+    if hl_keywords is not None or ll_keywords is not None:
+        hl, ll = list(hl_keywords or []), list(ll_keywords or [])
+    else:
+        hl, ll = extract_keywords_only(
+            query_text, mode=mode, cache=keywords_cache, model_fn=keyword_model_fn
+        )
     ll_query = " ".join(ll) if ll else query_text
     hl_query = " ".join(hl) if hl else query_text
 
@@ -344,3 +349,170 @@ def kg_query_context(
         "chunk_ids": chunk_ids,
     }
     return context, refs, debug
+
+
+# Cache-policy version string, verbatim from the reference
+# (operate.py:4157) so cache keys stay comparable across implementations.
+ANSWER_CACHE_POLICY_VERSION = "query-answer-cache-v2"
+
+
+def answer_cache_key(
+    query_text: str,
+    mode: str,
+    response_type: str,
+    top_k: int,
+    related_chunk_number: int,
+    max_entity_tokens: int,
+    max_relation_tokens: int,
+    max_total_tokens: int,
+    hl_keywords_str: str,
+    ll_keywords_str: str,
+    user_prompt: str,
+) -> str:
+    """md5 over the full query-parameter vector (operate.py:4328-4345):
+    any knob that changes the rendered context or prompt changes the key,
+    so a cached answer can never be served for a different retrieval
+    configuration."""
+    from ..functions.hashing import compute_args_hash
+
+    return compute_args_hash(
+        ANSWER_CACHE_POLICY_VERSION,
+        mode,
+        query_text,
+        response_type,
+        top_k,
+        related_chunk_number,
+        max_entity_tokens,
+        max_relation_tokens,
+        max_total_tokens,
+        hl_keywords_str,
+        ll_keywords_str,
+        user_prompt or "",
+    )
+
+
+def kg_query(
+    result,
+    query_text: str,
+    *,
+    mode: str = "hybrid",
+    response_type: str = "Multiple Paragraphs",
+    user_prompt: str = "",
+    top_k: int = 40,
+    related_chunk_number: int = 5,
+    kg_chunk_pick_method: str = "WEIGHT",
+    max_entity_tokens: int = 6000,
+    max_relation_tokens: int = 8000,
+    max_total_tokens: int = 30000,
+    only_need_context: bool = False,
+    only_need_prompt: bool = False,
+    response_fn=None,
+    answer_cache: dict | None = None,
+    keywords_cache: dict | None = None,
+    keyword_model_fn=None,
+) -> dict:
+    """The COMPLETE kg_query loop (operate.py:4191-4423): keyword extraction
+    -> retrieval context (kg_query_context) -> rag_response system prompt
+    (verbatim reference template, prompts.py) -> answer cache -> pluggable
+    LLM answer -> echo-strip.
+
+    ``response_fn(user_query, system_prompt) -> str`` is the model hook —
+    the same pluggable shape as extraction/keywords, so a real endpoint
+    closes the loop with zero code changes.  ``answer_cache`` is a mutable
+    mapping standing in for the llm_response_cache KV table (args_hash ->
+    answer); production swaps in a parquet/Iceberg-backed map.
+
+    Returns a dict: content, context, references, hl/ll keywords, args_hash,
+    cache_hit.  Degenerate inputs return the reference's fail_response
+    verbatim rather than raising (operate.py:4235-4264).
+    """
+    from ..functions.keywords import extract_keywords_only
+    from ..prompts import PROMPTS, render_rag_response_prompt
+
+    def _result(content, **kw):
+        base = {
+            "content": content,
+            "context": None,
+            "references": [],
+            "hl_keywords": [],
+            "ll_keywords": [],
+            "args_hash": None,
+            "cache_hit": False,
+        }
+        base.update(kw)
+        return base
+
+    if not query_text:
+        return _result(PROMPTS["fail_response"])
+
+    hl, ll = extract_keywords_only(
+        query_text, mode=mode, cache=keywords_cache, model_fn=keyword_model_fn
+    )
+    if not hl and not ll:
+        # operate.py:4258-4264: short queries fall back to the raw query as
+        # the low-level keyword; long keywordless queries fail closed.
+        if len(query_text) < 50:
+            ll = [query_text]
+        else:
+            return _result(PROMPTS["fail_response"])
+    hl_str = ", ".join(hl)
+    ll_str = ", ".join(ll)
+
+    context, refs, debug = kg_query_context(
+        result,
+        query_text,
+        mode=mode,
+        top_k=top_k,
+        related_chunk_number=related_chunk_number,
+        kg_chunk_pick_method=kg_chunk_pick_method,
+        max_total_tokens=max_total_tokens,
+        hl_keywords=hl,
+        ll_keywords=ll,
+    )
+    common = dict(
+        context=context, references=refs, hl_keywords=hl, ll_keywords=ll
+    )
+    if only_need_context and not only_need_prompt:
+        return _result(context, **common)
+
+    user_prompt_str = f"\n\n{user_prompt}" if user_prompt else "n/a"
+    sys_prompt = render_rag_response_prompt(
+        context, response_type=response_type or "Multiple Paragraphs",
+        user_prompt=user_prompt_str,
+    )
+    if only_need_prompt:
+        content = "\n\n".join([sys_prompt, "---User Query---", query_text])
+        return _result(content, **common)
+
+    args_hash = answer_cache_key(
+        query_text, mode, response_type, top_k, related_chunk_number,
+        max_entity_tokens, max_relation_tokens, max_total_tokens,
+        hl_str, ll_str, user_prompt,
+    )
+    if answer_cache is not None and args_hash in answer_cache:
+        return _result(
+            answer_cache[args_hash], args_hash=args_hash, cache_hit=True, **common
+        )
+    if response_fn is None:
+        raise ValueError(
+            "kg_query needs response_fn(user_query, system_prompt) -> str "
+            "to synthesize an answer (pass only_need_context/only_need_prompt "
+            "to stop before the model call)"
+        )
+    response = response_fn(query_text, sys_prompt)
+    if isinstance(response, str):
+        # echo-strip (operate.py:4404-4414): some providers leak the prompt
+        # back; scrub only when the response is longer than the prompt.
+        if len(response) > len(sys_prompt):
+            response = (
+                response.replace(sys_prompt, "")
+                .replace("user", "")
+                .replace("model", "")
+                .replace(query_text, "")
+                .replace("<system>", "")
+                .replace("</system>", "")
+                .strip()
+            )
+        if answer_cache is not None:
+            answer_cache[args_hash] = response
+    return _result(response, args_hash=args_hash, **common)

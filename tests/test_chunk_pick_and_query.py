@@ -101,3 +101,95 @@ def test_kg_query_context_degenerate_inputs(spark):
 
     assert pick_chunks_by_vector(None, [], "q", 5) == []
     assert pick_chunks_by_vector(None, ["c1"], "q", 0) == []
+
+
+def test_kg_query_full_loop_with_answer_cache(spark):
+    """The complete kg_query (plans/query.py kg_query): mock response fn,
+    reference-shaped rag_response prompt, cache hit on the second call."""
+    import __spark_entry__ as m
+    from lightrag_spark.plans.query import kg_query
+    from lightrag_spark.prompts import PROMPTS
+
+    r = m._build(spark, "/root/testdata/sf0.001")
+    calls = []
+
+    def response_fn(user_query, system_prompt):
+        calls.append((user_query, system_prompt))
+        return f"ANSWER about {user_query.split()[0]}"
+
+    cache: dict = {}
+    out = kg_query(
+        r, "network customer united_states analysis", mode="hybrid",
+        top_k=8, related_chunk_number=2,
+        response_fn=response_fn, answer_cache=cache,
+    )
+    assert out["content"].startswith("ANSWER about")
+    assert out["cache_hit"] is False
+    assert len(calls) == 1
+    # the system prompt the model saw is the verbatim reference template
+    # rendered around the assembled context
+    uq, sp = calls[0]
+    assert sp == PROMPTS["rag_response"].format(
+        context_data=out["context"],
+        response_type="Multiple Paragraphs",
+        user_prompt="n/a",
+    )
+    assert "-----Entities-----" in sp
+
+    # second identical call: served from cache, model NOT called again
+    out2 = kg_query(
+        r, "network customer united_states analysis", mode="hybrid",
+        top_k=8, related_chunk_number=2,
+        response_fn=response_fn, answer_cache=cache,
+    )
+    assert out2["cache_hit"] is True
+    assert out2["content"] == out["content"]
+    assert len(calls) == 1
+
+    # a different parameter vector is a different cache key
+    out3 = kg_query(
+        r, "network customer united_states analysis", mode="hybrid",
+        top_k=8, related_chunk_number=2, response_type="Bullet Points",
+        response_fn=response_fn, answer_cache=cache,
+    )
+    assert out3["cache_hit"] is False
+    assert out3["args_hash"] != out["args_hash"]
+    assert len(calls) == 2
+
+
+def test_kg_query_prompt_and_degenerate_paths(spark):
+    import __spark_entry__ as m
+    from lightrag_spark.plans.query import kg_query
+    from lightrag_spark.prompts import PROMPTS
+
+    r = m._build(spark, "/root/testdata/sf0.001")
+    # only_need_prompt: stops before the model; prompt carries the query
+    out = kg_query(
+        r, "network analysis", mode="local", top_k=4, related_chunk_number=1,
+        only_need_prompt=True,
+    )
+    assert out["content"].endswith("---User Query---\n\nnetwork analysis")
+    assert "---Role---" in out["content"]
+    # only_need_context returns the raw context string
+    out = kg_query(
+        r, "network analysis", mode="local", top_k=4, related_chunk_number=1,
+        only_need_context=True,
+    )
+    assert "-----Entities-----" in out["content"]
+    # empty query fails closed with the reference's literal fail string
+    assert kg_query(r, "")["content"] == PROMPTS["fail_response"]
+    # keywordless long query fails closed too
+    long_junk = "zq " * 40
+    out = kg_query(r, long_junk, keyword_model_fn=lambda q: "not json at all")
+    assert out["content"] == PROMPTS["fail_response"]
+    # keywordless short query falls back to the raw query as ll keyword
+    out = kg_query(
+        r, "zq zq", keyword_model_fn=lambda q: "not json",
+        only_need_context=True,
+    )
+    assert out["ll_keywords"] == ["zq zq"]
+    # missing response_fn is a clear error, not a silent None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="response_fn"):
+        kg_query(r, "network analysis", top_k=3)
