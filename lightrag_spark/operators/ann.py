@@ -92,18 +92,78 @@ def ann_bands(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id, band_idx, bucket) — the LSH index rows.  Signatures are computed
-    scan-side (one projection, no shuffle); the explode multiplies rows by
-    ANN_BANDS only."""
-    wide = embeddings.select(F.col(id_col), *band_bucket_cols(F.col(vec_col), dim))
-    structs = [
-        F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bucket"))
-        for b in range(ANN_BANDS)
-    ]
-    return wide.select(
-        F.col(id_col), F.explode(F.array(*structs)).alias("bb")
-    ).select(id_col, F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
+    scan-side (no shuffle); the explode multiplies rows by ANN_BANDS only.
+
+    Two physical strategies for the same formula:
+
+    - ``use_arrow=True`` (default): ONE float64 numpy matmul per Arrow
+      batch — (batch × dim) @ (dim × nbits) — inside ``mapInPandas``.  The
+      36 per-row higher-order-function folds of the expression path are
+      interpreted (Catalyst does not codegen ``aggregate``/``zip_with``
+      lambdas), which made signature computation the dominant cost of every
+      ANN query; the matmul form is the 100-TB shape (BLAS, one Python
+      stage fused into the scan).
+    - ``use_arrow=False``: pure Catalyst expressions — kept because the
+      DuckDB oracle replays this exact sequential-fold formula, and as the
+      no-Arrow fallback.
+
+    Both paths use the identical md5-derived hyperplanes; float64 matmul
+    vs sequential fold can disagree only when a projection is within ~1
+    ulp of zero (never observed on the testdata — asserted identical in
+    tests/test_ann.py).
+    """
+    if not use_arrow:
+        wide = embeddings.select(F.col(id_col), *band_bucket_cols(F.col(vec_col), dim))
+        structs = [
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bucket"))
+            for b in range(ANN_BANDS)
+        ]
+        return wide.select(
+            F.col(id_col), F.explode(F.array(*structs)).alias("bb")
+        ).select(
+            id_col, F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket")
+        )
+
+    import numpy as np
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, band_idx int, bucket string"
+    planes_t = [list(col) for col in zip(*hyperplanes(dim))]  # (dim, nbits) as lists
+
+    def sign_batches(batches):
+        import pandas as pd
+
+        P = np.asarray(planes_t, dtype=np.float64)
+        band_slices = [
+            slice(b * ANN_ROWS, (b + 1) * ANN_ROWS) for b in range(ANN_BANDS)
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            chars = np.where(V @ P > 0, "1", "0")  # (n, nbits)
+            n = len(pdf)
+            buckets = np.empty((n, ANN_BANDS), dtype=object)
+            for b, sl in enumerate(band_slices):
+                sub = chars[:, sl]
+                jock = sub[:, 0]
+                for r in range(1, ANN_ROWS):
+                    jock = np.char.add(jock, sub[:, r])
+                buckets[:, b] = jock
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf.iloc[:, 0].to_numpy(), ANN_BANDS),
+                    "band_idx": np.tile(
+                        np.arange(ANN_BANDS, dtype=np.int32), n
+                    ),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(sign_batches, out_schema)
 
 
 def multiprobe_band_cols(vec: Column, dim: int) -> list[Column]:
@@ -176,6 +236,9 @@ def prune_megabuckets(bands: DataFrame, max_bucket: int) -> DataFrame:
 
 
 def _cosine(a: Column, b: Column) -> Column:
+    """Expression-form cosine (sequential fold, 4dp) — the formula the
+    DuckDB oracle replays; kept as the no-Arrow fallback and for tiny
+    inputs (IVF centroid lookups)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -192,6 +255,34 @@ def _cosine(a: Column, b: Column) -> Column:
         )
 
     return F.round(dot / (norm(a) * norm(b)), 4)
+
+
+@lru_cache(maxsize=1)
+def _cosine_arrow_udf():
+    # Deferred: pandas_udf registration needs an active SparkSession, so the
+    # UDF object is created on first use rather than at import time.
+    @F.pandas_udf("double")
+    def cos(a, b):
+        import numpy as np
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(np.round(num / den, 4))
+
+    return cos
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine(a, b) rounded to 4dp: one numpy einsum per
+    batch instead of an interpreted fold per row.  Same float64 math as
+    ``_cosine`` up to summation order; at 4dp rounding the two agree
+    (asserted identical on the testdata in tests/test_ann.py)."""
+    return _cosine_arrow_udf()(a, b)
 
 
 def ann_topk(
@@ -237,7 +328,7 @@ def ann_topk(
     scored = (
         cand.join(F.broadcast(qv.filter(F.col("query_id") < n_queries)), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", cosine_arrow(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -290,7 +381,7 @@ def knn_label_vote_lsh(
     scored = (
         cand.join(qv, "qid")
         .join(nv, "nid")
-        .withColumn("sim", _cosine(F.col("qv"), F.col("nv")))
+        .withColumn("sim", cosine_arrow(F.col("qv"), F.col("nv")))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     topk = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -356,7 +447,7 @@ def ann_topk_with_index(
     scored = (
         cand.join(F.broadcast(qv.filter(F.col("query_id") < n_queries)), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", cosine_arrow(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -401,7 +492,7 @@ def embedding_near_pairs(
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("sim", _cosine(F.col("av"), F.col("bv")))
+        .withColumn("sim", cosine_arrow(F.col("av"), F.col("bv")))
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )

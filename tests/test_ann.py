@@ -209,3 +209,33 @@ def test_multiprobe_improves_candidate_recall(spark, emb):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_arrow_bands_identical_to_expression_path(spark):
+    """The vectorized (numpy matmul) signature path and the Catalyst
+    expression path must emit IDENTICAL (id, band_idx, bucket) rows —
+    same hyperplanes, same signs — on the full test corpus."""
+    from lightrag_spark.operators.ann import ann_bands
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    arrow = set(map(tuple, ann_bands(emb, use_arrow=True).collect()))
+    expr = set(map(tuple, ann_bands(emb, use_arrow=False).collect()))
+    assert arrow == expr
+
+
+def test_arrow_cosine_identical_to_expression_cosine(spark):
+    from pyspark.sql import functions as F
+
+    from lightrag_spark.operators.ann import _cosine, cosine_arrow
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ia") == (F.col("ib") + 7) % 500)
+    both = pairs.select(
+        "ia", "ib",
+        _cosine(F.col("va"), F.col("vb")).alias("c_expr"),
+        cosine_arrow(F.col("va"), F.col("vb")).alias("c_arrow"),
+    )
+    diff = both.filter(F.col("c_expr") != F.col("c_arrow")).count()
+    assert diff == 0
