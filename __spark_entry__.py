@@ -736,10 +736,20 @@ SELECT content_hash, dup_count, first_doc_id FROM (
 SELECT band_idx, bucket, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
 FROM bands GROUP BY 1, 2 HAVING count(*) > 1""",
         "dedup_near_pairs": _MINHASH_CTE
-        + f"""
+        + f""", bsizes AS (
+  SELECT band_idx, bucket, count(*) AS _n FROM bands GROUP BY 1, 2),
+bthr AS (
+  SELECT greatest({ann.MEGABUCKET_FLOOR},
+                  CAST(floor(median(_n) * {ann.MEGABUCKET_MULT}) AS BIGINT)) AS _thr
+  FROM bsizes),
+pbands AS (
+  SELECT b.* FROM bands b
+  JOIN bsizes s ON b.band_idx = s.band_idx AND b.bucket = s.bucket, bthr
+  WHERE s._n <= bthr._thr)
+
 , cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM pbands a JOIN pbands b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
 screened AS (
   SELECT c.doc_a, c.doc_b
@@ -772,10 +782,20 @@ fp AS (
   SELECT doc_id, ({_SIMHASH_VALUE})::BIGINT AS simhash FROM sums),
 banded AS (
   SELECT doc_id, simhash, i AS nib_idx, (simhash >> (i*{dp.SIMHASH_BAND_BITS})) & {dp.SIMHASH_BAND_MASK} AS nib
-  FROM fp, unnest(generate_series(0, {dp.SIMHASH_BANDS - 1})) AS t(i))
+  FROM fp, unnest(generate_series(0, {dp.SIMHASH_BANDS - 1})) AS t(i)), bsizes AS (
+  SELECT nib_idx, nib, count(*) AS _n FROM banded GROUP BY 1, 2),
+bthr AS (
+  SELECT greatest({ann.MEGABUCKET_FLOOR},
+                  CAST(floor(median(_n) * {ann.MEGABUCKET_MULT}) AS BIGINT)) AS _thr
+  FROM bsizes),
+pbanded AS (
+  SELECT b.* FROM banded b
+  JOIN bsizes s ON b.nib_idx = s.nib_idx AND b.nib = s.nib, bthr
+  WHERE s._n <= bthr._thr)
+
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS distance
-FROM banded a JOIN banded b
+FROM pbanded a JOIN pbanded b
   ON a.nib_idx = b.nib_idx AND a.nib = b.nib AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "sim_cosine_topk": """
@@ -795,11 +815,11 @@ r AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::BIGINT AS rank
   FROM s)
 SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""",
-        "sim_knn_label_vote": ann.duckdb_bands_cte(64)
+        "sim_knn_label_vote": ann.duckdb_pruned_bands_cte(64)
         + """
 , cand AS (
   SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-  FROM bands a JOIN bands b
+  FROM pruned a JOIN pruned b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
 s AS (
   SELECT c.qid, va.label AS actual_label, c.nid, vb.label AS nlabel,
@@ -820,11 +840,11 @@ SELECT qid AS vec_id, actual_label::BIGINT AS actual_label,
        nlabel::BIGINT AS predicted_label,
        (nlabel = actual_label) AS correct
 FROM win WHERE vr = 1""",
-        "sim_ann_topk": ann.duckdb_bands_cte(64)
+        "sim_ann_topk": ann.duckdb_pruned_bands_cte(64)
         + """
 , cand AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-  FROM bands a JOIN bands b
+  FROM pruned a JOIN pruned b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
   WHERE a.vec_id < 8),
 s AS (
@@ -837,11 +857,11 @@ r AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::BIGINT AS rank
   FROM s)
 SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""",
-        "dedup_embedding_near": ann.duckdb_bands_cte(64)
+        "dedup_embedding_near": ann.duckdb_pruned_bands_cte(64)
         + """
 , cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bands a JOIN bands b
+  FROM pruned a JOIN pruned b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
 s AS (
   SELECT c.vec_a, c.vec_b,

@@ -220,19 +220,88 @@ def ann_query_bands_multiprobe(
     ).distinct()
 
 
-def prune_megabuckets(bands: DataFrame, max_bucket: int) -> DataFrame:
-    """Drop (band_idx, bucket) groups larger than ``max_bucket`` before any
+MEGABUCKET_MULT = 8     # auto threshold: buckets > mult x median are degenerate
+MEGABUCKET_FLOOR = 256  # ...but never prune below this absolute size
+
+
+def megabucket_threshold_col(sizes: DataFrame) -> DataFrame:
+    """One-row frame with the auto prune threshold
+    ``greatest(FLOOR, floor(median(bucket_size) * MULT))``.
+
+    Median, not a high quantile: a single degenerate megabucket drags the
+    max/q99.9 up to itself (threshold chases the outlier and nothing is
+    pruned), while the median of bucket sizes is robust to any o(n) set of
+    flooded buckets.  Exact ``median`` (not approx) + explicit ``floor``
+    so Spark and the DuckDB oracle compute the identical integer.
+    """
+    return sizes.agg(
+        F.greatest(
+            F.lit(MEGABUCKET_FLOOR),
+            F.floor(F.expr("median(_n)") * MEGABUCKET_MULT).cast("long"),
+        ).alias("_thr")
+    ).withColumn("_k", F.lit(1))
+
+
+def prune_megabuckets(
+    bands: DataFrame, max_bucket="auto", key_cols=("band_idx", "bucket")
+) -> DataFrame:
+    """Drop (band_idx, bucket) groups larger than the threshold before any
     candidate self-join — the standard LSH skew guard at corpus scale: a
     degenerate bucket of B identical-signature rows (boilerplate pages,
     zero vectors, near-duplicate floods) emits B^2 candidate rows from the
     join; AQE's skew splitting parallelizes the work but cannot shrink the
     OUTPUT.  Pruned buckets are exactly the ones whose members are already
-    better handled by exact dedup.  One extra aggregation on the banded
-    rows; the oracle-gated queries run unpruned (max_bucket=None) so the
-    guard never changes checked results at test scale."""
-    sizes = bands.groupBy("band_idx", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    keep = sizes.filter(F.col("_n") <= max_bucket).select("band_idx", "bucket")
-    return bands.join(keep, ["band_idx", "bucket"], "left_semi")
+    better handled by exact dedup.
+
+    ``max_bucket``: ``"auto"`` (default) derives the threshold from the
+    corpus itself (megabucket_threshold_col — max(256, 8x median bucket
+    size)), an int pins it, ``None`` disables the guard.  The threshold
+    formula is part of the operator contract: the DuckDB oracles replay
+    the identical pruning, so checked results stay exact at ANY scale,
+    including when the guard engages.  Cost: one aggregation over the
+    banded rows (bucket-count cardinality, tiny next to the corpus).
+
+    No silent caps: ``dropped_megabuckets`` returns exactly the
+    (band_idx, bucket, _n) groups this guard removes — persist or log it
+    next to any production run.
+    """
+    if max_bucket is None:
+        return bands
+    keys = list(key_cols)
+    sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    if max_bucket == "auto":
+        # scalar join on a constant key: plans as a 1-row BroadcastHashJoin
+        # (never a nested-loop), keeping ANN plans BNLJ-free by construction
+        thr = megabucket_threshold_col(sizes)
+        keep = (
+            sizes.withColumn("_k", F.lit(1))
+            .join(F.broadcast(thr), "_k")
+            .filter(F.col("_n") <= F.col("_thr"))
+            .select(*keys)
+        )
+    else:
+        keep = sizes.filter(F.col("_n") <= max_bucket).select(*keys)
+    return bands.join(keep, keys, "left_semi")
+
+
+def dropped_megabuckets(
+    bands: DataFrame, max_bucket="auto", key_cols=("band_idx", "bucket")
+) -> DataFrame:
+    """The complement of prune_megabuckets: (*key_cols, _n) for every
+    group the guard would drop — the no-silent-caps audit trail."""
+    keys = list(key_cols)
+    sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    if max_bucket is None:
+        return sizes.filter(F.lit(False))
+    if max_bucket == "auto":
+        thr = megabucket_threshold_col(sizes)
+        return (
+            sizes.withColumn("_k", F.lit(1))
+            .join(F.broadcast(thr), "_k")
+            .filter(F.col("_n") > F.col("_thr"))
+            .select(*keys, "_n")
+        )
+    return sizes.filter(F.col("_n") > max_bucket)
 
 
 def _cosine(a: Column, b: Column) -> Column:
@@ -292,7 +361,7 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    max_bucket: int | None = None,
+    max_bucket="auto",
     multiprobe: bool = False,
 ) -> DataFrame:
     """Bucketed approximate cosine top-k for the first ``n_queries`` vectors.
@@ -345,7 +414,7 @@ def knn_label_vote_lsh(
     vec_col: str = "embedding",
     label_col: str = "label",
     dim: int = 64,
-    max_bucket: int | None = None,
+    max_bucket="auto",
 ) -> DataFrame:
     """k-NN classification over LSH-bucketed candidates (the scale path for
     datapipe.knn_label_vote, which is all-pairs by construction).
@@ -426,10 +495,13 @@ def ann_topk_with_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    max_bucket="auto",
 ) -> DataFrame:
     """ann_topk against a persisted index: query signatures are computed
     for the query rows only; candidates come from the stored index."""
     bands = spark.read.parquet(index_path)
+    if max_bucket is not None:
+        bands = prune_megabuckets(bands, max_bucket)
     q = (
         ann_bands(embeddings.filter(F.col(id_col) < n_queries), id_col, vec_col, dim)
         .select(F.col(id_col).alias("query_id"), "band_idx", "bucket")
@@ -463,7 +535,7 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    max_bucket: int | None = None,
+    max_bucket="auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector analogue of
     datapipe.near_duplicate_pairs: candidates from shared LSH band buckets
@@ -526,4 +598,23 @@ WITH v AS (
   FROM embeddings),
 bands AS (
   SELECT vec_id, label, dv, unnest([{structs}], recursive := true) FROM v)
+"""
+
+
+def duckdb_pruned_bands_cte(dim: int = 64) -> str:
+    """duckdb_bands_cte + the megabucket guard replayed in SQL: `pruned`
+    holds the band rows surviving the identical max(FLOOR, floor(median*MULT))
+    threshold prune_megabuckets applies Spark-side, so the oracle checks the
+    guard itself, not just the unguarded formula."""
+    return duckdb_bands_cte(dim) + f""",
+sizes AS (
+  SELECT band_idx, bucket, count(*) AS _n FROM bands GROUP BY 1, 2),
+thr AS (
+  SELECT greatest({MEGABUCKET_FLOOR},
+                  CAST(floor(median(_n) * {MEGABUCKET_MULT}) AS BIGINT)) AS _thr
+  FROM sizes),
+pruned AS (
+  SELECT b.* FROM bands b
+  JOIN sizes s ON b.band_idx = s.band_idx AND b.bucket = s.bucket, thr
+  WHERE s._n <= thr._thr)
 """

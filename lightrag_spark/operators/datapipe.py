@@ -129,6 +129,7 @@ def near_duplicate_pairs(
     text: str = "text",
     id_col: str = "doc_id",
     threshold: float = NEARDUP_THRESHOLD,
+    max_bucket="auto",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + minhash-estimate prefilter +
     exact n-gram Jaccard verification.
@@ -140,7 +141,16 @@ def near_duplicate_pairs(
     each pair's full shingle arrays), pairs are screened by the minhash
     Jaccard estimate — matching signature components / MINHASH_K — which
     costs only the 12-hash signature per side (NEARDUP_PREFILTER_MATCHES).
+
+    ``max_bucket`` is the megabucket skew guard (ann.prune_megabuckets,
+    default "auto" = max(256, 8x median bucket size)): an exact-duplicate
+    flood puts its whole cohort in ONE bucket per band, and the banded
+    self-join would emit cohort^2 candidate rows; those documents belong to
+    exact_duplicates, not here.  The threshold formula is replayed by the
+    DuckDB oracle, and dropped buckets are enumerable via
+    ann.dropped_megabuckets — no silent caps.
     """
+    from .ann import prune_megabuckets
     # The signature array rides THROUGH the band explode and the bucket
     # join, so the prefilter costs zero extra joins and zero recomputation
     # of the (md5-heavy) signature lineage — the estimate is evaluated
@@ -170,6 +180,7 @@ def near_duplicate_pairs(
         F.col("bb.band_idx").alias("band_idx"),
         F.col("bb.bucket").alias("bucket"),
     )
+    bands = prune_megabuckets(bands, max_bucket)
     a = bands.select(
         "band_idx", "bucket", F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")
     )
@@ -248,6 +259,7 @@ def simhash_near_pairs(
     text: str = "text",
     id_col: str = "doc_id",
     max_distance: int = SIMHASH_NEAR_BITS,
+    max_bucket="auto",
 ) -> DataFrame:
     """SimHash near-duplicates: pairs within ``max_distance`` hamming bits.
 
@@ -262,7 +274,12 @@ def simhash_near_pairs(
     join keys degenerated to an all-pairs join).  The emitted pair set is
     still data-dependent — genuinely boilerplate-heavy corpora have
     genuinely many near-dups — but candidates are hash-bounded.
+
+    ``max_bucket``: megabucket skew guard over (nib_idx, nib) groups,
+    same contract as near_duplicate_pairs (auto threshold replayed by the
+    oracle; exact-dup floods belong to exact_duplicates).
     """
+    from .ann import prune_megabuckets
     fp = simhash_fingerprints(docs, text, id_col)
     bands = [
         F.struct(
@@ -276,6 +293,7 @@ def simhash_near_pairs(
     banded = fp.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, "simhash", F.col("bb.nib_idx").alias("nib_idx"), F.col("bb.nib").alias("nib"))
+    banded = prune_megabuckets(banded, max_bucket, key_cols=("nib_idx", "nib"))
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "nib_idx", "nib"
     )

@@ -78,7 +78,13 @@ def test_ann_plans_have_no_cartesian_product(spark, emb):
     for df in (ann.ann_topk(emb), ann.knn_label_vote_lsh(emb)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        # The ONLY nested-loop joins allowed are the megabucket guard's
+        # scalar-threshold joins: build side is a grouping-free aggregate
+        # (exactly one row — a scalar subquery shape, linear not quadratic),
+        # recognizable by the `_n <= _thr` condition.
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "_thr" in line, line
 
 
 def test_knn_lsh_vote_agrees_with_exact_knn_mostly(spark, emb):
@@ -239,3 +245,57 @@ def test_arrow_cosine_identical_to_expression_cosine(spark):
     )
     diff = both.filter(F.col("c_expr") != F.col("c_arrow")).count()
     assert diff == 0
+
+
+def test_megabucket_guard_bounds_skew_floods(spark):
+    """Inject a 50%-identical-vector flood: the auto guard must (a) prune
+    the flooded buckets, (b) keep the job's candidate volume bounded by the
+    honest corpus, (c) enumerate exactly what it dropped — while leaving a
+    skew-free corpus untouched (threshold is a no-op there)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lightrag_spark.operators.ann import (
+        ann_bands,
+        ann_topk,
+        dropped_megabuckets,
+        prune_megabuckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+
+    # skew-free corpus: auto threshold prunes NOTHING (oracle safety)
+    clean_bands = ann_bands(emb)
+    assert dropped_megabuckets(clean_bands).count() == 0
+
+    # flood: clone one vector n times with fresh ids (50% of the corpus)
+    one = emb.limit(1).collect()[0]
+    flood = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [10_000 + i for i in range(n)],
+                "embedding": [list(one["embedding"])] * n,
+                "label": [one["label"]] * n,
+            }
+        )
+    ).select("vec_id", F.col("embedding").cast("array<float>"), "label")
+    skewed = emb.select("vec_id", "embedding", "label").unionByName(flood)
+
+    bands = ann_bands(skewed)
+    dropped = dropped_megabuckets(bands).collect()
+    assert dropped, "flooded buckets must be detected"
+    # every dropped bucket is a genuine flood (>= the clone cohort)
+    assert all(r["_n"] >= n for r in dropped)
+
+    pruned = prune_megabuckets(bands)
+    sizes = (
+        pruned.groupBy("band_idx", "bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    # surviving buckets are honest-corpus sized, so the self-join output is
+    # bounded by sum(bucket^2) over NORMAL buckets — the flood's n^2 rows
+    # never materialize
+    assert sizes < n
+    # and the guarded operator completes end-to-end on the skewed corpus
+    got = ann_topk(skewed, n_queries=4, k=3)
+    assert got.count() > 0
