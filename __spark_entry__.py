@@ -324,11 +324,21 @@ def _q_simhash(spark, sf):
 
 
 def _q_simhash_near(spark, sf):
-    """SimHash hamming near-dups via nibble-band candidates (pigeonhole:
-    distance<=3 over 16 bits guarantees a shared nibble) + popcount verify."""
+    """SimHash hamming near-dups via 15-bit-band candidates (pigeonhole:
+    distance<=3 over 60 bits guarantees a shared band) + popcount verify."""
     return dp.simhash_near_pairs(_documents(spark, sf)).select(
         "doc_a", "doc_b", F.col("distance").cast("long").alias("distance")
     )
+
+
+def _q_chunks_semantic(spark, sf):
+    """V-chunker breakpoint core (percentile-95 over consecutive cosine
+    distances) on a fixed embedding sequence — the oracle replays the
+    distance/threshold/grouping arithmetic in SQL."""
+    from lightrag_spark.operators.chunking import semantic_breakpoint_table
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return semantic_breakpoint_table(emb)
 
 
 def _q_cosine_topk(spark, sf):
@@ -453,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_pairs": _q_near_pairs,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_near": _q_simhash_near,
+        "kg_chunks_semantic": _q_chunks_semantic,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_knn_label_vote": _q_knn_vote,
         "sim_ann_topk": _q_ann_topk,
@@ -761,6 +772,36 @@ j AS (
                / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
   FROM screened c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {dp.NEARDUP_THRESHOLD}""",
+        "kg_chunks_semantic": """
+WITH v AS (
+  SELECT vec_id, CAST(floor(vec_id / 50) AS BIGINT) AS group_id,
+         list_transform(embedding, x -> x::DOUBLE) AS dv
+  FROM embeddings),
+idx AS (
+  SELECT vec_id, group_id, dv,
+         (row_number() OVER (PARTITION BY group_id ORDER BY vec_id) - 1)::BIGINT AS sent_idx
+  FROM v),
+d AS (
+  SELECT a.group_id, a.vec_id, a.sent_idx,
+         1 - list_dot_product(a.dv, b.dv)
+             / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))) AS dist
+  FROM idx a JOIN idx b
+    ON a.group_id = b.group_id AND b.sent_idx = a.sent_idx + 1),
+thr AS (
+  SELECT group_id, quantile_cont(dist, 0.95) AS threshold FROM d GROUP BY 1),
+marks AS (
+  SELECT i.group_id, i.vec_id, i.sent_idx,
+         d.dist,
+         CASE WHEN d.dist > t.threshold THEN 1 ELSE 0 END AS is_bp
+  FROM idx i
+  LEFT JOIN d ON d.group_id = i.group_id AND d.sent_idx = i.sent_idx
+  LEFT JOIN thr t ON t.group_id = i.group_id)
+SELECT group_id, vec_id, sent_idx,
+       round(dist, 4) AS dist_next,
+       coalesce(sum(is_bp) OVER (
+         PARTITION BY group_id ORDER BY sent_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS chunk_idx
+FROM marks""",
         "dedup_simhash": f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok

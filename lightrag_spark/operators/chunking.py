@@ -166,3 +166,74 @@ def chunk_documents(
             "lineage_id", F.monotonically_increasing_id()
         )
     return chunks
+
+
+def semantic_breakpoint_table(
+    embeddings: DataFrame,
+    group_size: int = 50,
+    threshold_type: str = "percentile",
+) -> DataFrame:
+    """The V-chunker's breakpoint core (functions/semantic_chunking.py
+    steps 4-6; reference chunker/semantic_vector.py:122-196) run distributed
+    over a FIXED embedding sequence, so the math itself is DuckDB-checkable.
+
+    Rows of ``embeddings`` play the role of consecutive sentence-window
+    embeddings; every ``group_size`` consecutive vec_ids form one pseudo-
+    document.  Per group: distance[i] = 1 - cosine(emb[i], emb[i+1]),
+    threshold from the chosen distribution (default percentile-95 with
+    numpy-style linear interpolation), a breakpoint wherever the distance
+    exceeds it, and each sentence's chunk index = breakpoints before it —
+    EXACTLY what semantic_groups_with_spans does between its regex-split
+    and span-trim stages (those need Python regex lookbehind and are
+    pytest-gated instead; see tests/test_semantic_chunking.py).
+
+    Plan shape: one shuffle on group_id, then applyInPandas over bounded
+    groups (group_size rows each) calling the REAL chunker functions —
+    the same per-document parallelism the V strategy has inside
+    chunk_documents.  Output (group_id, vec_id, sent_idx, dist_next,
+    chunk_idx); dist_next is the distance to the NEXT sentence (4dp, null
+    for the last sentence of a group).
+    """
+    from ..functions.semantic_chunking import (
+        _cosine_distance,
+        semantic_breakpoint_threshold,
+    )
+
+    out_schema = (
+        "group_id long, vec_id long, sent_idx long, dist_next double, "
+        "chunk_idx long"
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        embs = [[float(x) for x in v] for v in pdf["embedding"]]
+        n = len(embs)
+        distances = [
+            _cosine_distance(embs[i], embs[i + 1]) for i in range(n - 1)
+        ]
+        if distances:
+            threshold, arr = semantic_breakpoint_threshold(
+                distances, threshold_type
+            )
+            is_bp = [x > threshold for x in arr]
+        else:
+            is_bp = []
+        chunk_idx, acc = [], 0
+        for i in range(n):
+            chunk_idx.append(acc)
+            if i < n - 1 and is_bp[i]:
+                acc += 1
+        return pd.DataFrame(
+            {
+                "group_id": pdf["group_id"],
+                "vec_id": pdf["vec_id"],
+                "sent_idx": range(n),
+                "dist_next": [round(d, 4) for d in distances] + [None],
+                "chunk_idx": chunk_idx,
+            }
+        )
+
+    grouped = embeddings.withColumn(
+        "group_id", F.floor(F.col("vec_id") / group_size).cast("long")
+    ).select("group_id", "vec_id", "embedding")
+    return grouped.groupBy("group_id").applyInPandas(per_group, out_schema)

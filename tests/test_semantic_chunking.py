@@ -147,3 +147,37 @@ def test_chunk_documents_semantic_strategy(spark):
     assert all(r.chunk_id.startswith("d1-chunk-") for r in out)
     with pytest.raises(ValueError):
         chunk_documents(docs, strategy="X")
+
+
+def test_semantic_breakpoint_table_matches_local_math(spark):
+    """The distributed breakpoint table equals a single-threaded replay of
+    the same functions over the same groups."""
+    from lightrag_spark.functions.semantic_chunking import (
+        _cosine_distance,
+        semantic_breakpoint_threshold,
+    )
+    from lightrag_spark.operators.chunking import semantic_breakpoint_table
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        (r.group_id, r.vec_id): (r.sent_idx, r.dist_next, r.chunk_idx)
+        for r in semantic_breakpoint_table(emb, group_size=10).collect()
+    }
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()
+    )
+    groups: dict = {}
+    for vid, v in rows:
+        groups.setdefault(vid // 10, []).append((vid, v))
+    want = {}
+    for gid, members in groups.items():
+        vecs = [v for _, v in members]
+        dists = [_cosine_distance(vecs[i], vecs[i + 1]) for i in range(len(vecs) - 1)]
+        thr, arr = semantic_breakpoint_threshold(dists, "percentile")
+        acc = 0
+        for i, (vid, _) in enumerate(members):
+            dn = round(dists[i], 4) if i < len(dists) else None
+            want[(gid, vid)] = (i, dn, acc)
+            if i < len(arr) and arr[i] > thr:
+                acc += 1
+    assert got == want
