@@ -126,3 +126,91 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def save_ivf_index(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Materialize the IVF index: vectors partitioned BY CELL (the
+    partition-prunable key — a probe for one query touches only its
+    ``nprobe`` cell directories, mirroring ann.build_ann_index's
+    band-partitioned layout) plus the tiny centroid table alongside.
+    Build once, probe many; the KMeans training pass is paid once."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return [list(map(float, r["centroid"])) for r in rows]
+
+
+def ivf_topk_with_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_topk against a persisted index: centroids load driver-side
+    (k ~ sqrt(N) rows — the coarse quantizer IS the small table), the probe
+    list becomes a partition-pruning ``cell IN (...)`` filter on the
+    cell-partitioned parquet, so only probed cell directories are read —
+    verified via the scan's pushed partition filters in tests/test_ivf.py.
+    ``queries`` is a (id, vector) DataFrame with a driver-bounded row count.
+    """
+    centroids = load_ivf_centroids(spark, index_path)
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()  # bounded: the query set
+    probe_rows = [
+        (int(r["query_id"]), int(cell))
+        for r in qrows
+        for cell in _nearest_cells([float(x) for x in r["qv"]], centroids, nprobe)
+    ]
+    if not probe_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank long"
+        )
+    probed_cells = sorted({c for _, c in probe_rows})
+    # cell IN (...) on the partition column -> Spark prunes unprobed cell
+    # directories at planning time; the scan never touches them.
+    index = spark.read.parquet(f"{index_path}/cells").filter(
+        F.col("cell").isin(probed_cells)
+    )
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    cand = (
+        F.broadcast(probes)
+        .join(
+            index.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .drop("cell")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    from .ann import cosine_arrow
+
+    qdf = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["qv"]]) for r in qrows],
+        f"query_id long, qv array<float>",
+    )
+    scored = cand.join(F.broadcast(qdf), "query_id").withColumn(
+        "sim", cosine_arrow(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )

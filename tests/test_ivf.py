@@ -83,3 +83,57 @@ def test_more_probes_never_reduce_candidates(spark, emb, index):
     r2 = {(r.query_id, r.neighbor_id) for r in ivf.ivf_topk(assigned, centroids, nprobe=2, k=big).collect()}
     r8 = {(r.query_id, r.neighbor_id) for r in ivf.ivf_topk(assigned, centroids, nprobe=8, k=big).collect()}
     assert r2 <= r8 and len(r8) > len(r2)
+
+
+def test_ivf_persisted_index_parity_and_pruning(spark, tmp_path):
+    """save_ivf_index + ivf_topk_with_index: (a) results identical to the
+    in-memory path at the same nprobe, (b) the probe scan reads ONLY probed
+    cell partitions (partition pruning visible in the physical plan and in
+    the scanned row count)."""
+    from pyspark.sql import functions as F
+
+    from lightrag_spark.operators.ivf import (
+        _nearest_cells,
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_with_index,
+        load_ivf_centroids,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    assigned, centroids = build_ivf_index(emb, n_cells=16)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(assigned, centroids, path)
+
+    # centroids round-trip
+    assert load_ivf_centroids(spark, path) == centroids
+
+    queries = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    got = ivf_topk_with_index(spark, path, queries, k=5, nprobe=4)
+    want = ivf_topk(assigned, centroids, n_queries=8, k=5, nprobe=4)
+    as_set = lambda df: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.sim, r.rank) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+    # pruning: the probed-cell filter reaches the parquet scan as a
+    # partition filter, and the scan row count is the probed cells only
+    qrows = queries.collect()
+    probed = sorted(
+        {
+            c
+            for r in qrows
+            for c in _nearest_cells([float(x) for x in r["embedding"]], centroids, 4)
+        }
+    )
+    index = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probed))
+    plan = index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    probed_rows = index.count()
+    per_cell = {
+        r["cell"]: r["count"]
+        for r in assigned.groupBy("cell").count().collect()
+    }
+    assert probed_rows == sum(per_cell[c] for c in probed)
+    assert probed_rows < sum(per_cell.values())  # strictly pruned
