@@ -292,6 +292,26 @@ def run_indexing(
     # PROCESSED skip set, so the next run retries it — and its error'd
     # passes never wrote cache rows, so the retry really re-calls the model.
     track_id = cfg.track_id or f"run-{cfg.run_ts}"
+    # Carry-over on retry (reference pipeline.py:5616-5625: created_at and
+    # track_id come from the PRIOR status_doc at every transition; only
+    # updated_at is stamped fresh).  retry_count additionally counts
+    # FAILED->reprocess transitions so operators can spot flapping docs.
+    # Reading the prior table lazily is safe: _swap_in materializes the new
+    # table into a tmp dir BEFORE replacing the old path.
+    carry = None
+    if _exists(status_path):
+        prior = spark.read.parquet(status_path)
+        carry = prior.select(
+            "doc_id",
+            F.col("created_at").alias("_prior_created"),
+            F.col("track_id").alias("_prior_track"),
+            (
+                F.col("retry_count")
+                if "retry_count" in prior.columns
+                else F.lit(0).cast("long")
+            ).alias("_prior_retries"),
+            F.col("status").alias("_prior_status"),
+        )
     status_cols = [F.col("doc_id")]
     if "text" in docs.columns:
         status_cols += [
@@ -316,10 +336,35 @@ def run_indexing(
                 F.lit(DOC_STATUS_PROCESSED)
             ),
         )
-        .withColumn("created_at", F.lit(cfg.run_ts).cast("long"))
         .withColumn("updated_at", F.lit(int(time.time())).cast("long"))
-        .withColumn("track_id", F.lit(track_id))
     )
+    if carry is not None:
+        status = (
+            status.join(carry, "doc_id", "left")
+            .withColumn(
+                "created_at",
+                F.coalesce(F.col("_prior_created"), F.lit(cfg.run_ts)).cast("long"),
+            )
+            .withColumn(
+                "track_id", F.coalesce(F.col("_prior_track"), F.lit(track_id))
+            )
+            .withColumn(
+                "retry_count",
+                F.when(
+                    F.col("_prior_status") == DOC_STATUS_FAILED,
+                    F.coalesce(F.col("_prior_retries"), F.lit(0)) + 1,
+                )
+                .otherwise(F.coalesce(F.col("_prior_retries"), F.lit(0)))
+                .cast("long"),
+            )
+            .drop("_prior_created", "_prior_track", "_prior_retries", "_prior_status")
+        )
+    else:
+        status = (
+            status.withColumn("created_at", F.lit(cfg.run_ts).cast("long"))
+            .withColumn("track_id", F.lit(track_id))
+            .withColumn("retry_count", F.lit(0).cast("long"))
+        )
     _swap_in(status, status_path)
 
     failed_docs.unpersist()

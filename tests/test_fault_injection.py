@@ -141,3 +141,61 @@ def test_changed_chunk_options_purge_stale_cache(spark, tmp_path):
     fresh = str(tmp_path / "fresh16")
     run_indexing(spark, docs, fresh, KGBuildConfig(**cfg3))
     assert _graph(spark, out) == _graph(spark, fresh)
+
+
+def test_retry_carries_over_status_metadata(spark, tmp_path):
+    """FAILED -> retry transition keeps created_at and track_id from the
+    PRIOR status record (reference pipeline.py:5616-5625 carry-over),
+    advances updated_at, and increments retry_count; PROCESSED docs that
+    are merely re-seen carry their metadata unchanged with retry_count 0."""
+    out = str(tmp_path / "kg")
+    docs_bad = _docs(spark, with_marker=True)
+    run_indexing(
+        spark,
+        docs_bad,
+        out,
+        KGBuildConfig(**CFG, model_fail_marker=MARKER, run_ts=1000, track_id="t-first"),
+    )
+    s1 = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(os.path.join(out, "doc_status")).collect()
+    }
+    assert all(r["retry_count"] == 0 for r in s1.values())
+    assert all(r["created_at"] == 1000 for r in s1.values())
+    assert all(r["track_id"] == "t-first" for r in s1.values())
+
+    # retry with the fault gone, under a DIFFERENT run_ts and track_id
+    docs_clean = _docs(spark, with_marker=False)
+    run_indexing(
+        spark,
+        docs_clean,
+        out,
+        KGBuildConfig(**CFG, run_ts=2000, track_id="t-second"),
+    )
+    s2 = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(os.path.join(out, "doc_status")).collect()
+    }
+    for d, row in s2.items():
+        assert row["status"] == "PROCESSED"
+        assert row["created_at"] == 1000, d          # carried, not re-stamped
+        assert row["track_id"] == "t-first", d       # carried, not re-stamped
+        assert row["updated_at"] >= s1[d]["updated_at"], d
+        assert row["retry_count"] == (1 if d in BAD_DOCS else 0), d
+
+    # a THIRD run with a new failure on a previously-retried doc keeps
+    # counting: FAILED again -> next retry increments to 2
+    run_indexing(
+        spark,
+        docs_bad,
+        out,
+        KGBuildConfig(**CFG, model_fail_marker=MARKER, run_ts=3000),
+    )
+    run_indexing(spark, docs_clean, out, KGBuildConfig(**CFG, run_ts=4000))
+    s4 = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(os.path.join(out, "doc_status")).collect()
+    }
+    for d in BAD_DOCS:
+        assert s4[d]["retry_count"] == 2, d
+        assert s4[d]["created_at"] == 1000, d
