@@ -8,10 +8,13 @@ Prints ONE JSON line:
 Env:
   SPARK_GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS        local[] parallelism (default 32)
-  SPARK_GRAFT_BENCH_MODE  "sf" (default: testdata corpus + operator suite) or
+  SPARK_GRAFT_BENCH_MODE  "sf" (default: testdata corpus + operator suite),
                           "synth" (FIXTURES.md §1 bench corpus: long synthetic
                           pages, KG build only — the two-parallelism scaling
-                          job; sized so real work dominates fixed overhead)
+                          job; sized so real work dominates fixed overhead), or
+                          "sf1" (10x key-shifted sf0.1 timing corpus built by
+                          tools/make_sf1.py into /tmp/sf1 — regression rows
+                          above host variance; BENCH.md records better-of-3)
   SPARK_GRAFT_N_PAGES     synth corpus size (default 8000)
 
 The headline job is the full-mode pipeline (regex tokenizer windows 1200/100
@@ -37,6 +40,13 @@ def main():
 
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "sf")
     n_pages = int(os.environ.get("SPARK_GRAFT_N_PAGES", "8000"))
+    if mode == "sf1":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import make_sf1
+
+        sf_dir = make_sf1.build()
+        sf = "1"
+        mode = "sf"
 
     import __spark_entry__ as em
     from lightrag_spark.plans.kg_build import KGBuildConfig, build_kg

@@ -27,9 +27,19 @@ vectors, see tests/test_ann.py): bands=12 × rows=3 gives recall 0.95 of
 the true cosine top-5 while pruning ~21% of the corpus per query.  The
 pruning ratio is data-dependent — these synthetic embeddings are diffuse
 (5th-neighbour cosine ≈ 0.29, i.e. near-orthogonal); real embedding
-corpora cluster much tighter, which is exactly when ``ANN_ROWS`` can be
-raised (sharper buckets) without losing recall.  At web scale you tune
-rows up until bucket sizes fit a partition.
+corpora cluster much tighter, which is exactly when the band width can be
+raised (sharper buckets) without losing recall.
+
+Band width is NOT a free constant at scale: with w bits per band there
+are only 2^w buckets, so uniform bucket size is N/2^w and the candidate
+self-join emits Σ bucket² ≈ N²/2^w rows — quadratic in the corpus however
+it is partitioned (measured: a 10x corpus turned the 12 s k-NN vote into
+a 20-minute single-bucket spill).  ``auto_rows_per_band`` therefore grows
+w ≈ log2(N / ANN_TARGET_BUCKET) with corpus size — the LSH analogue of
+IVF's sqrt(N) centroids — keeping candidate volume ~linear; every
+operator takes ``rows="auto"`` and resolves the width from the corpus it
+is given.  At or below ~2k rows the rule floors at the 3-bit layout the
+DuckDB oracles inline, so checked results are unchanged.
 """
 
 from __future__ import annotations
@@ -44,6 +54,54 @@ from pyspark.sql.window import Window
 ANN_BANDS = 12  # OR-amplification: candidate iff >=1 band matches
 ANN_ROWS = 3    # AND-amplification within a band (bits per bucket)
 ANN_NBITS = ANN_BANDS * ANN_ROWS
+ANN_TARGET_BUCKET = 256  # auto width: aim for ~this many rows per bucket
+ANN_MAX_ROWS = 16
+
+
+def auto_rows_per_band(n_rows: int, target_bucket: int = ANN_TARGET_BUCKET) -> int:
+    """Bits per band as a function of corpus size — the LSH analogue of
+    IVF's sqrt(N) centroid count.
+
+    With a FIXED band width w there are only 2^w buckets per band, so
+    uniform bucket size is N/2^w and the candidate self-join emits
+    Σ bucket² ≈ N²/2^w rows — quadratic in the corpus no matter how the
+    work is partitioned (the same law that made 16-bit SimHash a
+    scale-killer).  Growing w with N keeps expected bucket size near
+    ``target_bucket`` and candidate volume near N·target — linear.
+
+    ceil(log2(N / target)), clamped to [ANN_ROWS, ANN_MAX_ROWS]; the floor
+    keeps every corpus at or below ~2k rows (the driver's sf0.01/sf0.1
+    testdata) on the 3-bit layout the DuckDB oracles inline, so checked
+    results are unchanged — the rule only engages beyond oracle scale.
+    Recall tradeoff is explicit: wider bands lower per-band collision
+    probability for merely-similar pairs (compensate with multiprobe /
+    more bands); duplicate and near-duplicate floods — the case that
+    actually explodes buckets — collide at any width.
+    """
+    import math
+
+    if n_rows <= target_bucket:
+        return ANN_ROWS
+    return max(ANN_ROWS, min(ANN_MAX_ROWS, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def _resolve_rows(rows, embeddings: DataFrame) -> int:
+    """'auto' -> width from the corpus row count; int passes through."""
+    if rows == "auto":
+        return auto_rows_per_band(embeddings.count())
+    return int(rows)
+
+
+def _wide(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition on the candidate-join keys with an EXPLICIT partition
+    count before a row-exploding self-join.  AQE sizes post-shuffle
+    partitions from the map-output bytes of the join INPUTS — a few MB of
+    (id, band, bucket) rows coalesce to one partition, and the join then
+    multiplies rows inside that single task (observed: a 20-minute
+    one-task hashAgg spill at 10x scale).  An explicit numPartitions is
+    exempt from AQE coalescing, so the explosion stays wide."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *cols)
 
 
 def hyperplane_component(bit: int, dim: int) -> float:
@@ -74,15 +132,15 @@ def _dot_lit(vec: Column, plane: tuple[float, ...]) -> Column:
     )
 
 
-def band_bucket_cols(vec: Column, dim: int) -> list[Column]:
+def band_bucket_cols(vec: Column, dim: int, rows: int = ANN_ROWS) -> list[Column]:
     """One string bucket per band: the concatenated sign bits ('1'/'0')."""
-    planes = hyperplanes(dim)
+    planes = hyperplanes(dim, ANN_BANDS * rows)
 
     def bit(j: int) -> Column:
         return F.when(_dot_lit(vec, planes[j]) > 0, F.lit("1")).otherwise(F.lit("0"))
 
     return [
-        F.concat(*[bit(b * ANN_ROWS + r) for r in range(ANN_ROWS)]).alias(f"band{b}")
+        F.concat(*[bit(b * rows + r) for r in range(rows)]).alias(f"band{b}")
         for b in range(ANN_BANDS)
     ]
 
@@ -93,9 +151,16 @@ def ann_bands(
     vec_col: str = "embedding",
     dim: int = 64,
     use_arrow: bool = True,
+    rows: int = ANN_ROWS,
+    with_vec: bool = False,
 ) -> DataFrame:
-    """(id, band_idx, bucket) — the LSH index rows.  Signatures are computed
-    scan-side (no shuffle); the explode multiplies rows by ANN_BANDS only.
+    """(id, band_idx, bucket[, vec]) — the LSH index rows.  Signatures are
+    computed scan-side (no shuffle); the explode multiplies rows by
+    ANN_BANDS only.
+    ``rows`` is the band width in bits (see ``auto_rows_per_band`` for the
+    scale rule; ANN_ROWS keeps the oracle-inlined 3-bit layout).
+    ``with_vec=True`` carries the embedding through (for bucket-local
+    scoring kernels that would otherwise re-join the vectors per PAIR).
 
     Two physical strategies for the same formula:
 
@@ -116,30 +181,38 @@ def ann_bands(
     tests/test_ann.py).
     """
     if not use_arrow:
-        wide = embeddings.select(F.col(id_col), *band_bucket_cols(F.col(vec_col), dim))
+        wide = embeddings.select(
+            F.col(id_col), *band_bucket_cols(F.col(vec_col), dim, rows)
+        )
         structs = [
             F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bucket"))
             for b in range(ANN_BANDS)
         ]
-        return wide.select(
+        out = wide.select(
             F.col(id_col), F.explode(F.array(*structs)).alias("bb")
         ).select(
             id_col, F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket")
         )
+        if with_vec:
+            out = out.join(embeddings.select(id_col, vec_col), id_col)
+        return out
 
     import numpy as np
 
     id_type = embeddings.schema[id_col].dataType.simpleString()
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
     out_schema = f"`{id_col}` {id_type}, band_idx int, bucket string"
-    planes_t = [list(col) for col in zip(*hyperplanes(dim))]  # (dim, nbits) as lists
+    if with_vec:
+        out_schema += f", `{vec_col}` {vec_type}"
+    planes_t = [
+        list(col) for col in zip(*hyperplanes(dim, ANN_BANDS * rows))
+    ]  # (dim, nbits) as lists
 
     def sign_batches(batches):
         import pandas as pd
 
         P = np.asarray(planes_t, dtype=np.float64)
-        band_slices = [
-            slice(b * ANN_ROWS, (b + 1) * ANN_ROWS) for b in range(ANN_BANDS)
-        ]
+        band_slices = [slice(b * rows, (b + 1) * rows) for b in range(ANN_BANDS)]
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -150,33 +223,32 @@ def ann_bands(
             for b, sl in enumerate(band_slices):
                 sub = chars[:, sl]
                 jock = sub[:, 0]
-                for r in range(1, ANN_ROWS):
+                for r in range(1, rows):
                     jock = np.char.add(jock, sub[:, r])
                 buckets[:, b] = jock
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf.iloc[:, 0].to_numpy(), ANN_BANDS),
-                    "band_idx": np.tile(
-                        np.arange(ANN_BANDS, dtype=np.int32), n
-                    ),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
+            data = {
+                id_col: np.repeat(pdf.iloc[:, 0].to_numpy(), ANN_BANDS),
+                "band_idx": np.tile(np.arange(ANN_BANDS, dtype=np.int32), n),
+                "bucket": buckets.reshape(-1),
+            }
+            if with_vec:
+                data[vec_col] = np.repeat(pdf.iloc[:, 1].to_numpy(), ANN_BANDS)
+            yield pd.DataFrame(data)
 
     return embeddings.select(id_col, vec_col).mapInPandas(sign_batches, out_schema)
 
 
-def multiprobe_band_cols(vec: Column, dim: int) -> list[Column]:
+def multiprobe_band_cols(vec: Column, dim: int, rows: int = ANN_ROWS) -> list[Column]:
     """Per band, TWO buckets: the home bucket plus the neighbour with the
     lowest-|margin| bit flipped (classic multi-probe LSH, Lv et al. 2007).
     A vector whose projection onto some hyperplane is near zero could land
     on either side — probing the flipped bucket recovers neighbours lost
     to that coin-flip.  Ties break to the lowest bit index."""
-    planes = hyperplanes(dim)
+    planes = hyperplanes(dim, ANN_BANDS * rows)
 
     out: list[Column] = []
     for b in range(ANN_BANDS):
-        dots = [_dot_lit(vec, planes[b * ANN_ROWS + r]) for r in range(ANN_ROWS)]
+        dots = [_dot_lit(vec, planes[b * rows + r]) for r in range(rows)]
         bits = [
             F.when(d > 0, F.lit("1")).otherwise(F.lit("0")) for d in dots
         ]
@@ -184,7 +256,7 @@ def multiprobe_band_cols(vec: Column, dim: int) -> list[Column]:
         margins = [F.abs(d) for d in dots]
         mn = F.least(*margins)
         flipped = None
-        for r in range(ANN_ROWS):
+        for r in range(rows):
             flip_bits = list(bits)
             flip_bits[r] = F.when(dots[r] > 0, F.lit("0")).otherwise(F.lit("1"))
             variant = F.concat(*flip_bits)
@@ -200,11 +272,14 @@ def ann_query_bands_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    rows: int = ANN_ROWS,
 ) -> DataFrame:
     """(id, band_idx, bucket) with 2 rows per band per vector: home bucket
     + the multi-probe neighbour.  QUERY-side only — the corpus index keeps
     one bucket per band, so a persisted index works unchanged."""
-    wide = embeddings.select(F.col(id_col), *multiprobe_band_cols(F.col(vec_col), dim))
+    wide = embeddings.select(
+        F.col(id_col), *multiprobe_band_cols(F.col(vec_col), dim, rows)
+    )
     structs = []
     for b in range(ANN_BANDS):
         structs.append(
@@ -363,6 +438,7 @@ def ann_topk(
     dim: int = 64,
     max_bucket="auto",
     multiprobe: bool = False,
+    rows="auto",
 ) -> DataFrame:
     """Bucketed approximate cosine top-k for the first ``n_queries`` vectors.
 
@@ -371,14 +447,16 @@ def ann_topk(
     candidates only → per-query top-k window (partitioned by query_id, so
     parallel across queries).  NO crossJoin anywhere; the only data-volume
     shuffles are the candidate distinct and the per-query window, both
-    bounded by bucket sizes, not corpus².
+    bounded by bucket sizes — and bucket sizes are bounded by the
+    corpus-scaled band width (``rows="auto"`` → ``auto_rows_per_band``).
     """
-    bands = ann_bands(embeddings, id_col, vec_col, dim)
+    rows = _resolve_rows(rows, embeddings)
+    bands = ann_bands(embeddings, id_col, vec_col, dim, rows=rows)
     if max_bucket is not None:
         bands = prune_megabuckets(bands, max_bucket)
     q_src = (
         ann_query_bands_multiprobe(
-            embeddings.filter(F.col(id_col) < n_queries), id_col, vec_col, dim
+            embeddings.filter(F.col(id_col) < n_queries), id_col, vec_col, dim, rows
         )
         if multiprobe
         else bands.filter(F.col(id_col) < n_queries)
@@ -407,6 +485,90 @@ def ann_topk(
     )
 
 
+def bucket_scored_pairs(
+    bands_with_vec: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    threshold: float | None = None,
+    ordered_lt: bool = False,
+) -> DataFrame:
+    """Score candidate pairs INSIDE each (band_idx, bucket) group — the
+    100-TB shape for corpus×corpus LSH scoring.
+
+    The naive plan materializes every candidate pair and then joins the
+    two embedding vectors onto it: at 10x test scale that is ~40M pairs ×
+    2 × 64 float64s ≈ 40 GB through the shuffle, and the join dominated
+    the k-NN vote (170 s).  Here the vectors ride WITH the band rows (one
+    copy per band, ~MBs), and each bucket group computes its full cosine
+    matrix with a single BLAS matmul via applyInPandas, emitting only
+    (qid, nid, sim) triples — the vectors never pair up in the shuffle.
+
+    Emission is further cut at the source:
+    - ``k``: per qid, only its top-k WITHIN the bucket by the global order
+      (sim desc, nid asc).  Exact for a later global top-k: if nid is in
+      qid's global candidate top-k, then in any shared bucket fewer than k
+      candidates precede it, so it survives bucket-local selection too.
+    - ``threshold``: only pairs with sim >= threshold (near-dup case).
+    - ``ordered_lt``: only qid < nid (undirected pair dedup).
+
+    Bucket groups are bounded by prune_megabuckets upstream, so the B×B
+    matrix per group is small (guard ceiling ~1-2k rows → ≤4M doubles).
+    Cosine uses the same float64 arithmetic + 4dp round as cosine_arrow;
+    a pair shared by m bands re-scores m times to the identical rounded
+    value, so a downstream ``distinct()`` collapses it exactly.
+    """
+    import pandas as pd
+
+    id_type = bands_with_vec.schema[id_col].dataType.simpleString()
+    out_schema = f"qid {id_type}, nid {id_type}, sim double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"qid": [], "nid": [], "sim": []})
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        S = np.round((V @ V.T) / np.outer(norms, norms), 4)
+        qs, ns, sims = [], [], []
+        for i in range(n):
+            mask = np.ones(n, dtype=bool)
+            mask[i] = False
+            if ordered_lt:
+                mask &= ids > ids[i]
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            s = S[i, cand]
+            if threshold is not None:
+                keep = s >= threshold
+                cand, s = cand[keep], s[keep]
+                if cand.size == 0:
+                    continue
+            if k is not None and cand.size > k:
+                sel = np.lexsort((ids[cand], -s))[:k]
+                cand, s = cand[sel], s[sel]
+            qs.append(np.full(cand.size, ids[i]))
+            ns.append(ids[cand])
+            sims.append(s)
+        if not qs:
+            return pd.DataFrame({"qid": [], "nid": [], "sim": []})
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(qs),
+                "nid": np.concatenate(ns),
+                "sim": np.concatenate(sims),
+            }
+        )
+
+    return bands_with_vec.groupBy("band_idx", "bucket").applyInPandas(
+        kernel, out_schema
+    )
+
+
 def knn_label_vote_lsh(
     embeddings: DataFrame,
     k: int = 5,
@@ -415,43 +577,45 @@ def knn_label_vote_lsh(
     label_col: str = "label",
     dim: int = 64,
     max_bucket="auto",
+    rows="auto",
 ) -> DataFrame:
     """k-NN classification over LSH-bucketed candidates (the scale path for
     datapipe.knn_label_vote, which is all-pairs by construction).
 
     Every vector is a query; its neighbour pool is the union of its band
     buckets — the self-join keys on (band_idx, bucket), so work scales with
-    Σ bucket² per band, not corpus².  Vectors whose pool is empty (no bucket
-    shared with anyone) drop out — at web scale those are the isolates the
+    Σ bucket² per band.  That sum is only sub-quadratic if bucket sizes are
+    bounded: ``rows="auto"`` widens the bands with corpus size (expected
+    bucket ≈ ANN_TARGET_BUCKET), and the self-join inputs are explicitly
+    repartitioned wide so the pair explosion can never collapse into one
+    AQE-coalesced task.  Vectors whose pool is empty (no bucket shared
+    with anyone) drop out — at web scale those are the isolates the
     reference's VDB threshold (cosine ≥ 0.2) would discard anyway.
     Output: (vec_id, actual_label, predicted_label, correct).
     """
-    bands = ann_bands(embeddings, id_col, vec_col, dim)
+    rows = _resolve_rows(rows, embeddings)
+    bands = ann_bands(embeddings, id_col, vec_col, dim, rows=rows, with_vec=True)
     if max_bucket is not None:
         bands = prune_megabuckets(bands, max_bucket)
-    a = bands.select(F.col(id_col).alias("qid"), "band_idx", "bucket")
-    b = bands.select(F.col(id_col).alias("nid"), "band_idx", "bucket")
-    cand = (
-        a.join(b, ["band_idx", "bucket"])
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid")
-        .distinct()
+    bands = _wide(bands, "band_idx", "bucket")
+    # bucket-local matmul scoring with per-bucket top-k pushdown (exact —
+    # see bucket_scored_pairs); the band fan-out collapses on the pair key
+    # with max(sim) — agg on the key, not distinct on the float, so a
+    # last-ulp BLAS difference between buckets can never duplicate a pair.
+    pairs = (
+        bucket_scored_pairs(bands, id_col, vec_col, k=k)
+        .groupBy("qid", "nid")
+        .agg(F.max("sim").alias("sim"))
     )
-    qv = embeddings.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        F.col(label_col).alias("actual_label"),
+    labels = embeddings.select(
+        F.col(id_col).alias("qid"), F.col(label_col).alias("actual_label")
     )
-    nv = embeddings.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nv"),
-        F.col(label_col).alias("nlabel"),
+    nlabels = embeddings.select(
+        F.col(id_col).alias("nid"), F.col(label_col).alias("nlabel")
     )
-    scored = (
-        cand.join(qv, "qid")
-        .join(nv, "nid")
-        .withColumn("sim", cosine_arrow(F.col("qv"), F.col("nv")))
-    )
+    # label attach: two narrow (id, label) joins — AQE broadcasts them at
+    # test scale; at corpus scale they stay shuffle joins on slim columns.
+    scored = pairs.join(labels, "qid").join(nlabels, "nid")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     topk = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
     votes = topk.groupBy("qid", "actual_label", "nlabel").agg(
@@ -476,14 +640,26 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    rows="auto",
 ) -> None:
     """Materialize the LSH index rows partitioned BY BAND: a probe for one
     query reads only its 12 (band, bucket) groups — partition pruning on
     band_idx plus a bucket filter, never a full index scan.  Build once,
-    probe many; the signature scan is paid once instead of per query."""
-    ann_bands(embeddings, id_col, vec_col, dim).write.mode("overwrite").partitionBy(
-        "band_idx"
-    ).parquet(path)
+    probe many; the signature scan is paid once instead of per query.
+    The band width is recoverable from the stored bucket strings
+    (``index_rows_per_band``), so probes always match the build width."""
+    rows = _resolve_rows(rows, embeddings)
+    ann_bands(embeddings, id_col, vec_col, dim, rows=rows).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx").parquet(path)
+
+
+def index_rows_per_band(bands: DataFrame) -> int:
+    """Band width of a persisted index — the bucket strings carry it."""
+    row = bands.select(F.length("bucket").alias("w")).first()
+    if row is None:
+        return ANN_ROWS
+    return int(row["w"])
 
 
 def ann_topk_with_index(
@@ -498,12 +674,20 @@ def ann_topk_with_index(
     max_bucket="auto",
 ) -> DataFrame:
     """ann_topk against a persisted index: query signatures are computed
-    for the query rows only; candidates come from the stored index."""
+    for the query rows only — at the width the index was built with (read
+    back from the stored bucket strings); candidates come from the index."""
     bands = spark.read.parquet(index_path)
+    rows = index_rows_per_band(bands)
     if max_bucket is not None:
         bands = prune_megabuckets(bands, max_bucket)
     q = (
-        ann_bands(embeddings.filter(F.col(id_col) < n_queries), id_col, vec_col, dim)
+        ann_bands(
+            embeddings.filter(F.col(id_col) < n_queries),
+            id_col,
+            vec_col,
+            dim,
+            rows=rows,
+        )
         .select(F.col(id_col).alias("query_id"), "band_idx", "bucket")
     )
     c = bands.select(F.col(id_col).alias("neighbor_id"), "band_idx", "bucket")
@@ -536,6 +720,7 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     max_bucket="auto",
+    rows="auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector analogue of
     datapipe.near_duplicate_pairs: candidates from shared LSH band buckets
@@ -544,29 +729,29 @@ def embedding_near_pairs(
 
     Contract note (same as every LSH dedup at scale): a qualifying pair
     that shares NO band bucket is missed — P(miss) = (1-p_band)^bands,
-    ~1.5% at cosine 0.5 with 12x3 bands, vanishing as similarity rises.
+    ~1.5% at cosine 0.5 with 12x3 bands, vanishing as similarity rises
+    (and with band width — wider auto bands trade tail recall for bounded
+    buckets; exact duplicates always collide).
     The oracle replays the identical bucketing, so results are exact
     w.r.t. the operator's own contract.
     """
-    bands = ann_bands(embeddings, id_col, vec_col, dim)
+    rows = _resolve_rows(rows, embeddings)
+    bands = ann_bands(embeddings, id_col, vec_col, dim, rows=rows, with_vec=True)
     if max_bucket is not None:
         bands = prune_megabuckets(bands, max_bucket)
-    a = bands.select(F.col(id_col).alias("vec_a"), "band_idx", "bucket")
-    b = bands.select(F.col(id_col).alias("vec_b"), "band_idx", "bucket")
-    cand = (
-        a.join(b, ["band_idx", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    va = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("av"))
-    vb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("bv"))
+    bands = _wide(bands, "band_idx", "bucket")
+    # bucket-local matmul scoring with the threshold pushed into the
+    # kernel: only qualifying pairs are ever emitted, so the shuffle after
+    # the kernel carries true near-dups, not the full candidate fan-out.
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn("sim", cosine_arrow(F.col("av"), F.col("bv")))
-        .filter(F.col("sim") >= threshold)
-        .select("vec_a", "vec_b", "sim")
+        bucket_scored_pairs(
+            bands, id_col, vec_col, threshold=threshold, ordered_lt=True
+        )
+        .groupBy("qid", "nid")
+        .agg(F.max("sim").alias("sim"))
+        .select(
+            F.col("qid").alias("vec_a"), F.col("nid").alias("vec_b"), "sim"
+        )
     )
 
 

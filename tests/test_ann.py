@@ -299,3 +299,97 @@ def test_megabucket_guard_bounds_skew_floods(spark):
     # and the guarded operator completes end-to-end on the skewed corpus
     got = ann_topk(skewed, n_queries=4, k=3)
     assert got.count() > 0
+
+
+def test_auto_rows_per_band_rule():
+    """Width floors at 3 through the oracle-checked scales (sf0.01/sf0.1)
+    and grows ~log2(N) beyond, clamped at ANN_MAX_ROWS."""
+    assert ann.auto_rows_per_band(0) == 3
+    assert ann.auto_rows_per_band(200) == 3      # sf0.01
+    assert ann.auto_rows_per_band(2_000) == 3    # sf0.1
+    assert ann.auto_rows_per_band(20_000) == 7   # sf1 (10x)
+    assert ann.auto_rows_per_band(1_000_000) == 12
+    assert ann.auto_rows_per_band(10**12) == ann.ANN_MAX_ROWS
+
+
+def test_wide_bands_keep_exact_duplicates(spark, emb):
+    """The scale story of auto width: wider bands shrink buckets, but
+    exact duplicates collide at ANY width — a 10x-replicated corpus must
+    still yield every copy-pair from embedding_near_pairs, and the kernel
+    path must complete without the pair-join vector shuffle."""
+    from pyspark.sql import functions as F
+
+    copies = 4
+    base = emb.select("vec_id", "embedding", "label").limit(50)
+    dup = base
+    for i in range(1, copies):
+        dup = dup.unionByName(
+            base.select(
+                (F.col("vec_id") + 10_000 * i).alias("vec_id"), "embedding", "label"
+            )
+        )
+    # force a wide layout (as auto would pick for a big corpus)
+    pairs = ann.embedding_near_pairs(dup, threshold=0.999, rows=6, max_bucket=None)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    for r in base.collect():
+        group = sorted(r.vec_id + 10_000 * i for i in range(copies))
+        for i in range(copies):
+            for j in range(i + 1, copies):
+                assert (group[i], group[j]) in got, (
+                    f"duplicate pair {(group[i], group[j])} lost at width 6"
+                )
+
+
+def test_bucket_kernel_matches_pairjoin_scoring(spark, emb):
+    """bucket_scored_pairs (bucket-local matmul) must reproduce the exact
+    (qid, nid, sim) set the old pair-join + cosine_arrow plan produced:
+    same candidates (shared buckets), same 4dp cosine."""
+    from pyspark.sql import functions as F
+
+    sub = emb.limit(120)
+    bands = ann.ann_bands(sub, with_vec=True)
+    kernel = (
+        ann.bucket_scored_pairs(bands, "vec_id", "embedding")
+        .groupBy("qid", "nid")
+        .agg(F.max("sim").alias("sim"))
+        .collect()
+    )
+    b2 = ann.ann_bands(sub)
+    a = b2.select(F.col("vec_id").alias("qid"), "band_idx", "bucket")
+    b = b2.select(F.col("vec_id").alias("nid"), "band_idx", "bucket")
+    cand = (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    qv = sub.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    nv = sub.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    legacy = (
+        cand.join(qv, "qid")
+        .join(nv, "nid")
+        .withColumn("sim", ann.cosine_arrow(F.col("qv"), F.col("nv")))
+        .select("qid", "nid", "sim")
+        .collect()
+    )
+    assert {(r.qid, r.nid, r.sim) for r in kernel} == {
+        (r.qid, r.nid, r.sim) for r in legacy
+    }
+
+
+def test_index_probe_width_follows_build_width(spark, emb, tmp_path):
+    """A persisted index built at a non-default width must be probed at
+    that width (read back from the stored bucket strings)."""
+    idx = str(tmp_path / "annidx_w5")
+    ann.build_ann_index(emb, idx, rows=5)
+    stored = spark.read.parquet(idx)
+    assert ann.index_rows_per_band(stored) == 5
+    inline = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann.ann_topk(emb, rows=5).collect()
+    }
+    via_index = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann.ann_topk_with_index(spark, idx, emb).collect()
+    }
+    assert inline == via_index
