@@ -94,24 +94,119 @@ def minhash_signature_cols(sh: Column, k: int = MINHASH_K) -> list[Column]:
     return [_minhash_one(sh, i).alias(f"mh{i}") for i in range(k)]
 
 
+def minhash_band_rows(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    with_sig: bool = False,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """(doc_id, band_idx, bucket[, sig]) — LSH banding of the minhash
+    signature, with two physical strategies for the same formula (the
+    ann_bands pattern):
+
+    - ``use_arrow=True`` (default): ONE Arrow stage computes every doc's
+      shingle set, all MINHASH_K md5 minima, and the band buckets in a
+      single pass with hashlib.  The expression path below evaluates 12
+      ``array_min(transform(md5(...)))`` folds — higher-order functions
+      Catalyst interprets rather than codegens — and re-evaluates the
+      whole signature lineage once per CONSUMER (the size aggregation,
+      the guard's semi-join probe, and the materialization each paid it:
+      measured 36 s per evaluation at 10x test scale, >400 s end-to-end
+      for the near-dup pipeline).  The kernel also starts from an explicit
+      repartition: a few-MB parquet of heavy-compute rows otherwise scans
+      as 1-2 input partitions and single-threads the signature work.
+    - ``use_arrow=False``: the pure-expression form the DuckDB oracle
+      replays (md5 hex strings compare identically in both engines).
+
+    Byte-compat notes for the kernel: Java's ``\\s`` is exactly
+    ``[ \\t\\n\\x0b\\f\\r]`` (not Unicode whitespace), Spark SQL ``trim``
+    strips ONLY spaces (U+0020 — not tabs, newlines, or controls), and
+    Spark ``split`` keeps leading/trailing empty tokens.  All three are
+    reproduced literally so tokenization is bit-identical to the
+    expression path (asserted in tests, including NBSP/control cases).
+    """
+    if not use_arrow:
+        sigs = docs.select(
+            F.col(id_col), F.array(*minhash_signature_cols(shingles_col(tokens_col(text)))).alias("sig")
+        ).filter(F.col("sig")[0].isNotNull())
+        bands = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+        out = sigs.select(
+            F.col(id_col), F.col("sig"), F.explode(F.array(*bands)).alias("bb")
+        ).select(
+            id_col,
+            F.col("bb.band_idx").alias("band_idx"),
+            F.col("bb.bucket").alias("bucket"),
+            "sig",
+        )
+        return out if with_sig else out.drop("sig")
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, band_idx int, bucket string"
+    if with_sig:
+        out_schema += ", sig array<string>"
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = docs.select(id_col, text).repartition(n_part)
+    shingle_n, k, n_bands, rows = SHINGLE_N, MINHASH_K, LSH_BANDS, LSH_ROWS
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        prefixes = [f"{i}:".encode() for i in range(k)]
+        for pdf in batches:
+            ids, bands_out, buckets, sigs_out = [], [], [], []
+            for did, txt in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                toks = java_ws.split((txt or "").strip(" "))
+                if len(toks) < shingle_n:
+                    continue
+                sh = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                enc = [s.encode() for s in sh]
+                mh = [
+                    min(hashlib.md5(p + e).hexdigest() for e in enc)
+                    for p in prefixes
+                ]
+                for b in range(n_bands):
+                    ids.append(did)
+                    bands_out.append(b)
+                    buckets.append(
+                        hashlib.md5(
+                            "|".join(mh[b * rows : (b + 1) * rows]).encode()
+                        ).hexdigest()
+                    )
+                    if with_sig:
+                        sigs_out.append(mh)
+            out = pd.DataFrame(
+                {id_col: ids, "band_idx": bands_out, "bucket": buckets}
+            )
+            if with_sig:
+                # explicit object dtype: an empty batch would otherwise
+                # infer float64, which Arrow cannot cast to list<string>
+                out["sig"] = pd.Series(sigs_out, dtype="object")
+            yield out
+
+    return src.mapInPandas(kernel, out_schema)
+
+
 def minhash_bands(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, band_idx, bucket) — LSH banding of the minhash signature."""
-    sh = shingles_col(tokens_col(text))
-    sigs = docs.select(F.col(id_col), *minhash_signature_cols(sh)).filter(
-        F.col("mh0").isNotNull()
-    )
-    bands = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
-            ).alias("bucket"),
-        )
-        for b in range(LSH_BANDS)
-    ]
-    return sigs.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
-    ).select(id_col, F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
+    return minhash_band_rows(docs, text, id_col)
 
 
 def lsh_bucket_collisions(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -159,27 +254,10 @@ def near_duplicate_pairs(
     # to filtering after it.  (A first cut joined signatures back onto
     # distinct candidate pairs; that recomputed the signature scan twice
     # more and measured SLOWER than no prefilter at sf0.1 — 49 s vs 25 s.)
-    sh_col = shingles_col(tokens_col(text))
-    sigs = docs.select(
-        F.col(id_col), F.array(*minhash_signature_cols(sh_col)).alias("sig")
-    ).filter(F.col("sig")[0].isNotNull())
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws("|", *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)])
-            ).alias("bucket"),
-        )
-        for b in range(LSH_BANDS)
-    ]
-    bands = sigs.select(
-        F.col(id_col), F.col("sig"), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        id_col,
-        "sig",
-        F.col("bb.band_idx").alias("band_idx"),
-        F.col("bb.bucket").alias("bucket"),
-    )
+    # Signatures come from the single-pass Arrow kernel; the expression
+    # lineage re-evaluated per consumer (guard sizes + semi probe +
+    # materialization) and measured >400 s at 10x scale vs ~8 s here.
+    bands = minhash_band_rows(docs, text, id_col, with_sig=True)
     bands = prune_megabuckets(bands, max_bucket)
     a = bands.select(
         "band_idx", "bucket", F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")

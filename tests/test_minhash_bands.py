@@ -1,0 +1,73 @@
+"""MinHash banding — Arrow kernel vs expression path bit-parity.
+
+The Arrow kernel (datapipe.minhash_band_rows) replaces 12 interpreted
+array_min(transform(md5)) folds with one hashlib pass; the expression path
+is what the DuckDB oracles replay, so the two must agree byte-for-byte on
+(doc_id, band_idx, bucket, sig) — including the Java-vs-Python whitespace
+and trim edge cases the kernel reimplements by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lightrag_spark.operators import datapipe as dp
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _rows(df, with_sig):
+    if with_sig:
+        return {(r.doc_id, r.band_idx, r.bucket, tuple(r.sig)) for r in df.collect()}
+    return {(r.doc_id, r.band_idx, r.bucket) for r in df.collect()}
+
+
+def test_arrow_matches_expression_on_testdata(docs):
+    assert _rows(dp.minhash_band_rows(docs), False) == _rows(
+        dp.minhash_band_rows(docs, use_arrow=False), False
+    )
+    assert _rows(dp.minhash_band_rows(docs, with_sig=True), True) == _rows(
+        dp.minhash_band_rows(docs, with_sig=True, use_arrow=False), True
+    )
+
+
+def test_arrow_matches_expression_on_whitespace_edges(spark):
+    """Tokenization must agree where Java and Python whitespace semantics
+    diverge: Unicode spaces (NOT split by Java \\s), control chars <= U+0020
+    (stripped by Java trim), tab/newline runs, and too-short docs."""
+    cases = [
+        (1, "alpha beta gamma delta"),
+        (2, "  \t alpha\nbeta\x0bgamma\fdelta \r "),
+        (3, "alpha beta gamma delta epsilon"),  # NBSP is NOT Java \s
+        (4, "\x01alpha beta gamma\x02"),  # controls stripped by trim only at ends
+        (5, "one two"),  # < SHINGLE_N tokens -> no rows
+        (6, ""),
+        (7, "x " * 40),
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    arrow = _rows(dp.minhash_band_rows(docs, with_sig=True), True)
+    expr = _rows(dp.minhash_band_rows(docs, with_sig=True, use_arrow=False), True)
+    assert arrow == expr
+    assert not any(t[0] in (5, 6) for t in arrow)
+
+
+def test_near_duplicate_pairs_finds_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail"),  # near-dup of 1 (J=0.857, shares 2 bands)
+            (3, "completely different content about spark shuffles and joins ok"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in dp.near_duplicate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
