@@ -445,6 +445,32 @@ def _q_tpch_q1ish(spark, sf):
     )
 
 
+_EVAL_QUERIES = [
+    "spark window merge join",
+    "customer query filter order",
+    "vector stream batch data",
+    "hash key scan table slow",
+    "fast group line part big",
+]
+
+
+def _q_eval_retrieval(spark, sf):
+    """TF-IDF retrieval audit (evaluation/retrieval_check.py — the Spark
+    re-expression of the reference's offline_retrieval_check): rank every
+    document against a fixed query set with the reference's tokenizer,
+    idf and per-occurrence scoring; top-10 per question.  The DuckDB
+    oracle replays the identical formula."""
+    from lightrag_spark.evaluation import rank_documents
+
+    docs = _documents(spark, sf).select(
+        F.concat(F.lit("doc"), F.col("doc_id")).alias("name"), "text"
+    )
+    qdf = spark.createDataFrame([(q,) for q in _EVAL_QUERIES], "question string")
+    return rank_documents(docs, qdf, top_k=10).select(
+        "question", "name", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_chunks": _q_kg_chunks,
@@ -476,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_sessions,
         "events_windows": _q_events_windows,
         "tpch_q1ish": _q_tpch_q1ish,
+        "eval_retrieval": _q_eval_retrieval,
     }
 
 
@@ -623,6 +650,46 @@ SELECT doc_id,
         WHEN n > 0 AND cyr::DOUBLE/n >= {dp.CYRILLIC_RATIO} THEN cyr
         ELSE best END)::BIGINT AS score
 FROM b"""
+
+
+def _eval_retrieval_sql() -> str:
+    """DuckDB restatement of the TF-IDF retrieval audit: reference
+    tokenizer ([a-z0-9]+ on lowercase, stopwords out, single chars out),
+    idf = ln((N+1)/(df+1))+1, score = sum over query-token occurrences of
+    (1+ln(tf))*idf, rank on (round(score,6) DESC, name), top 10."""
+    from lightrag_spark.evaluation import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    qvals = ", ".join(f"('{q}')" for q in _EVAL_QUERIES)
+    return f"""
+WITH d AS (
+  SELECT 'doc' || doc_id AS name, text FROM documents),
+toks AS (
+  SELECT name, u.t AS token
+  FROM d, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE length(u.t) > 1 AND u.t NOT IN ({stop})),
+tf AS (SELECT name, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM d),
+idf AS (
+  SELECT token,
+         ln(((SELECT n_docs FROM n) + 1.0) / (count(DISTINCT name) + 1.0)) + 1.0 AS idf
+  FROM tf GROUP BY token),
+q AS (SELECT * FROM (VALUES {qvals}) v(question)),
+qt AS (
+  SELECT question, u.t AS token
+  FROM q, UNNEST(regexp_split_to_array(lower(question), '[^a-z0-9]+')) AS u(t)
+  WHERE length(u.t) > 1 AND u.t NOT IN ({stop})),
+qtf AS (SELECT question, token, count(*) AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT question, name,
+         round(sum(qtf * (ln(tf) + 1.0) * idf), 6) AS score
+  FROM qtf JOIN tf USING (token) JOIN idf USING (token)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT question, name, score,
+         row_number() OVER (PARTITION BY question ORDER BY score DESC, name) AS rank
+  FROM scored WHERE score > 0)
+SELECT question, name, rank, score FROM ranked WHERE rank <= 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -966,4 +1033,5 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
+        "eval_retrieval": _eval_retrieval_sql(),
     }

@@ -1,0 +1,154 @@
+"""Distributed TF-IDF retrieval audit (recall@k + MRR vs an oracle).
+
+Spark re-expression of the reference's offline sanity checker
+(lightrag/evaluation/offline_retrieval_check.py:78-196): same tokenizer
+(``[a-z0-9]+`` on lowercased text, stopwords dropped, single chars dropped),
+same idf ``ln((N+1)/(df+1)) + 1``, same per-occurrence query scoring
+``(1 + ln(tf)) * idf``, same ``(-score, name)`` ranking with zero-score
+documents excluded, same recall@k / reciprocal-rank summary.
+
+The reference walks Counter objects per document on one core; here every
+step is a DataFrame op so the audit runs over a full corpus:
+
+- term frequencies: one shuffle keyed by (doc, token) with map-side combine;
+- idf: token-keyed agg over the tf table (already token-keyed — narrow),
+  then BROADCAST to the scorers (vocabulary << corpus);
+- scoring: the query side is a handful of rows — broadcast both query term
+  counts and idf onto the corpus tf table, so the only data-volume shuffle
+  in the whole audit is the (question, doc) score agg;
+- ranking: per-question window over score-positive docs.  Ranks are
+  assigned on ``(round(score, 6) DESC, name)`` — the rounding makes
+  mathematically-equal scores (common under a small vocabulary) tie
+  cleanly and fall through to the deterministic name tiebreak regardless
+  of float summation order, which keeps the ranking replayable bit-for-bit
+  by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# Verbatim stopword list from offline_retrieval_check.py:26-52 — part of the
+# scoring contract (a different list changes every score).
+STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "how",
+    "in", "into", "is", "it", "its", "of", "on", "or", "that", "the",
+    "their", "to", "what", "with",
+]
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    """Explode ``text_col`` into reference-tokenizer tokens, keeping
+    multiplicity (the reference scores each query-token occurrence)."""
+    tok = F.explode(F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)).alias("token")
+    out = df.select(*keep, tok)
+    return out.filter((F.length("token") > 1) & ~F.col("token").isin(STOPWORDS))
+
+
+def doc_term_frequencies(docs: DataFrame) -> DataFrame:
+    """(name, token, tf) — one shuffle, map-side combined."""
+    return _tokens(docs, "text", ["name"]).groupBy("name", "token").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def inverse_document_frequency(tf: DataFrame, n_docs: int) -> DataFrame:
+    """(token, idf) with idf = ln((N+1)/(df+1)) + 1  (reference :123-131).
+
+    ``n_docs`` is the corpus size INCLUDING score-zero documents, so it is
+    taken from the docs table, not from tf (a doc of pure stopwords has no
+    tf rows but still counts toward N).
+    """
+    return tf.groupBy("token").agg(
+        (F.log((F.lit(n_docs) + 1.0) / (F.countDistinct("name") + 1.0)) + 1.0).alias(
+            "idf"
+        )
+    )
+
+
+def rank_documents(docs: DataFrame, queries: DataFrame, top_k: int | None = None) -> DataFrame:
+    """Rank every document against every question.
+
+    docs: (name, text); queries: (question).  Returns
+    (question, name, score, rank) for score>0 docs, rank 1-based on
+    (round(score,6) DESC, name), optionally truncated to ``top_k``.
+    """
+    tf = doc_term_frequencies(docs)
+    idf = inverse_document_frequency(tf, docs.count())
+    qtf = (
+        _tokens(queries.select("question"), "question", ["question"])
+        .groupBy("question", "token")
+        .agg(F.count("*").alias("qtf"))
+    )
+    scored = (
+        tf.join(F.broadcast(qtf), "token")
+        .join(F.broadcast(idf), "token")
+        .groupBy("question", "name")
+        .agg(
+            F.round(
+                F.sum(F.col("qtf") * (F.log("tf") + 1.0) * F.col("idf")), 6
+            ).alias("score")
+        )
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("question").orderBy(F.col("score").desc(), F.col("name"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if top_k is not None:
+        ranked = ranked.filter(F.col("rank") <= top_k)
+    return ranked
+
+
+def retrieval_metrics(ranked: DataFrame, oracle: DataFrame, top_k: int) -> DataFrame:
+    """Per-question metrics vs the oracle.
+
+    ranked: full (untruncated) output of rank_documents; oracle:
+    (question, expected: array<string>).  Returns one row per question:
+    (question, recall_at_k, reciprocal_rank) — reference :66-75
+    (recall over top_k; RR over the FULL ranking, 0 when no hit).
+    """
+    hits = ranked.join(oracle, "question").withColumn(
+        "is_expected", F.array_contains("expected", F.col("name"))
+    )
+    per_q = hits.groupBy("question").agg(
+        (
+            F.count_distinct(
+                F.when(
+                    F.col("is_expected") & (F.col("rank") <= top_k), F.col("name")
+                )
+            )
+            / F.first(F.size("expected"))
+        ).alias("recall_at_k"),
+        F.coalesce(
+            1.0 / F.min(F.when(F.col("is_expected"), F.col("rank"))), F.lit(0.0)
+        ).alias("reciprocal_rank"),
+    )
+    # questions whose every expected doc scored 0 never appear in ranked —
+    # they still carry metrics (all zero), exactly like the reference.
+    return (
+        oracle.select("question")
+        .join(per_q, "question", "left")
+        .fillna({"recall_at_k": 0.0, "reciprocal_rank": 0.0})
+    )
+
+
+def summarize_retrieval(metrics: DataFrame, top_k: int) -> dict:
+    """Aggregate summary matching offline_retrieval_check.summarize
+    (:181-196).  Single small row — collected."""
+    row = metrics.agg(
+        F.count("*").alias("queries"),
+        F.avg("recall_at_k").alias("average_recall_at_k"),
+        F.avg("reciprocal_rank").alias("mean_reciprocal_rank"),
+        F.sum((F.col("recall_at_k") == 1.0).cast("int")).alias("full_recall_queries"),
+        F.sum((F.col("recall_at_k") == 0.0).cast("int")).alias("no_hit_queries"),
+    ).first()
+    return {
+        "queries": row["queries"],
+        "top_k": top_k,
+        "average_recall_at_k": row["average_recall_at_k"],
+        "mean_reciprocal_rank": row["mean_reciprocal_rank"],
+        "full_recall_queries": row["full_recall_queries"],
+        "no_hit_queries": row["no_hit_queries"],
+    }

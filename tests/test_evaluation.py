@@ -1,0 +1,264 @@
+"""Evaluation harness — differential vs the reference's own modules.
+
+- retrieval_check: the Spark TF-IDF audit must reproduce the reference's
+  offline_retrieval_check (lightrag/evaluation/) ranking, recall@k, and
+  MRR on the reference's own bundled sample documents + oracle.
+- rag_quality: ragas_score NaN semantics + benchmark stats match the
+  reference formulas (eval_rag_quality.py:524-545, 772-866).
+- pairwise: the verbatim criteria prompt + tolerant verdict parse + win
+  rates (reproduce/batch_eval.py).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import math
+from pathlib import Path
+
+import pytest
+
+from lightrag_spark.evaluation import (
+    benchmark_stats,
+    build_pairwise_prompt,
+    evaluate_cases,
+    judge_pairs,
+    lexical_metrics_fn,
+    pairwise_sys_prompt,
+    rank_documents,
+    retrieval_metrics,
+    summarize_retrieval,
+    win_rates,
+)
+from lightrag_spark.evaluation.rag_quality import ragas_score
+from lightrag_spark.evaluation.pairwise import parse_verdict
+
+REF_EVAL = Path("/root/reference/lightrag/evaluation")
+
+
+def _load_ref_checker():
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_offline_check", REF_EVAL / "offline_retrieval_check.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod  # dataclass field resolution needs this
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_results():
+    """The reference checker's own results on its bundled samples."""
+    ref = _load_ref_checker()
+    cases = ref.load_cases(REF_EVAL / "sample_dataset.json")
+    oracle = ref.load_oracle(REF_EVAL / "sample_retrieval_oracle.json")
+    documents = ref.load_documents(REF_EVAL / "sample_documents")
+    results = ref.audit_samples(cases, oracle, documents)
+    return ref, cases, oracle, documents, results
+
+
+@pytest.fixture(scope="module")
+def sample_frames(spark):
+    docs = []
+    for p in sorted((REF_EVAL / "sample_documents").glob("*.md")):
+        if p.name.lower() == "readme.md":
+            continue
+        docs.append((p.name, p.read_text(encoding="utf-8")))
+    docs_df = spark.createDataFrame(docs, "name string, text string")
+    oracle = json.loads((REF_EVAL / "sample_retrieval_oracle.json").read_text())
+    oracle_df = spark.createDataFrame(
+        [(e["question"], e["expected_documents"]) for e in oracle["oracle"]],
+        "question string, expected array<string>",
+    )
+    queries_df = oracle_df.select("question")
+    return docs_df, queries_df, oracle_df
+
+
+def test_ranking_matches_reference(ref_results, sample_frames):
+    """Per question: identical ranked document order (score>0 docs)."""
+    _, _, _, _, results = ref_results
+    docs_df, queries_df, _ = sample_frames
+    ranked = rank_documents(docs_df, queries_df).collect()
+    by_q: dict = {}
+    for r in ranked:
+        by_q.setdefault(r.question, []).append((r.rank, r.name))
+    for res in results:
+        got = [n for _, n in sorted(by_q.get(res.question, []))]
+        assert got == res.ranked, f"ranking diverged for: {res.question}"
+
+
+def test_metrics_match_reference(ref_results, sample_frames):
+    """recall@k per question and the summary block equal the reference's."""
+    ref, _, _, _, results = ref_results
+    docs_df, queries_df, oracle_df = sample_frames
+    top_k = 2
+    ranked = rank_documents(docs_df, queries_df)
+    metrics = retrieval_metrics(ranked, oracle_df, top_k)
+    got = {r.question: r for r in metrics.collect()}
+    for res in results:
+        g = got[res.question]
+        assert g.recall_at_k == pytest.approx(res.recall_at(top_k))
+        assert g.reciprocal_rank == pytest.approx(res.reciprocal_rank())
+    ref_summary = ref.summarize(results, top_k)
+    summary = summarize_retrieval(metrics, top_k)
+    for key in (
+        "queries",
+        "average_recall_at_k",
+        "mean_reciprocal_rank",
+        "full_recall_queries",
+        "no_hit_queries",
+    ):
+        assert summary[key] == pytest.approx(ref_summary[key]), key
+
+
+def test_zero_hit_question_still_reports(spark, sample_frames):
+    docs_df, _, _ = sample_frames
+    queries = spark.createDataFrame(
+        [("zzzunmatchable quuxtoken",)], "question string"
+    )
+    oracle = spark.createDataFrame(
+        [("zzzunmatchable quuxtoken", ["01_lightrag_overview.md"])],
+        "question string, expected array<string>",
+    )
+    m = retrieval_metrics(rank_documents(docs_df, queries), oracle, 2).collect()
+    assert len(m) == 1
+    assert m[0].recall_at_k == 0.0 and m[0].reciprocal_rank == 0.0
+
+
+# ---------------------------------------------------------------------------
+# rag_quality
+# ---------------------------------------------------------------------------
+
+
+def test_ragas_score_nan_semantics():
+    """eval_rag_quality.py:524-545 — NaN-excluded mean rounded to 4;
+    all-NaN -> 0.0."""
+    nan = float("nan")
+    assert ragas_score((0.5, 0.7, nan, nan)) == pytest.approx(0.6)
+    assert ragas_score((nan, nan, nan, nan)) == 0.0
+    assert ragas_score((1.0, 1.0, 1.0, 1.0)) == 1.0
+    assert ragas_score((0.33333333, nan, nan, nan)) == 0.3333
+
+
+def test_evaluate_cases_and_stats(spark):
+    cases = spark.createDataFrame(
+        [
+            (
+                "c1",
+                "what is lightrag",
+                "lightrag is a retrieval framework",
+                ["lightrag is a simple fast retrieval framework"],
+                "lightrag is a retrieval framework",
+            ),
+            # no ground truth -> context_recall/precision NaN, ragas over 2
+            ("c2", "what is spark", "spark is an engine", ["spark docs"], None),
+        ],
+        "case_id string, question string, answer string, "
+        "contexts array<string>, ground_truth string",
+    )
+    res = evaluate_cases(cases, lexical_metrics_fn)
+    rows = {r.case_id: r for r in res.collect()}
+    r1 = rows["c1"]
+    # c1: answer tokens all appear in context -> faithfulness 1.0
+    assert r1.faithfulness == pytest.approx(1.0)
+    assert 0.0 <= r1.answer_relevancy <= 1.0
+    assert r1.ragas_score == pytest.approx(
+        ragas_score(
+            (r1.faithfulness, r1.answer_relevancy, r1.context_recall, r1.context_precision)
+        )
+    )
+    r2 = rows["c2"]
+    # Arrow maps float-NaN to null on the way into Spark — "metric
+    # unavailable" surfaces as null in the results frame
+    assert r2.context_recall is None and r2.context_precision is None
+    # ragas for c2 averages only the two non-NaN metrics
+    assert r2.ragas_score == pytest.approx(
+        round((r2.faithfulness + r2.answer_relevancy) / 2, 4)
+    )
+
+    stats = benchmark_stats(res).collect()[0]
+    assert stats.total_cases == 2
+    # NaN-excluding average: context_recall averages over c1 only
+    assert stats.avg_context_recall == pytest.approx(round(r1.context_recall, 4))
+    assert stats.min_ragas_score == pytest.approx(
+        min(r1.ragas_score, r2.ragas_score)
+    )
+    assert stats.max_ragas_score == pytest.approx(
+        max(r1.ragas_score, r2.ragas_score)
+    )
+
+
+# ---------------------------------------------------------------------------
+# pairwise
+# ---------------------------------------------------------------------------
+
+
+def test_pairwise_prompt_verbatim():
+    """The criteria prompt is the judging contract — spot the verbatim
+    reference lines (reproduce/batch_eval.py:27-73) and the substitutions."""
+    p = build_pairwise_prompt("Q?", "A ONE", "A TWO")
+    ref_src = Path("/root/reference/reproduce/batch_eval.py").read_text()
+    for line in [
+        "- **Comprehensiveness**: How much detail does the answer provide to cover all aspects and details of the question?",
+        "- **Diversity**: How varied and rich is the answer in providing different perspectives and insights on the question?",
+        "- **Empowerment**: How well does the answer help the reader understand and make informed judgments about the topic?",
+        '"Winner": "[Answer 1 or Answer 2]"',
+        '"Explanation": "[Summarize why this answer is the overall winner based on the three criteria]"',
+    ]:
+        assert line in p
+        assert line in ref_src, "drifted from the reference template"
+    assert "Q?" in p and "A ONE" in p and "A TWO" in p
+    sys_line = "You are an expert tasked with evaluating two answers to the same question based on three criteria"
+    assert sys_line in pairwise_sys_prompt()
+    assert sys_line in ref_src
+
+
+def test_parse_verdict_tolerant():
+    good = json.dumps(
+        {
+            "Comprehensiveness": {"Winner": "Answer 1", "Explanation": "x"},
+            "Diversity": {"Winner": "answer 2", "Explanation": "x"},
+            "Empowerment": {"Winner": "Answer 2", "Explanation": "x"},
+            "Overall Winner": {"Winner": "Answer 2", "Explanation": "x"},
+        }
+    )
+    v = parse_verdict("```json\n" + good + "\n```")
+    assert v == {
+        "Comprehensiveness": "1",
+        "Diversity": "2",
+        "Empowerment": "2",
+        "Overall Winner": "2",
+    }
+    assert parse_verdict("not json at all") == {
+        "Comprehensiveness": None,
+        "Diversity": None,
+        "Empowerment": None,
+        "Overall Winner": None,
+    }
+
+
+def test_judge_pairs_and_win_rates(spark):
+    def judge_fn(user_prompt, system_prompt):
+        # deterministic: answer containing the marker token wins everything
+        # (a token NOT in the prompt boilerplate, unlike e.g. "rich")
+        winner = "Answer 1" if "zebra" in user_prompt.split("**Answer 2:**")[0] else "Answer 2"
+        return json.dumps(
+            {c: {"Winner": winner, "Explanation": "mock"} for c in (
+                "Comprehensiveness", "Diversity", "Empowerment", "Overall Winner")}
+        )
+
+    cases = spark.createDataFrame(
+        [
+            ("q1", "a zebra detailed answer", "short"),
+            ("q2", "plain", "other"),
+            ("q3", "also zebra here", "short"),
+        ],
+        "question string, answer1 string, answer2 string",
+    )
+    judged = judge_pairs(cases, judge_fn)
+    rates = {r.criterion: r for r in win_rates(judged).collect()}
+    ov = rates["Overall Winner"]
+    assert ov.wins_1 == 2 and ov.wins_2 == 1 and ov.undecided == 0
+    assert ov.win_rate_1 == pytest.approx(2 / 3)
