@@ -117,12 +117,15 @@ def main():
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
         "dedup_simhash",
+        "dedup_simhash_near",
+        "dedup_embedding_near",
         "sim_cosine_topk",
         "sim_ann_topk",
         "sim_knn_label_vote",
         "text_quality",
         "events_sessions",
         "tpch_q1ish",
+        "eval_retrieval",
     )
 
     def _time(name):

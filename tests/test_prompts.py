@@ -11,7 +11,7 @@ import json
 import pytest
 
 from lightrag_spark import prompts as P
-from tests.refshim import load_reference
+from refshim import load_reference
 
 ref = load_reference()
 REF_PROMPTS = None
