@@ -605,10 +605,6 @@ global_ents AS (
   FROM ent_first WHERE rn = 1)
 """
 
-_MH_MATCH_SUM = " + ".join(
-    f"(CASE WHEN ga.mh{i} = gb.mh{i} THEN 1 ELSE 0 END)" for i in range(dp.MINHASH_K)
-)
-
 _SIMHASH_BIT_SUMS = ", ".join(
     f"sum(((hv >> {b}) & 1)*2 - 1) AS s{b}" for b in range(dp.SIMHASH_BITS)
 )
@@ -829,15 +825,11 @@ pbands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM pbands a JOIN pbands b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-screened AS (
-  SELECT c.doc_a, c.doc_b
-  FROM cand c JOIN sigs ga ON ga.doc_id = c.doc_a JOIN sigs gb ON gb.doc_id = c.doc_b
-  WHERE ({_MH_MATCH_SUM}) >= {dp.NEARDUP_PREFILTER_MATCHES}),
 j AS (
   SELECT c.doc_a, c.doc_b,
          round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
                / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
-  FROM screened c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {dp.NEARDUP_THRESHOLD}""",
         "kg_chunks_semantic": """
 WITH v AS (

@@ -32,14 +32,6 @@ MINHASH_K = 12         # minhash functions
 LSH_BANDS = 3          # bands (x LSH_ROWS = MINHASH_K)
 LSH_ROWS = 4           # rows per band
 NEARDUP_THRESHOLD = 0.5
-# Minhash-estimate prefilter: candidate pairs must match at least this many
-# of the MINHASH_K signature components before the exact-Jaccard verify is
-# allowed to shuffle their full shingle arrays.  3/12 = est 0.25 against a
-# 0.5 exact threshold: a true J=0.5 pair fails the prefilter with
-# P(Binom(12,.5)<=2) ~ 1.9% — an accepted part of the operator contract
-# (the oracle replays the identical prefilter), bought for shuffling ~400 B
-# of signature instead of the full shingle set per candidate.
-NEARDUP_PREFILTER_MATCHES = 3
 # SimHash width.  60 bits = 15 md5 hex chars: wide enough that band buckets
 # stay sparse at web scale (4 bands x 15 bits = 32,768 buckets per band, vs
 # 16 per band at the old 16-bit width, whose banded self-join degenerated to
@@ -99,6 +91,7 @@ def minhash_band_rows(
     text: str = "text",
     id_col: str = "doc_id",
     with_sig: bool = False,
+    with_shingles: bool = False,
     use_arrow: bool = True,
 ) -> DataFrame:
     """(doc_id, band_idx, bucket[, sig]) — LSH banding of the minhash
@@ -127,6 +120,8 @@ def minhash_band_rows(
     expression path (asserted in tests, including NBSP/control cases).
     """
     if not use_arrow:
+        if with_shingles:
+            raise ValueError("with_shingles requires the arrow path")
         sigs = docs.select(
             F.col(id_col), F.array(*minhash_signature_cols(shingles_col(tokens_col(text)))).alias("sig")
         ).filter(F.col("sig")[0].isNotNull())
@@ -155,6 +150,8 @@ def minhash_band_rows(
     out_schema = f"`{id_col}` {id_type}, band_idx int, bucket string"
     if with_sig:
         out_schema += ", sig array<string>"
+    if with_shingles:
+        out_schema += ", sh array<string>"
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     src = docs.select(id_col, text).repartition(n_part)
     shingle_n, k, n_bands, rows = SHINGLE_N, MINHASH_K, LSH_BANDS, LSH_ROWS
@@ -168,15 +165,19 @@ def minhash_band_rows(
         java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
         prefixes = [f"{i}:".encode() for i in range(k)]
         for pdf in batches:
-            ids, bands_out, buckets, sigs_out = [], [], [], []
+            ids, bands_out, buckets = [], [], []
+            sigs_out, sh_out = [], []
             for did, txt in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
                 toks = java_ws.split((txt or "").strip(" "))
                 if len(toks) < shingle_n:
                     continue
-                sh = {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
+                # first-occurrence order preserved (matches array_distinct)
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    )
+                )
                 enc = [s.encode() for s in sh]
                 mh = [
                     min(hashlib.md5(p + e).hexdigest() for e in enc)
@@ -192,13 +193,17 @@ def minhash_band_rows(
                     )
                     if with_sig:
                         sigs_out.append(mh)
+                    if with_shingles:
+                        sh_out.append(sh)
             out = pd.DataFrame(
                 {id_col: ids, "band_idx": bands_out, "bucket": buckets}
             )
+            # explicit object dtype: an empty batch would otherwise infer
+            # float64, which Arrow cannot cast to list<string>
             if with_sig:
-                # explicit object dtype: an empty batch would otherwise
-                # infer float64, which Arrow cannot cast to list<string>
                 out["sig"] = pd.Series(sigs_out, dtype="object")
+            if with_shingles:
+                out["sh"] = pd.Series(sh_out, dtype="object")
             yield out
 
     return src.mapInPandas(kernel, out_schema)
@@ -226,74 +231,104 @@ def near_duplicate_pairs(
     threshold: float = NEARDUP_THRESHOLD,
     max_bucket="auto",
 ) -> DataFrame:
-    """MinHash-LSH candidate generation + minhash-estimate prefilter +
-    exact n-gram Jaccard verification.
+    """MinHash-LSH candidate generation + bucket-local exact n-gram
+    Jaccard verification.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard (rounded
     to 4dp) >= threshold.  Candidates are pairs sharing at least one LSH
-    band bucket — the scale path: the join is within buckets, never
-    all-pairs over the corpus.  Before the exact verify (which must shuffle
-    each pair's full shingle arrays), pairs are screened by the minhash
-    Jaccard estimate — matching signature components / MINHASH_K — which
-    costs only the 12-hash signature per side (NEARDUP_PREFILTER_MATCHES).
+    band bucket — the scale path: the comparison happens WITHIN buckets,
+    never all-pairs over the corpus.
+
+    The exact Jaccard runs inside each (band, bucket) group via
+    applyInPandas (the ann.bucket_scored_pairs shape): shingle arrays ride
+    with the band rows (one copy per band — bounded), pairs are compared
+    as Python sets in the group kernel, and only qualifying pairs are
+    emitted — the shuffle after the kernel carries true near-dups, not
+    candidates.  The earlier plan materialized candidate pairs, screened
+    them with a minhash-estimate prefilter, then joined both shingle
+    arrays per screened pair; the bucket kernel removes the pair
+    materialization, the prefilter, and both joins — AND removes the
+    prefilter's ~1.9% false-negative clause from the operator contract
+    (the only misses now are banding misses, identical to the oracle's).
+    A pair sharing m bands re-verifies m times to the identical value;
+    groupBy-max on the pair key collapses the fan-out.
 
     ``max_bucket`` is the megabucket skew guard (ann.prune_megabuckets,
     default "auto" = max(256, 8x median bucket size)): an exact-duplicate
-    flood puts its whole cohort in ONE bucket per band, and the banded
-    self-join would emit cohort^2 candidate rows; those documents belong to
-    exact_duplicates, not here.  The threshold formula is replayed by the
-    DuckDB oracle, and dropped buckets are enumerable via
-    ann.dropped_megabuckets — no silent caps.
+    flood puts its whole cohort in ONE bucket per band and a B-row bucket
+    costs B² set comparisons; those documents belong to exact_duplicates,
+    not here.  The threshold formula is replayed by the DuckDB oracle, and
+    dropped buckets are enumerable via ann.dropped_megabuckets — no
+    silent caps.
     """
-    from .ann import prune_megabuckets
-    # The signature array rides THROUGH the band explode and the bucket
-    # join, so the prefilter costs zero extra joins and zero recomputation
-    # of the (md5-heavy) signature lineage — the estimate is evaluated
-    # inline on each banded collision row and is identical for every band
-    # a pair shares, so filtering before the pair-distinct is equivalent
-    # to filtering after it.  (A first cut joined signatures back onto
-    # distinct candidate pairs; that recomputed the signature scan twice
-    # more and measured SLOWER than no prefilter at sf0.1 — 49 s vs 25 s.)
-    # Signatures come from the single-pass Arrow kernel; the expression
-    # lineage re-evaluated per consumer (guard sizes + semi probe +
-    # materialization) and measured >400 s at 10x scale vs ~8 s here.
-    bands = minhash_band_rows(docs, text, id_col, with_sig=True)
-    bands = prune_megabuckets(bands, max_bucket)
-    a = bands.select(
-        "band_idx", "bucket", F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")
-    )
-    b = bands.select(
-        "band_idx", "bucket", F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")
-    )
-    mh_matches = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda t: t,
+    import math
+
+    import pandas as pd
+
+    from .ann import MEGABUCKET_FLOOR, MEGABUCKET_MULT, _wide
+
+    # The megabucket guard runs IN the kernel (a group knows its own
+    # size), so the shingle-carrying lineage is evaluated exactly once —
+    # prune_megabuckets' size-agg + semi-join would evaluate it two more
+    # times.  The "auto" threshold needs one global stat (median bucket
+    # size); that comes from a shingle-free banding pass — same formula
+    # the DuckDB oracle replays, just computed up front.
+    if max_bucket == "auto":
+        thr_row = (
+            minhash_band_rows(docs, text, id_col)
+            .groupBy("band_idx", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.greatest(
+                    F.lit(MEGABUCKET_FLOOR),
+                    F.floor(F.expr("median(_n)") * MEGABUCKET_MULT).cast("long"),
+                ).alias("_thr")
+            )
+            .first()
         )
-    )
-    screened = (
-        a.join(b, ["band_idx", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(mh_matches >= NEARDUP_PREFILTER_MATCHES)
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sh = docs.select(
-        F.col(id_col), shingles_col(tokens_col(text)).alias("sh")
-    )
+        thr = int(thr_row["_thr"]) if thr_row and thr_row["_thr"] is not None else None
+    else:
+        thr = max_bucket  # int or None
+
+    bands = minhash_band_rows(docs, text, id_col, with_shingles=True)
+    bands = _wide(bands, "band_idx", "bucket")
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"doc_a {id_type}, doc_b {id_type}, jaccard double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2 or (thr is not None and n > thr):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        ids = list(pdf[id_col])
+        sets = [set(s) for s in pdf["sh"]]
+        rows_a, rows_b, js = [], [], []
+        for i in range(n):
+            for jdx in range(i + 1, n):
+                a, b = ids[i], ids[jdx]
+                if a == b:
+                    continue
+                if a > b:
+                    a, b = b, a
+                inter = len(sets[i] & sets[jdx])
+                if not inter:
+                    continue
+                union = len(sets[i]) + len(sets[jdx]) - inter
+                # 4dp HALF-AWAY rounding (DuckDB/Spark round semantics;
+                # Python's round() is banker's and WOULD diverge at exact
+                # boundaries like 1/32 = 0.03125)
+                jac = math.floor(inter / union * 10000.0 + 0.5) / 10000.0
+                if jac >= threshold:
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    js.append(jac)
+        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "jaccard": js})
+
     return (
-        screened.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        bands.groupBy("band_idx", "bucket")
+        .applyInPandas(kernel, out_schema)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("jaccard").alias("jaccard"))
     )
 
 
