@@ -471,6 +471,21 @@ def _q_eval_retrieval(spark, sf):
     )
 
 
+def _q_dedup_components(spark, sf):
+    """Near-dup pairs -> duplicate clusters via distributed connected
+    components (operators/graphs.py: min-label propagation, materialized
+    per round).  canonical = component min; the DuckDB oracle replays the
+    fixpoint with a recursive CTE."""
+    from lightrag_spark.operators.graphs import duplicate_components
+
+    pairs = dp.near_duplicate_pairs(_documents(spark, sf))
+    return duplicate_components(pairs).select(
+        "doc_id",
+        "canonical_doc_id",
+        F.col("component_size").cast("long").alias("component_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_chunks": _q_kg_chunks,
@@ -503,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windows": _q_events_windows,
         "tpch_q1ish": _q_tpch_q1ish,
         "eval_retrieval": _q_eval_retrieval,
+        "dedup_components": _q_dedup_components,
     }
 
 
@@ -604,6 +620,29 @@ global_ents AS (
          row_number() OVER (ORDER BY rpos, side, entity_name)::BIGINT AS pos
   FROM ent_first WHERE rn = 1)
 """
+
+# Shared near-dup oracle chain (guard -> bucket candidates -> exact
+# Jaccard); appended after _MINHASH_CTE by dedup_near_pairs and
+# dedup_components.
+_NEARDUP_CHAIN = f""", bsizes AS (
+  SELECT band_idx, bucket, count(*) AS _n FROM bands GROUP BY 1, 2),
+bthr AS (
+  SELECT greatest({ann.MEGABUCKET_FLOOR},
+                  CAST(floor(median(_n) * {ann.MEGABUCKET_MULT}) AS BIGINT)) AS _thr
+  FROM bsizes),
+pbands AS (
+  SELECT b.* FROM bands b
+  JOIN bsizes s ON b.band_idx = s.band_idx AND b.bucket = s.bucket, bthr
+  WHERE s._n <= bthr._thr),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pbands a JOIN pbands b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)"""
 
 _SIMHASH_BIT_SUMS = ", ".join(
     f"sum(((hv >> {b}) & 1)*2 - 1) AS s{b}" for b in range(dp.SIMHASH_BITS)
@@ -810,27 +849,26 @@ SELECT content_hash, dup_count, first_doc_id FROM (
 SELECT band_idx, bucket, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
 FROM bands GROUP BY 1, 2 HAVING count(*) > 1""",
         "dedup_near_pairs": _MINHASH_CTE
-        + f""", bsizes AS (
-  SELECT band_idx, bucket, count(*) AS _n FROM bands GROUP BY 1, 2),
-bthr AS (
-  SELECT greatest({ann.MEGABUCKET_FLOOR},
-                  CAST(floor(median(_n) * {ann.MEGABUCKET_MULT}) AS BIGINT)) AS _thr
-  FROM bsizes),
-pbands AS (
-  SELECT b.* FROM bands b
-  JOIN bsizes s ON b.band_idx = s.band_idx AND b.bucket = s.bucket, bthr
-  WHERE s._n <= bthr._thr)
-
-, cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pbands a JOIN pbands b
-    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-j AS (
-  SELECT c.doc_a, c.doc_b,
-         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-               / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
-  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
+        + _NEARDUP_CHAIN
+        + f"""
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {dp.NEARDUP_THRESHOLD}""",
+        "dedup_components": _MINHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _NEARDUP_CHAIN
+        + f""",
+pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {dp.NEARDUP_THRESHOLD}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach AS (
+  SELECT a AS node, a AS lbl FROM und
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN und e ON e.a = r.node),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+csizes AS (SELECT component, count(*) AS component_size FROM comp GROUP BY component)
+SELECT c.node AS doc_id, c.component AS canonical_doc_id,
+       s.component_size::BIGINT AS component_size
+FROM comp c JOIN csizes s USING (component)""",
         "kg_chunks_semantic": """
 WITH v AS (
   SELECT vec_id, CAST(floor(vec_id / 50) AS BIGINT) AS group_id,

@@ -1,0 +1,109 @@
+"""Distributed connected components — the clustering step of dedup.
+
+Near-duplicate detection emits PAIRS; deduplication needs GROUPS (every
+doc mapped to one canonical representative).  That closure is a connected
+components problem: docs are nodes, near-dup pairs are edges, a component
+is a duplicate cluster, and the canonical doc is the component minimum.
+
+Algorithm: min-label propagation over DataFrames — each node's label is
+the smallest node id it has seen; one round is a join of labels onto the
+(undirected) edge list plus a min-aggregate; convergence when no label
+changes.  Rounds = O(component diameter).  Near-dup clusters have tiny
+diameters by construction (members are all pairwise-similar to a common
+core), so a handful of rounds closes them; for general deep graphs the
+alternating large-star/small-star scheme (Kiveris et al., "Connected
+Components in MapReduce", SoCC'14) halves round counts — documented here
+as the swap-in if this operator is ever pointed at path-shaped graphs.
+
+Each round CHECKPOINTS the new labels (localCheckpoint, eager) — persist
+alone is NOT enough for iterative algorithms: it caches the data but the
+logical plan still nests one join/union/groupBy deeper per round, and
+Catalyst re-optimizes the whole tree each iteration (a 12-round chain
+OOM'd the driver on plan growth with persist-only; checkpointing
+truncates the lineage and the same chain closes instantly).  On a real
+cluster prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
+for fault-tolerant truncation; localCheckpoint trades executor-loss
+recovery for speed, the right call in this sandbox.
+
+The DuckDB oracle replays the same fixpoint with a recursive CTE
+(transitive min over reachability), so the operator is hash-gated like
+every non-iterative one — one of the few iterative algorithms where the
+oracle stays exactly expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) — component = min node id reachable via edges.
+
+    ``edges`` is undirected input (each pair listed once is enough).
+    Only nodes that appear in edges are returned (isolated nodes are the
+    caller's concern — they are their own components by definition).
+    """
+    und = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    und = und.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # neighbour minimum in one round: labels of b flow to a
+        prop = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "component")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            prop.join(
+                labels.withColumnRenamed("component", "old"), "node"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Near-dup pairs -> (doc_id, canonical_doc_id, component_size).
+
+    canonical = component minimum (the same first-wins rule the exact
+    dedup uses); component_size counts the cluster's members.  Singleton
+    documents (no near-dup) are intentionally absent — at corpus scale
+    they are the overwhelming majority and joining them in would turn a
+    pair-bounded result into a corpus-wide one; callers left-join this
+    table and coalesce to self.
+    """
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("canonical_doc_id"),
+            "component_size",
+        )
+    )
