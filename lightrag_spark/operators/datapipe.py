@@ -332,6 +332,72 @@ def near_duplicate_pairs(
     )
 
 
+def save_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_bucket="auto",
+) -> None:
+    """Persist the near-dup index: band rows + shingle arrays, partitioned
+    by band_idx (the ann.build_ann_index layout).  Megabuckets are pruned
+    AT SAVE TIME (boilerplate floods would otherwise explode every future
+    probe), so the stored index is guard-clean by construction; the
+    dropped groups remain enumerable from the raw corpus via
+    ann.dropped_megabuckets.  Build once per crawl epoch, probe every new
+    batch — the crawl-dedup write path."""
+    from .ann import prune_megabuckets
+
+    bands = minhash_band_rows(docs, text, id_col, with_shingles=True)
+    bands = prune_megabuckets(bands, max_bucket)
+    bands.write.mode("overwrite").partitionBy("band_idx").parquet(path)
+
+
+def incremental_near_pairs(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = NEARDUP_THRESHOLD,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """New documents vs the persisted corpus index: (new_doc_id,
+    indexed_doc_id, jaccard >= threshold) — the production "is this page
+    a near-dup of anything already crawled" probe.
+
+    The new batch's band rows (with shingles) join the stored index on
+    (band_idx, bucket); exact Jaccard verifies each collision.  Work is
+    bounded by collisions — minhash buckets live in a 128-bit space, so
+    unrelated documents essentially never share one — and per-pair
+    shingle attachment is free here because both sides already carry
+    their shingles through the join (no extra joins at all).  NEW-vs-NEW
+    duplicates are deliberately out of scope: run near_duplicate_pairs on
+    the batch for those, then append the surviving rows' bands to the
+    index for the next epoch.
+    """
+    new_bands = minhash_band_rows(new_docs, text, id_col, with_shingles=True)
+    idx = spark.read.parquet(index_path)
+    joined = new_bands.alias("n").join(
+        idx.alias("i"), ["band_idx", "bucket"]
+    ).select(
+        F.col(f"n.{id_col}").alias("new_doc_id"),
+        F.col(f"i.{id_col}").alias("indexed_doc_id"),
+        F.col("n.sh").alias("sh_n"),
+        F.col("i.sh").alias("sh_i"),
+    ).filter(F.col("new_doc_id") != F.col("indexed_doc_id"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_n", "sh_i"))
+        / F.size(F.array_union("sh_n", "sh_i")),
+        4,
+    )
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("new_doc_id", "indexed_doc_id")
+        .agg(F.max("jaccard").alias("jaccard"))
+    )
+
+
 def simhash_fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash) — 60-bit SimHash over distinct tokens.
 

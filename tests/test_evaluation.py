@@ -262,3 +262,62 @@ def test_judge_pairs_and_win_rates(spark):
     ov = rates["Overall Winner"]
     assert ov.wins_1 == 2 and ov.wins_2 == 1 and ov.undecided == 0
     assert ov.win_rate_1 == pytest.approx(2 / 3)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: KG build -> kg_query -> RAGAS-shaped evaluation
+# ---------------------------------------------------------------------------
+
+
+def test_rag_loop_feeds_evaluation(spark):
+    """The full offline loop: build a KG, answer queries through kg_query
+    with a mock response fn, evaluate the (question, answer, context)
+    triples with the RAGAS-shaped harness — the shape a live-LLM quality
+    run would take, executable end-to-end in this sandbox."""
+    from lightrag_spark.plans.kg_build import KGBuildConfig, build_kg
+    from lightrag_spark.plans.query import kg_query
+    from lightrag_spark.sources.pages import enqueue_documents, synthesize_pages
+
+    docs = enqueue_documents(
+        synthesize_pages(spark, 30, seed=11, min_words=40, max_words=200)
+    )
+    r = build_kg(
+        docs,
+        KGBuildConfig(
+            tokenizer_kind="regex",
+            chunk_token_size=64,
+            chunk_overlap_token_size=8,
+            max_gleaning=0,
+            summarize=False,
+        ),
+    )
+
+    def response_fn(user_query, system_prompt):
+        # deterministic mock "LLM": echo grounded tokens from the prompt
+        return f"Answer grounded in context for: {user_query}"
+
+    def keyword_model_fn(prompt, **kw):
+        return '{"high_level_keywords": ["united states"], "low_level_keywords": ["model"]}'
+
+    cases = []
+    for i, q in enumerate(["what about united states", "tell me about model"]):
+        out = kg_query(
+            r,
+            q,
+            response_fn=response_fn,
+            keyword_model_fn=keyword_model_fn,
+            answer_cache={},
+            keywords_cache={},
+        )
+        assert out["content"], out
+        cases.append((f"c{i}", q, out["content"], [out["context"] or ""], None))
+
+    cases_df = spark.createDataFrame(
+        cases,
+        "case_id string, question string, answer string, "
+        "contexts array<string>, ground_truth string",
+    )
+    res = evaluate_cases(cases_df, lexical_metrics_fn)
+    stats = benchmark_stats(res).collect()[0]
+    assert stats.total_cases == 2
+    assert stats.avg_ragas_score is not None and 0.0 <= stats.avg_ragas_score <= 1.0

@@ -71,3 +71,37 @@ def test_near_duplicate_pairs_finds_planted_pair(spark):
     pairs = {(r.doc_a, r.doc_b) for r in dp.near_duplicate_pairs(docs).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_incremental_near_pairs_against_persisted_index(spark, tmp_path):
+    """Crawl-epoch dedup: index a corpus once, probe a new batch against
+    it — planted near-dup found with the exact Jaccard, unrelated and
+    new-vs-new pairs absent."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (3, "completely different content about spark shuffles and joins ok"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mhidx")
+    dp.save_minhash_index(corpus, path)
+
+    new = spark.createDataFrame(
+        [
+            (100, base + " extra tail"),       # near-dup of indexed doc 1
+            (101, base + " extra tail bis"),   # near-dup of 1 AND of 100
+            (102, "totally unrelated words about gardening tomatoes in spring"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_doc_id, r.indexed_doc_id): r.jaccard
+        for r in dp.incremental_near_pairs(spark, new, path).collect()
+    }
+    assert (100, 1) in got and got[(100, 1)] >= 0.8
+    assert (101, 1) in got
+    # new-vs-new (100 vs 101) is NOT this operator's scope
+    assert all(b in (1, 3) for _, b in got)
+    assert all(a != 102 for a, _ in got)
