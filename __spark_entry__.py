@@ -471,6 +471,29 @@ def _q_eval_retrieval(spark, sf):
     )
 
 
+_BENCH_PHRASES = [
+    "spark window merge",
+    "customer query filter",
+    "fast table value",
+    "key agg row",
+    "batch window spark",
+    "slow filter value",
+    "data column agg",
+    "stream customer group",
+]
+
+
+def _q_text_contamination(spark, sf):
+    """Benchmark decontamination (datapipe.contamination_check): docs whose
+    3-gram shingles intersect a fixed benchmark phrase set; the phrase
+    side broadcasts, hits aggregate per doc."""
+    return dp.contamination_check(_documents(spark, sf), _BENCH_PHRASES).select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "hit_shingles",
+    )
+
+
 def _q_dedup_components(spark, sf):
     """Near-dup pairs -> duplicate clusters via distributed connected
     components (operators/graphs.py: min-label propagation, materialized
@@ -519,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1ish": _q_tpch_q1ish,
         "eval_retrieval": _q_eval_retrieval,
         "dedup_components": _q_dedup_components,
+        "text_contamination": _q_text_contamination,
     }
 
 
@@ -725,6 +749,30 @@ ranked AS (
          row_number() OVER (PARTITION BY question ORDER BY score DESC, name) AS rank
   FROM scored WHERE score > 0)
 SELECT question, name, rank, score FROM ranked WHERE rank <= 10"""
+
+
+def _text_contamination_sql() -> str:
+    """DuckDB restatement of the decontamination sweep: same 3-gram
+    shingling as the minhash CTE, bench phrases shingled identically,
+    inner join + per-doc aggregate."""
+    bench = sorted(
+        {
+            " ".join(p.split()[i : i + dp.SHINGLE_N])
+            for p in _BENCH_PHRASES
+            for i in range(max(0, len(p.split()) - dp.SHINGLE_N + 1))
+        }
+    )
+    vals = ", ".join(f"('{s}')" for s in bench)
+    return (
+        _MINHASH_CTE
+        + f""",
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+bench AS (SELECT * FROM (VALUES {vals}) v(shingle))
+SELECT e.doc_id, count(*)::BIGINT AS n_hits,
+       list_sort(list(DISTINCT e.shingle)) AS hit_shingles
+FROM ex e JOIN bench b USING (shingle)
+GROUP BY e.doc_id"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1064,4 +1112,5 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
         "eval_retrieval": _eval_retrieval_sql(),
+        "text_contamination": _text_contamination_sql(),
     }

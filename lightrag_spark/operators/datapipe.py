@@ -332,6 +332,48 @@ def near_duplicate_pairs(
     )
 
 
+def contamination_check(
+    docs: DataFrame,
+    phrases: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_hits, hit_shingles) for every
+    document whose word-shingle set intersects the benchmark phrase set
+    (GPT-3/The-Pile style n-gram contamination, at this corpus's
+    SHINGLE_N=3 scale; production sweeps use 13-grams — same plan, wider
+    shingles).
+
+    Plan shape: the benchmark set is SMALL by definition — its shingles
+    broadcast onto the corpus shingle explode, so the only data-volume
+    work is the scan-side shingle generation and one doc-keyed aggregate.
+    A doc with no hit never leaves the join (inner), keeping the result
+    benchmark-bounded, not corpus-bounded.
+    """
+    bench = {
+        s
+        for p in phrases
+        for s in (
+            " ".join(p.split()[i : i + SHINGLE_N])
+            for i in range(max(0, len(p.split()) - SHINGLE_N + 1))
+        )
+    }
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(tokens_col(text))).alias("shingle")
+    )
+    bench_df = docs.sparkSession.createDataFrame(
+        [(s,) for s in sorted(bench)], "shingle string"
+    )
+    return (
+        sh.join(F.broadcast(bench_df), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.array_sort(F.collect_set("shingle")).alias("hit_shingles"),
+        )
+    )
+
+
 def save_minhash_index(
     docs: DataFrame,
     path: str,
