@@ -494,6 +494,42 @@ def _q_text_contamination(spark, sf):
     )
 
 
+def _q_dedup_incremental(spark, sf):
+    """Crawl-epoch incremental dedup (datapipe.incremental_near_pairs
+    semantics) made oracle-replayable: docs with even doc_id play the
+    indexed epoch, odd doc_id the new batch; new-vs-indexed band
+    collisions verify by exact Jaccard.  Same join/verify shape as the
+    persisted-index probe — the split stands in for the index read."""
+    docs = _documents(spark, sf)
+    idx_bands = dp.minhash_band_rows(
+        docs.filter(F.col("doc_id") % 2 == 0), with_shingles=True
+    )
+    new_bands = dp.minhash_band_rows(
+        docs.filter(F.col("doc_id") % 2 == 1), with_shingles=True
+    )
+    joined = (
+        new_bands.alias("n")
+        .join(idx_bands.alias("i"), ["band_idx", "bucket"])
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("i.doc_id").alias("indexed_doc_id"),
+            F.col("n.sh").alias("sh_n"),
+            F.col("i.sh").alias("sh_i"),
+        )
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_n", "sh_i"))
+        / F.size(F.array_union("sh_n", "sh_i")),
+        4,
+    )
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= dp.NEARDUP_THRESHOLD)
+        .groupBy("new_doc_id", "indexed_doc_id")
+        .agg(F.max("jaccard").alias("jaccard"))
+    )
+
+
 def _q_dedup_components(spark, sf):
     """Near-dup pairs -> duplicate clusters via distributed connected
     components (operators/graphs.py: min-label propagation, materialized
@@ -542,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1ish": _q_tpch_q1ish,
         "eval_retrieval": _q_eval_retrieval,
         "dedup_components": _q_dedup_components,
+        "dedup_incremental": _q_dedup_incremental,
         "text_contamination": _q_text_contamination,
     }
 
@@ -1113,4 +1150,20 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
         "eval_retrieval": _eval_retrieval_sql(),
         "text_contamination": _text_contamination_sql(),
+        "dedup_incremental": _MINHASH_CTE
+        + f""",
+nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+ib AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+coll AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, i.doc_id AS indexed_doc_id
+  FROM nb n JOIN ib i ON n.band_idx = i.band_idx AND n.bucket = i.bucket),
+ij AS (
+  SELECT c.new_doc_id, c.indexed_doc_id,
+         round(len(list_intersect(sn.sh, si.sh))::DOUBLE
+               / len(list_distinct(list_concat(sn.sh, si.sh))), 4) AS jaccard
+  FROM coll c
+  JOIN sh sn ON sn.doc_id = c.new_doc_id
+  JOIN sh si ON si.doc_id = c.indexed_doc_id)
+SELECT new_doc_id, indexed_doc_id, jaccard FROM ij
+WHERE jaccard >= {dp.NEARDUP_THRESHOLD}""",
     }

@@ -110,3 +110,53 @@ def windowed_ingest_counts(
             "n_events",
         )
     )
+
+
+def stream_near_dup_probe(
+    spark: SparkSession,
+    docs_dir: str,
+    index_path: str,
+    matches_out: str,
+    checkpoint_dir: str,
+    threshold: float | None = None,
+    trigger_once: bool = True,
+):
+    """Continuous crawl dedup: readStream over a documents directory,
+    each micro-batch probed against the persisted minhash band index
+    (datapipe.incremental_near_pairs), matches appended to a parquet sink.
+
+    foreachBatch is the right harness here — the probe is a batch join
+    against a static index, not a stateful streaming aggregation, and
+    foreachBatch gives exactly-once appends via the stream checkpoint.
+    The index stays fixed within a run (crawl-epoch semantics); refresh
+    it between epochs with save_minhash_index.
+
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..operators import datapipe as dp
+
+    thr = dp.NEARDUP_THRESHOLD if threshold is None else threshold
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).format("parquet").load(docs_dir)
+
+    def probe_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        matches = dp.incremental_near_pairs(
+            spark, batch_df, index_path, threshold=thr
+        )
+        matches.write.mode("append").parquet(matches_out)
+
+    writer = stream.writeStream.foreachBatch(probe_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -105,3 +105,43 @@ def test_incremental_near_pairs_against_persisted_index(spark, tmp_path):
     # new-vs-new (100 vs 101) is NOT this operator's scope
     assert all(b in (1, 3) for _, b in got)
     assert all(a != 102 for a, _ in got)
+
+
+def test_stream_near_dup_probe(spark, tmp_path):
+    """Streaming face of the epoch probe: docs land in a directory, the
+    availableNow stream probes them against the persisted index via
+    foreachBatch, matches append to the sink exactly once."""
+    import time
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    corpus = spark.createDataFrame(
+        [(1, base), (3, "different content about spark shuffles and joins here")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhidx")
+    dp.save_minhash_index(corpus, idx)
+
+    docs_dir = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(100, base + " extra tail"), (102, "gardening tomatoes in the spring sun")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(docs_dir)
+
+    out = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    from lightrag_spark.streaming.incremental import stream_near_dup_probe
+
+    q = stream_near_dup_probe(spark, docs_dir, idx, out, ckpt)
+    q.awaitTermination(120)
+    got = {
+        (r.new_doc_id, r.indexed_doc_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (100, 1) in got
+    assert all(a != 102 for a, _ in got)
+
+    # re-running the same stream over the same checkpoint reprocesses
+    # nothing (exactly-once over the already-seen files)
+    q2 = stream_near_dup_probe(spark, docs_dir, idx, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(got)
