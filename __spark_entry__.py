@@ -494,6 +494,23 @@ def _q_text_contamination(spark, sf):
     )
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+def _q_data_splits(spark, sf):
+    """Deterministic train/valid/test assignment (operators/sampling.py:
+    hash_split — membership is a pure function of doc_id, stable under
+    repartitioning and corpus growth) aggregated per (lang, split)."""
+    from lightrag_spark.operators.sampling import hash_split
+
+    docs = _documents(spark, sf)
+    return (
+        hash_split(docs, _SPLIT_WEIGHTS, key_col="doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def _q_dedup_incremental(spark, sf):
     """Crawl-epoch incremental dedup (datapipe.incremental_near_pairs
     semantics) made oracle-replayable: docs with even doc_id play the
@@ -580,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_incremental": _q_dedup_incremental,
         "text_contamination": _q_text_contamination,
+        "data_splits": _q_data_splits,
     }
 
 
@@ -810,6 +828,32 @@ SELECT e.doc_id, count(*)::BIGINT AS n_hits,
 FROM ex e JOIN bench b USING (shingle)
 GROUP BY e.doc_id"""
     )
+
+
+def _data_splits_sql() -> str:
+    """DuckDB restatement of hash_split + per-(lang, split) counts.  The
+    cumulative boundaries are computed ONCE here in Python and inlined
+    verbatim into the SQL (repr), so Spark and DuckDB compare the uniform
+    against bit-identical constants — re-deriving 0.9/total in each
+    engine could differ in the last ulp at a boundary."""
+    from lightrag_spark.operators.sampling import HASH_HEX_CHARS
+
+    total = sum(_SPLIT_WEIGHTS.values())
+    names = list(_SPLIT_WEIGHTS)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        cases.append(f"WHEN u < {acc!r} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    denom = float(16**HASH_HEX_CHARS)
+    return f"""
+WITH u AS (
+  SELECT lang,
+         ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, {HASH_HEX_CHARS}))::BIGINT
+           / {denom!r} AS u
+  FROM documents),
+s AS (SELECT lang, {case} AS split FROM u)
+SELECT lang, split, count(*)::BIGINT AS n_docs FROM s GROUP BY 1, 2"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1150,6 +1194,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
         "eval_retrieval": _eval_retrieval_sql(),
         "text_contamination": _text_contamination_sql(),
+        "data_splits": _data_splits_sql(),
         "dedup_incremental": _MINHASH_CTE
         + f""",
 nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),

@@ -1,0 +1,72 @@
+"""Deterministic sampling/splits — the properties DataFrame.sample lacks:
+membership invariant under repartitioning, exact reproducibility, stable
+splits as the corpus grows.  (queries[data_splits] hash-gates the split
+math against DuckDB.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lightrag_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    hash_uniform,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_membership_invariant_under_repartitioning(docs):
+    a = {r.doc_id for r in deterministic_sample(docs, 0.3, "doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(17), 0.3, "doc_id").collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_fraction_lands_near_target(docs):
+    n = docs.count()
+    got = deterministic_sample(docs, 0.3, "doc_id").count()
+    assert abs(got / n - 0.3) < 0.08  # 500 docs, 48-bit uniform
+
+
+def test_nested_samples_are_subsets(docs):
+    """Same salt: a smaller fraction is a strict subset of a larger one —
+    the property that makes staged corpus scaling reproducible."""
+    small = {r.doc_id for r in deterministic_sample(docs, 0.1, "doc_id").collect()}
+    big = {r.doc_id for r in deterministic_sample(docs, 0.5, "doc_id").collect()}
+    assert small < big
+
+
+def test_split_assignment_stable_as_corpus_grows(docs):
+    """A doc's split never changes when more docs arrive — eval-set
+    stability across crawl epochs."""
+    w = {"train": 0.9, "valid": 0.05, "test": 0.05}
+    full = {r.doc_id: r.split for r in hash_split(docs, w, "doc_id").collect()}
+    half = {
+        r.doc_id: r.split
+        for r in hash_split(docs.filter(F.col("doc_id") < 250), w, "doc_id").collect()
+    }
+    assert all(full[d] == s for d, s in half.items())
+    counts = {}
+    for s in full.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] / len(full) > 0.8
+
+
+def test_uniform_range_and_salt_independence(docs):
+    rows = docs.select(
+        hash_uniform(F.col("doc_id")).alias("u1"),
+        hash_uniform(F.col("doc_id"), salt="other").alias("u2"),
+    ).collect()
+    assert all(0.0 <= r.u1 < 1.0 and 0.0 <= r.u2 < 1.0 for r in rows)
+    assert sum(r.u1 != r.u2 for r in rows) > len(rows) * 0.99
