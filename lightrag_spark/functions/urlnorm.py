@@ -1,0 +1,103 @@
+"""URL canonicalization — the crawl-side identity key for web pages.
+
+Two pages that differ only in tracking params, fragment, default port,
+host case, or a trailing slash are the same document to a crawler; URL
+dedup needs a canonical form BEFORE content ever downloads.  Rules here
+(documented, deliberately conservative — no path case-folding, no
+percent-decoding, no www-stripping, all of which can change the resource
+on real servers):
+
+1. scheme and host lowercase; trailing dot dropped from the host;
+2. default ports stripped (:80 for http, :443 for https);
+3. fragment dropped;
+4. tracking params dropped (utm_*, fbclid, gclid, msclkid, mc_eid);
+5. remaining query params sorted bytewise (order-insensitive identity),
+   empty query dropped;
+6. trailing slash dropped from non-root paths; empty path becomes "/".
+
+Two implementations of the same rules: ``canonical_url_col`` is a pure
+Catalyst expression (scan-side, codegen, no Python in the hot path) and
+``canonical_url`` is the scalar Python twin used for differential tests
+and driver-side tooling; tests assert them identical over a corpus of
+hostile URLs plus idempotence (canon(canon(x)) == canon(x)).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, functions as F
+
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid)="
+
+_URL_RE = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#:]*)(?::(?P<port>\d+))?"
+    r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonical_url(url: str) -> str:
+    """Scalar twin of canonical_url_col (same rules, same output)."""
+    m = _URL_RE.match(url or "")
+    if not m:
+        return url or ""
+    scheme = m.group("scheme").lower()
+    host = m.group("host").lower().rstrip(".")
+    port = m.group("port")
+    path = m.group("path") or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    query = m.group("query") or ""
+    params = [
+        p
+        for p in query.split("&")
+        if p and not re.match(TRACKING_PARAM_RE, p)
+    ]
+    params.sort()
+    netloc = host
+    if port and port != _DEFAULT_PORTS.get(scheme):
+        netloc += f":{port}"
+    out = f"{scheme}://{netloc}{path}"
+    if params:
+        out += "?" + "&".join(params)
+    return out
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Catalyst-expression canonicalization (rules above), for scan-side
+    URL dedup keys.  Non-URL strings pass through unchanged, like the
+    scalar twin."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)),
+        r"\.+$",
+        "",
+    )
+    port = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:(\d+)", 1)
+    raw_path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    path = (
+        F.when(raw_path.isin("", "/"), F.lit("/"))
+        # strips exactly ONE trailing slash (the regex matches once)
+        .otherwise(F.regexp_replace(raw_path, r"/$", ""))
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    netloc = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        netloc,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", url).otherwise(canon)

@@ -1,0 +1,68 @@
+"""URL canonicalization — scalar-vs-expression parity, rule table,
+idempotence.  Both implementations must agree byte-for-byte so the
+scan-side dedup key and driver-side tooling can never diverge."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lightrag_spark.functions.urlnorm import canonical_url, canonical_url_col
+
+CASES = [
+    # (input, expected canonical)
+    ("HTTP://Example.COM/path", "http://example.com/path"),
+    ("http://example.com:80/path", "http://example.com/path"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    ("http://example.com./a", "http://example.com/a"),
+    ("http://example.com/a/", "http://example.com/a"),
+    ("http://example.com/", "http://example.com/"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+    (
+        "http://example.com/a?utm_source=x&b=2&fbclid=zzz&a=1",
+        "http://example.com/a?a=1&b=2",
+    ),
+    ("http://example.com/a?utm_campaign=x", "http://example.com/a"),
+    ("http://example.com/a?gclid=1&msclkid=2&mc_eid=3", "http://example.com/a"),
+    # path case and percent-encoding are preserved (conservative rules)
+    ("http://example.com/A%2Fb?Q=1", "http://example.com/A%2Fb?Q=1"),
+    # non-URLs pass through
+    ("not a url", "not a url"),
+    ("", ""),
+    ("ftp://Host.Example/Dir/", "ftp://host.example/Dir"),
+]
+
+
+@pytest.mark.parametrize("url,expected", CASES)
+def test_scalar_rules(url, expected):
+    assert canonical_url(url) == expected
+
+
+def test_scalar_idempotent():
+    for url, _ in CASES:
+        c = canonical_url(url)
+        assert canonical_url(c) == c
+
+
+def test_expression_matches_scalar(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = {
+        r.url: r.canon
+        for r in df.withColumn("canon", canonical_url_col(F.col("url"))).collect()
+    }
+    for url, expected in CASES:
+        assert got[url] == expected == canonical_url(url), url
+
+
+def test_expression_matches_scalar_on_synth_pages(spark):
+    """Differential over the synthetic crawl corpus' real URL column."""
+    from lightrag_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 200, seed=5).select("url")
+    rows = pages.withColumn("canon", canonical_url_col(F.col("url"))).collect()
+    for r in rows:
+        assert r.canon == canonical_url(r.url)
