@@ -486,11 +486,15 @@ _BENCH_PHRASES = [
 def _q_text_contamination(spark, sf):
     """Benchmark decontamination (datapipe.contamination_check): docs whose
     3-gram shingles intersect a fixed benchmark phrase set; the phrase
-    side broadcasts, hits aggregate per doc."""
+    side broadcasts, hits aggregate per doc.  hit_shingles is projected as
+    a '|'-joined sorted string (not array<string>): the driver's pandas
+    canonicalizer sorts result frames and numpy arrays are unhashable, so
+    the contract keeps every column scalar; programmatic callers get the
+    array form from contamination_check directly."""
     return dp.contamination_check(_documents(spark, sf), _BENCH_PHRASES).select(
         "doc_id",
         F.col("n_hits").cast("long").alias("n_hits"),
-        "hit_shingles",
+        F.array_join("hit_shingles", "|").alias("hit_shingles"),
     )
 
 
@@ -824,7 +828,7 @@ def _text_contamination_sql() -> str:
 ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
 bench AS (SELECT * FROM (VALUES {vals}) v(shingle))
 SELECT e.doc_id, count(*)::BIGINT AS n_hits,
-       list_sort(list(DISTINCT e.shingle)) AS hit_shingles
+       array_to_string(list_sort(list(DISTINCT e.shingle)), '|') AS hit_shingles
 FROM ex e JOIN bench b USING (shingle)
 GROUP BY e.doc_id"""
     )

@@ -83,9 +83,15 @@ def rank_documents(docs: DataFrame, queries: DataFrame, top_k: int | None = None
         .groupBy("question", "token")
         .agg(F.count("*").alias("qtf"))
     )
+    # Broadcast contract: both small sides must be QUERY-bounded, never
+    # corpus-bounded.  qtf is tiny by construction, but idf spans the whole
+    # corpus vocabulary (billions of tokens on web text) — semi-join it down
+    # to the query token set first so the broadcast stays O(query tokens).
+    q_tokens = qtf.select("token").distinct()
+    idf_q = idf.join(F.broadcast(q_tokens), "token", "left_semi")
     scored = (
         tf.join(F.broadcast(qtf), "token")
-        .join(F.broadcast(idf), "token")
+        .join(F.broadcast(idf_q), "token")
         .groupBy("question", "name")
         .agg(
             F.round(

@@ -47,6 +47,13 @@ def connected_components(
     ``edges`` is undirected input (each pair listed once is enough).
     Only nodes that appear in edges are returned (isolated nodes are the
     caller's concern — they are their own components by definition).
+
+    Fails LOUD on non-convergence: if ``max_iter`` rounds exhaust while
+    labels are still changing (a deep/path-shaped component — exactly the
+    case the module docstring anticipates), a RuntimeError is raised
+    rather than silently returning wrong canonical ids.  Raise
+    ``max_iter`` or switch to the large-star/small-star variant for such
+    graphs.
     """
     und = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -80,6 +87,12 @@ def connected_components(
         labels = prop
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter or use a "
+            "large-star/small-star scheme for deep graphs"
+        )
     return labels
 
 

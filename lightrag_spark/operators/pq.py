@@ -4,7 +4,7 @@ Jégou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
 2011): split each d-dim vector into ``m`` subvectors, k-means each subspace
 into ``ksub`` centroids, and store each vector as m one-byte codes.  At
 100 TB this is the operator that keeps a vector index memory-resident: a
-64-float embedding (256+ B) compresses to m bytes (8 here — 32x), and
+64-float embedding (256+ B) compresses to m bytes (PQ_M=16 here — 16x), and
 query scoring never touches the original vectors — an asymmetric distance
 computation (ADC) table of m x ksub exact sub-distances per query turns
 scoring into m table lookups per corpus vector.
@@ -12,8 +12,8 @@ scoring into m table lookups per corpus vector.
 Spark shape (mirrors ivf.py's division of labour):
 
 - **Training is driver-side numpy on a bounded sample** — codebooks are
-  m x ksub x dsub floats (1 KB here); training data is a fixed-size sample
-  regardless of corpus size.  Deterministic: seeded via md5-derived
+  m x ksub x dsub floats (16 x 64 x 4 float64 = ~32 KB here); training
+  data is a fixed-size sample regardless of corpus size.  Deterministic: seeded via md5-derived
   indices, plain Lloyd iterations, ties break to the lowest centroid id.
 - **Encoding is scan-side** (mapInPandas, one argmin per subspace per
   Arrow batch against the broadcast codebooks) — no shuffle; the encoded

@@ -368,15 +368,28 @@ def answer_cache_key(
     hl_keywords_str: str,
     ll_keywords_str: str,
     user_prompt: str,
+    model_identity: str = "",
 ) -> str:
     """md5 over the full query-parameter vector (operate.py:4328-4345):
     any knob that changes the rendered context or prompt changes the key,
     so a cached answer can never be served for a different retrieval
-    configuration."""
+    configuration.
+
+    ``model_identity`` stands in for the reference key's model-identity
+    components (serialize_llm_cache_identity + enable_rerank + the
+    content-headings flag, operate.py:4328-4345): a shared answer_cache
+    must never serve an answer generated by a DIFFERENT response_fn/model
+    for the same query parameters.  kg_query derives it from response_fn
+    when not given explicitly.  Because this field replaces (rather than
+    reproduces) the reference's identity blob, keys here are NOT
+    byte-comparable with reference llm_response_cache entries — same
+    policy, different serialization.
+    """
     from ..functions.hashing import compute_args_hash
 
     return compute_args_hash(
         ANSWER_CACHE_POLICY_VERSION,
+        model_identity or "",
         mode,
         query_text,
         response_type,
@@ -407,6 +420,7 @@ def kg_query(
     only_need_context: bool = False,
     only_need_prompt: bool = False,
     response_fn=None,
+    model_identity: str | None = None,
     answer_cache: dict | None = None,
     keywords_cache: dict | None = None,
     keyword_model_fn=None,
@@ -484,10 +498,20 @@ def kg_query(
         content = "\n\n".join([sys_prompt, "---User Query---", query_text])
         return _result(content, **common)
 
+    # cache keys are scoped to the answering model: an explicit
+    # model_identity wins, else the response_fn's self-declared identity,
+    # else its qualified name — so two different models sharing one
+    # answer_cache can never serve each other's answers.
+    ident = model_identity
+    if ident is None and response_fn is not None:
+        ident = getattr(response_fn, "model_identity", None) or getattr(
+            response_fn, "__qualname__", ""
+        )
     args_hash = answer_cache_key(
         query_text, mode, response_type, top_k, related_chunk_number,
         max_entity_tokens, max_relation_tokens, max_total_tokens,
         hl_str, ll_str, user_prompt,
+        model_identity=ident or "",
     )
     if answer_cache is not None and args_hash in answer_cache:
         return _result(

@@ -126,10 +126,15 @@ def stream_near_dup_probe(
     (datapipe.incremental_near_pairs), matches appended to a parquet sink.
 
     foreachBatch is the right harness here — the probe is a batch join
-    against a static index, not a stateful streaming aggregation, and
-    foreachBatch gives exactly-once appends via the stream checkpoint.
-    The index stays fixed within a run (crawl-epoch semantics); refresh
-    it between epochs with save_minhash_index.
+    against a static index, not a stateful streaming aggregation.  The
+    stream checkpoint alone only gives at-least-once for a user sink (a
+    batch retried after a failure between the write and the checkpoint
+    commit would run again), so the sink is made idempotent: each
+    micro-batch overwrites its own ``batch_id=N`` partition directory —
+    a replayed batch rewrites the same path instead of appending
+    duplicates, restoring end-to-end exactly-once.  The index stays fixed
+    within a run (crawl-epoch semantics); refresh it between epochs with
+    save_minhash_index.
 
     Returns the started StreamingQuery.
     """
@@ -152,7 +157,10 @@ def stream_near_dup_probe(
         matches = dp.incremental_near_pairs(
             spark, batch_df, index_path, threshold=thr
         )
-        matches.write.mode("append").parquet(matches_out)
+        # idempotent sink: retried batches overwrite their own partition
+        matches.write.mode("overwrite").parquet(
+            f"{matches_out}/batch_id={int(batch_id)}"
+        )
 
     writer = stream.writeStream.foreachBatch(probe_batch).option(
         "checkpointLocation", checkpoint_dir

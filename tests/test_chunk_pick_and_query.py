@@ -156,6 +156,33 @@ def test_kg_query_full_loop_with_answer_cache(spark):
     assert out3["args_hash"] != out["args_hash"]
     assert len(calls) == 2
 
+    # a DIFFERENT model sharing the same answer_cache must not be served
+    # the first model's answer: identity is folded into the cache key
+    other_calls = []
+
+    def other_model(user_query, system_prompt):
+        other_calls.append(user_query)
+        return "OTHER MODEL ANSWER"
+
+    out4 = kg_query(
+        r, "network customer united_states analysis", mode="hybrid",
+        top_k=8, related_chunk_number=2,
+        response_fn=other_model, answer_cache=cache,
+    )
+    assert out4["cache_hit"] is False
+    assert out4["args_hash"] != out["args_hash"]
+    assert out4["content"] == "OTHER MODEL ANSWER"
+    assert len(other_calls) == 1
+
+    # an explicit model_identity overrides the derived one and keys alone
+    out5 = kg_query(
+        r, "network customer united_states analysis", mode="hybrid",
+        top_k=8, related_chunk_number=2,
+        response_fn=other_model, model_identity="modelX",
+        answer_cache=cache,
+    )
+    assert out5["args_hash"] not in (out["args_hash"], out4["args_hash"])
+
 
 def test_kg_query_prompt_and_degenerate_paths(spark):
     import __spark_entry__ as m

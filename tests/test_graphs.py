@@ -36,6 +36,17 @@ def test_direction_and_duplicates_irrelevant(spark):
     assert a == b == {1: 1, 2: 1, 3: 1}
 
 
+def test_nonconvergence_raises(spark):
+    """Exhausting max_iter while labels still change must fail loud —
+    silently returning non-converged canonical ids is the one failure a
+    caller can't detect downstream."""
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
 def test_duplicate_components_contract(spark):
     pairs = spark.createDataFrame(
         [(5, 9), (9, 7), (20, 21)], "doc_a long, doc_b long"

@@ -145,3 +145,13 @@ def test_stream_near_dup_probe(spark, tmp_path):
     q2 = stream_near_dup_probe(spark, docs_dir, idx, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(got)
+
+    # retry semantics: losing the checkpoint REPLAYS batch 0 — the
+    # batch_id-partitioned overwrite sink must absorb the replay without
+    # duplicating rows (idempotent, not blind-append)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q3 = stream_near_dup_probe(spark, docs_dir, idx, out, str(tmp_path / "ckpt2"))
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(got)
