@@ -1034,19 +1034,25 @@ SELECT group_id, vec_id, sent_idx,
 FROM marks""",
         "dedup_simhash": f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
-  FROM documents),
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+shl AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM toks),
+feats AS (
+  SELECT doc_id, unnest(sh) AS tok FROM shl),
 vals AS (
-  SELECT doc_id, ('0x' || substr(md5(tok),1,{dp.SIMHASH_HEX_CHARS}))::BIGINT AS hv FROM toks WHERE tok <> ''),
+  SELECT doc_id, ('0x' || substr(md5(tok),1,{dp.SIMHASH_HEX_CHARS}))::BIGINT AS hv FROM feats),
 sums AS (
   SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM vals GROUP BY doc_id)
 SELECT doc_id, ({_SIMHASH_VALUE})::BIGINT AS simhash FROM sums""",
         "dedup_simhash_near": f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
-  FROM documents),
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+shl AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM toks),
+feats AS (
+  SELECT doc_id, unnest(sh) AS tok FROM shl),
 vals AS (
-  SELECT doc_id, ('0x' || substr(md5(tok),1,{dp.SIMHASH_HEX_CHARS}))::BIGINT AS hv FROM toks WHERE tok <> ''),
+  SELECT doc_id, ('0x' || substr(md5(tok),1,{dp.SIMHASH_HEX_CHARS}))::BIGINT AS hv FROM feats),
 sums AS (
   SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM vals GROUP BY doc_id),
 fp AS (

@@ -21,10 +21,18 @@ SF = "/root/testdata/sf0.001"
 
 
 def _py_simhash(text: str) -> int:
+    """Shingle-featured simhash (3-gram word shingles — the minhash
+    feature set); returns 0 for documents too short to shingle, which the
+    operator excludes entirely (callers below mirror that)."""
+    from lightrag_spark.operators.datapipe import SHINGLE_N
+
+    toks = text.strip().split()
+    if len(toks) < SHINGLE_N:
+        return -1  # sentinel: no features, doc excluded
     sums = [0] * SIMHASH_BITS
-    for tok in dict.fromkeys(text.strip().split()):
-        if not tok:
-            continue
+    for tok in dict.fromkeys(
+        " ".join(toks[i : i + SHINGLE_N]) for i in range(len(toks) - SHINGLE_N + 1)
+    ):
         hv = int(md5(tok.encode("utf-8", "replace")).hexdigest()[:SIMHASH_HEX_CHARS], 16)
         for b in range(SIMHASH_BITS):
             sums[b] += 1 if (hv >> b) & 1 else -1
@@ -48,6 +56,7 @@ def test_pigeonhole_banding_is_lossless():
     are a superset of true near-pairs — verified on the real corpus."""
     docs = _docs()
     fps = {d: _py_simhash(t) for d, t in docs}
+    fps = {d: f for d, f in fps.items() if f >= 0}
     ids = sorted(fps)
     brute = set()
     for i, a in enumerate(ids):
@@ -75,6 +84,7 @@ def test_spark_operator_matches_brute_force(spark):
     }
     docs = _docs()
     fps = {d: _py_simhash(t) for d, t in docs}
+    fps = {d: f for d, f in fps.items() if f >= 0}
     ids = sorted(fps)
     want = {}
     for i, a in enumerate(ids):
