@@ -172,10 +172,17 @@ def merge_entity_nodes(
         "file_paths",
     )
 
-    # --- descriptions: first-occurrence dedup, then (ts, -len) sort ----------
-    # Reference order: dedup by exact text keeping the FIRST record, then a
-    # stable sort by (timestamp, -len) — stability == tie-break on first
-    # appearance, which we encode explicitly as the trailing order field.
+    # --- descriptions: doc-epoch append, then per-epoch (ts, -len) sort ------
+    # Reference order (verified end-to-end by test_insert_e2e_parity against
+    # LightRAG.ainsert itself): the pipeline merges one DOCUMENT at a time,
+    # and _combine_descriptions_dedup (operate.py:2436) APPENDS fragments
+    # not already stored — so a fragment's position is fixed by the first
+    # document that produced it, and within that document's batch the sort
+    # is (record timestamp, -len) with stability = first occurrence.  The
+    # batch-equivalent total order is therefore
+    # (first_doc, ts_of_kept_record, -len, first chunk/record), NOT a
+    # global (ts, -len) sort — a fragment first seen in a later doc sorts
+    # after ALL fragments of earlier docs regardless of length.
     first_per_desc = (
         m.filter(F.col("description").isNotNull() & (F.col("description") != ""))
         .groupBy("entity_name", "description")
@@ -186,9 +193,9 @@ def merge_entity_nodes(
         ["entity_name"],
         _salt(F.col("description"), salts),
         [
+            F.col("f.order.d"),
             F.col("f.ts"),
             -F.length("description"),
-            F.col("f.order.d"),
             F.col("f.order.c"),
             F.col("f.order.r"),
         ],
@@ -273,6 +280,8 @@ def merge_relation_edges(
         "file_paths",
     )
 
+    # doc-epoch append ordering — same contract as the node merge (see
+    # merge_entity_nodes): first_doc, then per-epoch (ts, -len, occurrence)
     first_per_desc = (
         t.filter(F.col("description").isNotNull() & (F.col("description") != ""))
         .groupBy("_lo", "_hi", "description")
@@ -283,9 +292,9 @@ def merge_relation_edges(
         ["_lo", "_hi"],
         _salt(F.col("description"), salts),
         [
+            F.col("f.order.d"),
             F.col("f.ts"),
             -F.length("description"),
-            F.col("f.order.d"),
             F.col("f.order.c"),
             F.col("f.order.r"),
         ],

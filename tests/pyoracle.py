@@ -93,9 +93,13 @@ def oracle_build_kg(
                 )
                 nodes, edges = merge_gleaning(nodes, edges, g_nodes, g_edges)
             for name, recs in nodes.items():
+                for r in recs:
+                    r["_doc_i"] = doc["doc_order"]
                 all_nodes.setdefault(name, []).extend(recs)
             for pair, recs in edges.items():
                 key = tuple(sorted(pair))  # undirected identity (operate.py:3383-3386)
+                for r in recs:
+                    r["_doc_i"] = doc["doc_order"]
                 all_edges.setdefault(key, []).extend(recs)
 
     kg_nodes = {}
@@ -105,14 +109,19 @@ def oracle_build_kg(
         entity_type = sorted(counts.items(), key=lambda kv: kv[1], reverse=True)[0][0]
         source_ids = _ordered_dedup((r["source_id"] for r in recs), MAX_SOURCE_IDS)
         file_paths = _ordered_dedup((r["file_path"] for r in recs), MAX_FILE_PATHS)
-        # descriptions: keep-first dedup, stable (ts,-len) sort (operate.py:2417-2432)
+        # descriptions: keep-first dedup, then DOC-EPOCH append ordering —
+        # the reference merges one document at a time and appends unseen
+        # fragments (operate.py:2436 _combine_descriptions_dedup), so the
+        # first producing doc fixes position; within an epoch the sort is
+        # stable (ts, -len) (operate.py:2417-2432).
         uniq = {}
         for r in recs:
             d = r.get("description")
             if d and d not in uniq:
                 uniq[d] = r
         ordered = sorted(
-            uniq.values(), key=lambda r: (r["timestamp"], -len(r["description"]))
+            uniq.values(),
+            key=lambda r: (r["_doc_i"], r["timestamp"], -len(r["description"])),
         )
         fragments = [r["description"] for r in ordered][:max_fragments]
         if not fragments:
@@ -145,8 +154,10 @@ def oracle_build_kg(
             d = r.get("description")
             if d and d not in uniq:
                 uniq[d] = r
+        # doc-epoch append ordering, same contract as the node merge
         ordered = sorted(
-            uniq.values(), key=lambda r: (r["timestamp"], -len(r["description"]))
+            uniq.values(),
+            key=lambda r: (r["_doc_i"], r["timestamp"], -len(r["description"])),
         )
         fragments = [r["description"] for r in ordered][:max_fragments]
         description, llm_used = summarize_description_list(

@@ -33,9 +33,77 @@ class _AnyAttr:
         return _AnyAttr()
 
 
+class _MiniNanoVectorDB:
+    """Minimal in-process stand-in for the public ``nano_vectordb`` package
+    (absent from this container), implementing just the surface the
+    reference's NanoVectorDBStorage calls during insert/finalize: upsert,
+    get, delete, query, save, plus the storage_file attribute.  Vectors are
+    kept as plain lists; query does brute-force cosine — fidelity is not
+    the point (insert-path tests never rank), availability is."""
+
+    def __init__(self, embedding_dim, storage_file=None, **kwargs):
+        import json
+        import os
+
+        self.embedding_dim = embedding_dim
+        self.storage_file = storage_file
+        self._data: dict[str, dict] = {}
+        if storage_file and os.path.exists(storage_file):
+            try:
+                with open(storage_file) as f:
+                    for rec in json.load(f).get("data", []):
+                        self._data[rec["__id__"]] = rec
+            except Exception:
+                pass
+
+    def upsert(self, datas):
+        for rec in datas:
+            rec = dict(rec)
+            vec = rec.get("__vector__")
+            if vec is not None and hasattr(vec, "tolist"):
+                rec["__vector__"] = vec.tolist()
+            self._data[rec["__id__"]] = rec
+        return {"update": [], "insert": [r["__id__"] for r in datas]}
+
+    def get(self, ids):
+        return [self._data[i] for i in ids if i in self._data]
+
+    def delete(self, ids):
+        for i in ids:
+            self._data.pop(i, None)
+
+    def query(self, query, top_k=10, better_than_threshold=None, **kwargs):
+        import math
+
+        q = list(query)
+        qn = math.sqrt(sum(x * x for x in q)) or 1.0
+        scored = []
+        for rec in self._data.values():
+            v = rec.get("__vector__") or []
+            vn = math.sqrt(sum(x * x for x in v)) or 1.0
+            dot = sum(a * b for a, b in zip(q, v))
+            m = dot / (qn * vn)
+            if better_than_threshold is None or m >= better_than_threshold:
+                scored.append({**rec, "__metrics__": m})
+        scored.sort(key=lambda r: -r["__metrics__"])
+        return scored[:top_k]
+
+    def save(self):
+        import json
+
+        if not self.storage_file:
+            return
+        with open(self.storage_file, "w") as f:
+            json.dump(
+                {"embedding_dim": self.embedding_dim, "data": list(self._data.values())},
+                f,
+            )
+
+
 def load_reference():
     """Return the reference lightrag package (or None if unavailable)."""
     _stub("json_repair", repair_json=lambda s, **k: s)
+    _stub("nano_vectordb", NanoVectorDB=_MiniNanoVectorDB)
     _stub(
         "httpx",
         AsyncClient=_AnyAttr(),
