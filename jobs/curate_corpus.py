@@ -1,0 +1,96 @@
+"""spark-submit entry point: curate a pages corpus into training-ready docs.
+
+The training-data side of the engine (index_corpus.py is the KG side):
+
+    tools/package.sh
+    spark-submit --master <cluster> --py-files dist/lightrag_spark.zip \\
+        jobs/curate_corpus.py --synth 5000 --out /tmp/curated \\
+        --bench-phrase "spark window merge" --bench-phrase "key agg row"
+
+Writes ``curated_docs`` (partitioned by split), ``near_dup_pairs``,
+``duplicate_components``, ``contamination`` parquet tables under --out and
+prints ONE JSON metrics line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages-dir", help="parquet dir with pages(url, text, ...)")
+    src.add_argument("--synth", type=int, help="synthesize N deterministic pages")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--bench-phrase", action="append", default=[],
+                    help="benchmark phrase for decontamination (repeatable)")
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="near-dup Jaccard threshold (default operator constant)")
+    ap.add_argument("--keep-contaminated", action="store_true",
+                    help="flag contaminated docs instead of dropping them")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName("lightrag-spark-curate").getOrCreate()
+
+    from lightrag_spark.plans.curate import CurateConfig, curate_corpus
+    from lightrag_spark.sources.pages import synthesize_pages
+
+    if args.synth:
+        pages = synthesize_pages(spark, args.synth, seed=42, duplicate_fraction=0.08)
+    else:
+        pages = spark.read.parquet(args.pages_dir)
+        if "page_order" not in pages.columns:
+            pages = pages.withColumn("page_order", F.monotonically_increasing_id())
+
+    cfg = CurateConfig(
+        bench_phrases=args.bench_phrase,
+        drop_contaminated=not args.keep_contaminated,
+    )
+    if args.threshold is not None:
+        cfg.neardup_threshold = args.threshold
+
+    t0 = time.time()
+    r = curate_corpus(pages, cfg)
+    r.curated.write.mode("overwrite").partitionBy("split").parquet(
+        f"{args.out}/curated_docs"
+    )
+    if r.near_pairs is not None:
+        r.near_pairs.write.mode("overwrite").parquet(f"{args.out}/near_dup_pairs")
+    if r.components is not None:
+        r.components.write.mode("overwrite").parquet(
+            f"{args.out}/duplicate_components"
+        )
+    if r.contamination is not None:
+        r.contamination.write.mode("overwrite").parquet(f"{args.out}/contamination")
+    wall = time.time() - t0
+
+    curated = spark.read.parquet(f"{args.out}/curated_docs")
+    split_counts = {
+        row["split"]: row["n"]
+        for row in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n_docs = r.docs.count()
+    n_curated = sum(split_counts.values())
+    metrics = {
+        "docs_after_exact_dedup": n_docs,
+        "curated_docs": n_curated,
+        "dropped": n_docs - n_curated,
+        "near_dup_pairs": r.near_pairs.count() if r.near_pairs is not None else 0,
+        "contaminated": (
+            r.contamination.count() if r.contamination is not None else 0
+        ),
+        "splits": split_counts,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
+    }
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,17 +48,81 @@ def tokens_col(text: str = "text") -> Column:
     return F.split(F.trim(F.col(text)), r"\s+")
 
 
-def shingles_col(toks: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct n-gram word shingles (space-joined), order-free."""
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+def shingles_col(toks: Column, n: int = SHINGLE_N, distinct: bool = True) -> Column:
+    """n-gram word shingles (space-joined), distinct by default.
+
+    EXPRESSION path — Catalyst interprets (does not codegen) higher-order
+    array functions, and ``array_distinct`` on a w-token document is
+    O(w²) interpreted string comparisons: measured 127 s for 2,000
+    ~1,200-word docs vs 0.3 s for the plain token explode.  Keep this
+    form for the DuckDB oracle twins and for short-document paths; every
+    corpus-scale consumer goes through :func:`shingle_rows` (one-pass
+    Arrow kernel, same output set).  ``distinct=False`` skips the O(w²)
+    dedup for consumers where duplicates cannot change the result
+    (min/max fingerprints).
+    """
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_rows(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """(id, shingle) — one row per DISTINCT shingle per document.
+
+    The Arrow kernel emits each document's first-occurrence-ordered
+    distinct shingle set in one pass (dict.fromkeys — O(w)), replacing
+    the interpreted O(w²) ``array_distinct`` explode; the expression form
+    (``use_arrow=False``) is the oracle-replayable twin and MUST stay
+    bit-identical (same tokenization contract as the minhash kernel:
+    Java ``\\s`` class, space-only trim, empty tokens kept).  Row order
+    differs between the two paths; every consumer aggregates, so order
+    is immaterial.  The explicit repartition mirrors minhash_band_rows:
+    a few-MB parquet of heavy-compute rows otherwise scans as 1-2 input
+    partitions and single-threads the kernel.
+    """
+    if not use_arrow:
+        return docs.select(
+            F.col(id_col),
+            F.explode(shingles_col(tokens_col(text))).alias("shingle"),
+        )
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, shingle string"
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = docs.select(id_col, text).repartition(n_part)
+    shingle_n = SHINGLE_N
+
+    def kernel(batches):
+        import re
+
+        import pandas as pd
+
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids, outs = [], []
+            for did, txt in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                toks = java_ws.split((txt or "").strip(" "))
+                if len(toks) < shingle_n:
+                    continue
+                for s in dict.fromkeys(
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                ):
+                    ids.append(did)
+                    outs.append(s)
+            yield pd.DataFrame({id_col: ids, "shingle": outs})
+
+    return src.mapInPandas(kernel, out_schema)
 
 
 def exact_duplicates(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -358,9 +422,7 @@ def contamination_check(
             for i in range(max(0, len(p.split()) - SHINGLE_N + 1))
         )
     }
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles_col(tokens_col(text))).alias("shingle")
-    )
+    sh = shingle_rows(docs, text, id_col)
     bench_df = docs.sparkSession.createDataFrame(
         [(s,) for s in sorted(bench)], "shingle string"
     )
@@ -460,10 +522,7 @@ def simhash_fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc
     all values stay below 2^60 so signed-long shifts behave identically
     in both engines.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(shingles_col(tokens_col(text))).alias("tok"),
-    )
+    toks = shingle_rows(docs, text, id_col).withColumnRenamed("shingle", "tok")
     vals = toks.withColumn(
         "hv",
         F.conv(F.substring(F.md5("tok"), 1, SIMHASH_HEX_CHARS), 16, 10).cast("long"),
@@ -773,8 +832,12 @@ def detect_language(docs: DataFrame, text: str = "text", id_col: str = "doc_id")
 
 
 def fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Order-free document fingerprint: min/max md5 over word shingles."""
-    sh = shingles_col(tokens_col(text))
+    """Order-free document fingerprint: min/max md5 over word shingles.
+
+    ``distinct=False``: duplicates cannot change a min/max, and skipping
+    array_distinct avoids the O(w²) interpreted dedup on long documents
+    (see shingles_col)."""
+    sh = shingles_col(tokens_col(text), distinct=False)
     hashed = F.transform(sh, lambda s: F.md5(s))
     return docs.select(
         F.col(id_col),
