@@ -41,6 +41,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    on_round=None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable via edges.
 
@@ -54,6 +55,10 @@ def connected_components(
     rather than silently returning wrong canonical ids.  Raise
     ``max_iter`` or switch to the large-star/small-star variant for such
     graphs.
+
+    ``on_round``: optional callable ``(round_index, labels_changed)``
+    invoked after each propagation round — convergence observability for
+    scale probes (the sf10 measurement in BENCH.md uses it) and tests.
     """
     und = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -67,7 +72,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # neighbour minimum in one round: labels of b flow to a
         prop = (
             und.join(labels.withColumnRenamed("node", "b"), "b")
@@ -85,6 +90,8 @@ def connected_components(
             .count()
         )
         labels = prop
+        if on_round is not None:
+            on_round(_round, changed)
         if changed == 0:
             break
     else:
@@ -100,6 +107,7 @@ def duplicate_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    on_round=None,
 ) -> DataFrame:
     """Near-dup pairs -> (doc_id, canonical_doc_id, component_size).
 
@@ -110,7 +118,7 @@ def duplicate_components(
     pair-bounded result into a corpus-wide one; callers left-join this
     table and coalesce to self.
     """
-    comp = connected_components(pairs, src=id_a, dst=id_b)
+    comp = connected_components(pairs, src=id_a, dst=id_b, on_round=on_round)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
     return (
         comp.join(sizes, "component")

@@ -36,6 +36,24 @@ def test_direction_and_duplicates_irrelevant(spark):
     assert a == b == {1: 1, 2: 1, 3: 1}
 
 
+def test_on_round_observer(spark):
+    """Convergence observability: on_round reports per-round changed
+    counts, last round 0; a clique closes in <=2 propagation rounds."""
+    df = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "src long, dst long",
+    )
+    rounds = []
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            df, on_round=lambda i, c: rounds.append((i, c))
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, 5)}
+    assert rounds[-1][1] == 0 and len(rounds) <= 3
+
+
 def test_nonconvergence_raises(spark):
     """Exhausting max_iter while labels still change must fail loud —
     silently returning non-converged canonical ids is the one failure a

@@ -25,15 +25,19 @@ TABLES = [
 COPIES = 10
 
 
-def build(out_dir: str = "/tmp/sf1") -> str:
+def build(out_dir: str = "/tmp/sf1", copies: int = COPIES, tables=None) -> str:
+    """``copies`` scales the probe corpus (10 = sf1, 100 = sf10);
+    ``tables`` restricts generation (the sf10 probe only needs the
+    documents/embeddings/events family — 100x lineitem would be >2 GB of
+    parquet for queries the probe list does not run)."""
     if os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    for t in TABLES:
+    for t in tables or TABLES:
         src = f"'{SRC}/{t}.parquet'"
         selects = []
-        for i in range(COPIES):
+        for i in range(copies):
             if t == "documents":
                 text = "text" if i == 0 else f"text || ' v{i}'"
                 selects.append(

@@ -34,7 +34,15 @@ DEFAULT = [
 
 def main():
     names = sys.argv[1:] or DEFAULT
-    sf_dir = make_sf1.build()
+    # SPARK_GRAFT_PROBE_SF=sf10 -> the 100x corpus (tools/make_sf10.py);
+    # tpch/lineitem rows are not generated there — skip them in the list.
+    if os.environ.get("SPARK_GRAFT_PROBE_SF") == "sf10":
+        import make_sf10
+
+        sf_dir = make_sf10.build()
+        names = [n for n in names if n not in ("tpch_q1ish",)]
+    else:
+        sf_dir = make_sf1.build()
 
     import __spark_entry__ as em
     from lightrag_spark.session import get_spark
