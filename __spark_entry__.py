@@ -515,6 +515,37 @@ def _q_data_splits(spark, sf):
     )
 
 
+def _q_corpus_curated(spark, sf):
+    """The FLAGSHIP training-data op, oracle-gated end-to-end: the whole
+    curation chain (plans/curate.curate_documents) over the documents
+    table — exact content dedup (min doc_id per hash) -> minhash near-dup
+    pairs -> connected-component canonicalization -> benchmark
+    decontamination -> deterministic splits; output is the surviving
+    curated set.  The DuckDB twin replays every stage in one recursive
+    query."""
+    from pyspark.sql.window import Window
+
+    from lightrag_spark.plans.curate import CurateConfig, curate_documents
+
+    docs = _documents(spark, sf)
+    w = Window.partitionBy(F.md5(F.trim(F.col("text")))).orderBy("doc_id")
+    ded = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text")
+    )
+    cfg = CurateConfig(
+        bench_phrases=_BENCH_PHRASES, split_weights=dict(_SPLIT_WEIGHTS)
+    )
+    r = curate_documents(ded, cfg)
+    return r.curated.select(
+        "doc_id",
+        "canonical_doc_id",
+        F.col("component_size").cast("long").alias("component_size"),
+        "split",
+    )
+
+
 def _q_dedup_incremental(spark, sf):
     """Crawl-epoch incremental dedup (datapipe.incremental_near_pairs
     semantics) made oracle-replayable: docs with even doc_id play the
@@ -602,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "text_contamination": _q_text_contamination,
         "data_splits": _q_data_splits,
+        "corpus_curated": _q_corpus_curated,
     }
 
 
@@ -668,9 +700,12 @@ _BAND_STRUCTS = ", ".join(
     for b in range(dp.LSH_BANDS)
 )
 
-_MINHASH_CTE = f"""
+def _minhash_cte(base: str = "documents") -> str:
+    """Minhash banding CTE chain over ``base`` (a table or prior CTE name) —
+    parametrized so corpus_curated can run it over its deduped doc set."""
+    return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM {base}),
 sh AS (
   SELECT doc_id, {_SHINGLE_SQL} AS sh FROM toks),
 sigs AS (
@@ -678,6 +713,9 @@ sigs AS (
 bands AS (
   SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true) FROM sigs)
 """
+
+
+_MINHASH_CTE = _minhash_cte()
 
 # Global-mode context chain: ranked relations -> ordered entity sides ->
 # first-seen dedup -> final entity order.  Appended after _KG_CTE.
@@ -831,6 +869,73 @@ SELECT e.doc_id, count(*)::BIGINT AS n_hits,
        array_to_string(list_sort(list(DISTINCT e.shingle)), '|') AS hit_shingles
 FROM ex e JOIN bench b USING (shingle)
 GROUP BY e.doc_id"""
+    )
+
+
+def _corpus_curated_sql() -> str:
+    """DuckDB restatement of the ENTIRE curation chain: exact dedup (min
+    doc_id per content hash) -> minhash CTE over the deduped set ->
+    near-dup pairs -> recursive-CTE connected components -> contamination
+    (reusing the same shingle CTE) -> split boundaries inlined bit-
+    identically (the _data_splits_sql contract)."""
+    from lightrag_spark.operators.sampling import HASH_HEX_CHARS
+
+    ded = (
+        "SELECT doc_id, text FROM ("
+        "SELECT doc_id, text, row_number() OVER "
+        "(PARTITION BY md5(trim(text)) ORDER BY doc_id) AS rn FROM documents"
+        ") t WHERE rn = 1"
+    )
+    bench = sorted(
+        {
+            " ".join(p.split()[i : i + dp.SHINGLE_N])
+            for p in _BENCH_PHRASES
+            for i in range(max(0, len(p.split()) - dp.SHINGLE_N + 1))
+        }
+    )
+    vals = ", ".join(f"('{s}')" for s in bench)
+    total = sum(_SPLIT_WEIGHTS.values())
+    names = list(_SPLIT_WEIGHTS)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        cases.append(f"WHEN u < {acc!r} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    denom = float(16**HASH_HEX_CHARS)
+    cte = _minhash_cte("ded").replace(
+        "WITH ", f"WITH RECURSIVE ded AS ({ded}), ", 1
+    )
+    return (
+        cte
+        + _NEARDUP_CHAIN
+        + f""",
+pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {dp.NEARDUP_THRESHOLD}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach AS (
+  SELECT a AS node, a AS lbl FROM und
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN und e ON e.a = r.node),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+csizes AS (SELECT component, count(*) AS component_size FROM comp GROUP BY component),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+bench AS (SELECT * FROM (VALUES {vals}) v(shingle)),
+contam AS (SELECT e.doc_id, count(*) AS n_hits FROM ex e JOIN bench b USING (shingle) GROUP BY 1),
+u AS (SELECT doc_id, ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, {HASH_HEX_CHARS}))::BIGINT
+           / {denom!r} AS u FROM ded),
+spl AS (SELECT doc_id, {case} AS split FROM u)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS canonical_doc_id,
+       coalesce(s.component_size, 1)::BIGINT AS component_size,
+       spl.split
+FROM ded d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN csizes s ON s.component = c.component
+LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+JOIN spl ON spl.doc_id = d.doc_id
+WHERE coalesce(c.component, d.doc_id) = d.doc_id AND coalesce(ct.n_hits, 0) = 0"""
     )
 
 
@@ -1205,6 +1310,7 @@ GROUP BY l_returnflag, l_linestatus""",
         "eval_retrieval": _eval_retrieval_sql(),
         "text_contamination": _text_contamination_sql(),
         "data_splits": _data_splits_sql(),
+        "corpus_curated": _corpus_curated_sql(),
         "dedup_incremental": _MINHASH_CTE
         + f""",
 nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),

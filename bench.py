@@ -126,6 +126,7 @@ def main():
         "events_sessions",
         "tpch_q1ish",
         "eval_retrieval",
+        "corpus_curated",
     )
 
     def _time(name):

@@ -104,6 +104,15 @@ def curate_corpus(pages: DataFrame, cfg: CurateConfig | None = None) -> CurateRe
 
     # ---- stage 2: sanitize + exact content dedup (first-seen wins) --------
     docs = enqueue_documents(pages)
+    return curate_documents(docs, cfg)
+
+
+def curate_documents(docs: DataFrame, cfg: CurateConfig | None = None) -> CurateResult:
+    """Stages 3-6 on an already content-deduped docs frame (doc_id, text,
+    ...) — the entry point when exact dedup happened upstream (the driver
+    gate's documents table, an Iceberg docs table written by a previous
+    epoch).  ``curate_corpus`` is the pages-in front door."""
+    cfg = cfg or CurateConfig()
     if cfg.persist_docs:
         from pyspark.storagelevel import StorageLevel
 
@@ -123,6 +132,7 @@ def curate_corpus(pages: DataFrame, cfg: CurateConfig | None = None) -> CurateRe
         contamination = dp.contamination_check(docs, cfg.bench_phrases)
 
     # ---- assembly: one doc_id-keyed join chain ----------------------------
+    id_type = docs.schema["doc_id"].dataType.simpleString()
     out = docs
     if components is not None:
         out = out.join(
@@ -133,7 +143,7 @@ def curate_corpus(pages: DataFrame, cfg: CurateConfig | None = None) -> CurateRe
             "left",
         )
     else:
-        out = out.withColumn("canonical_doc_id", F.lit(None).cast("string"))
+        out = out.withColumn("canonical_doc_id", F.lit(None).cast(id_type))
         out = out.withColumn("component_size", F.lit(None).cast("long"))
     out = (
         out.withColumn(
@@ -160,11 +170,10 @@ def curate_corpus(pages: DataFrame, cfg: CurateConfig | None = None) -> CurateRe
     keep = ~F.col("is_near_dup")
     if cfg.drop_contaminated:
         keep = keep & ~F.col("is_contaminated")
+    passthrough = [c for c in ("text", "file_path", "doc_order") if c in docs.columns]
     curated = out.filter(keep).select(
         "doc_id",
-        "text",
-        "file_path",
-        "doc_order",
+        *passthrough,
         "canonical_doc_id",
         "component_size",
         "is_near_dup",
