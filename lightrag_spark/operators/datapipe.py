@@ -831,19 +831,62 @@ def detect_language(docs: DataFrame, text: str = "text", id_col: str = "doc_id")
     )
 
 
-def fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+def fingerprints(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    use_arrow: bool = True,
+) -> DataFrame:
     """Order-free document fingerprint: min/max md5 over word shingles.
+    Documents too short to shingle are excluded (both paths).
 
-    ``distinct=False``: duplicates cannot change a min/max, and skipping
-    array_distinct avoids the O(w²) interpreted dedup on long documents
-    (see shingles_col)."""
-    sh = shingles_col(tokens_col(text), distinct=False)
-    hashed = F.transform(sh, lambda s: F.md5(s))
-    return docs.select(
-        F.col(id_col),
-        F.array_min(hashed).alias("fp_min"),
-        F.array_max(hashed).alias("fp_max"),
-    )
+    Default is a one-pass Arrow kernel (same rationale as shingle_rows —
+    interpreted higher-order shingle expressions cost 35 s at the 100x
+    probe vs scan speed); ``use_arrow=False`` is the expression twin the
+    DuckDB oracle replays (``distinct=False`` there because duplicates
+    cannot change a min/max)."""
+    if not use_arrow:
+        toks = tokens_col(text)
+        hashed = F.transform(
+            shingles_col(toks, distinct=False), lambda s: F.md5(s)
+        )
+        return docs.filter(F.size(toks) >= SHINGLE_N).select(
+            F.col(id_col),
+            F.array_min(hashed).alias("fp_min"),
+            F.array_max(hashed).alias("fp_max"),
+        )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, fp_min string, fp_max string"
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = docs.select(id_col, text).repartition(n_part)
+    shingle_n = SHINGLE_N
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids, mins, maxs = [], [], []
+            for did, txt in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                toks = java_ws.split((txt or "").strip(" "))
+                if len(toks) < shingle_n:
+                    continue
+                hs = [
+                    hashlib.md5(
+                        " ".join(toks[i : i + shingle_n]).encode()
+                    ).hexdigest()
+                    for i in range(len(toks) - shingle_n + 1)
+                ]
+                ids.append(did)
+                mins.append(min(hs))
+                maxs.append(max(hs))
+            yield pd.DataFrame({id_col: ids, "fp_min": mins, "fp_max": maxs})
+
+    return src.mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------

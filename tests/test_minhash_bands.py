@@ -38,6 +38,35 @@ def test_arrow_matches_expression_on_testdata(docs):
     )
 
 
+def test_shingle_rows_arrow_matches_expression(docs, spark):
+    """shingle_rows kernel == explode(shingles_col) on the real corpus
+    plus the whitespace/short-doc edge cases (same tokenization contract
+    as the minhash kernel)."""
+    edge = spark.createDataFrame(
+        [(1, "  a b c d  "), (2, "x y"), (3, ""), (4, None),
+         (5, "w1\tw2\nw3 w4 w1\tw2\nw3")],
+        "doc_id long, text string",
+    )
+    for frame in (docs, edge):
+        a = {(r.doc_id, r.shingle) for r in dp.shingle_rows(frame).collect()}
+        b = {
+            (r.doc_id, r.shingle)
+            for r in dp.shingle_rows(frame, use_arrow=False).collect()
+        }
+        assert a == b
+
+
+def test_fingerprints_arrow_matches_expression(docs, spark):
+    edge = spark.createDataFrame(
+        [(1, "aa bb cc dd aa bb cc"), (2, "too short"), (3, "")],
+        "doc_id long, text string",
+    )
+    for frame in (docs, edge):
+        a = {tuple(r) for r in dp.fingerprints(frame).collect()}
+        b = {tuple(r) for r in dp.fingerprints(frame, use_arrow=False).collect()}
+        assert a == b
+
+
 def test_arrow_matches_expression_on_whitespace_edges(spark):
     """Tokenization must agree where Java and Python whitespace semantics
     diverge: Unicode spaces (NOT split by Java \\s), control chars <= U+0020
