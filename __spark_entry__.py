@@ -515,6 +515,25 @@ def _q_data_splits(spark, sf):
     )
 
 
+def _q_gopher_quality(spark, sf):
+    """Gopher-style document-quality filter (datapipe.gopher_quality):
+    scan-side scalar metrics + per-doc line/bigram frequency metrics +
+    the keep flag under the published thresholds."""
+    q = dp.gopher_quality(_documents(spark, sf))
+    return q.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "alpha_frac",
+        "stop_hits",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "dup_line_frac",
+        "top_bigram_char_frac",
+        "keep",
+    )
+
+
 def _q_corpus_curated(spark, sf):
     """The FLAGSHIP training-data op, oracle-gated end-to-end: the whole
     curation chain (plans/curate.curate_documents) over the documents
@@ -634,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _q_text_contamination,
         "data_splits": _q_data_splits,
         "corpus_curated": _q_corpus_curated,
+        "text_gopher_quality": _q_gopher_quality,
     }
 
 
@@ -870,6 +890,79 @@ SELECT e.doc_id, count(*)::BIGINT AS n_hits,
 FROM ex e JOIN bench b USING (shingle)
 GROUP BY e.doc_id"""
     )
+
+
+def _gopher_quality_sql() -> str:
+    """DuckDB restatement of gopher_quality: identical tokenization
+    (trim + \\s+ split, empties dropped), line metrics over trimmed
+    newline splits, dup-line excess and top-bigram argmax (ties to the
+    smallest gram), thresholds inlined from the datapipe constants."""
+    stop = "[" + ", ".join(f"'{s}'" for s in dp.STOPWORDS) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, trim(text) AS tx,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws,
+         list_filter(list_transform(str_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lns
+  FROM documents),
+scal AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         round(CASE WHEN len(ws) > 0
+               THEN list_sum(list_transform(ws, x -> len(x)))::DOUBLE / len(ws)
+               ELSE 0 END, 4) AS mean_word_len,
+         round(CASE WHEN len(ws) > 0
+               THEN len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(ws)
+               ELSE 0 END, 4) AS alpha_frac,
+         len(list_filter(ws, x -> list_contains({stop}, lower(x))))::BIGINT AS stop_hits,
+         round(CASE WHEN len(lns) > 0
+               THEN len(list_filter(lns, l -> regexp_matches(l, '^(-|\\*|•)')))::DOUBLE / len(lns)
+               ELSE 0 END, 4) AS bullet_line_frac,
+         round(CASE WHEN len(lns) > 0
+               THEN len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::DOUBLE / len(lns)
+               ELSE 0 END, 4) AS ellipsis_line_frac,
+         len(lns) AS n_lines,
+         len(tx) AS n_chars
+  FROM base),
+dupl AS (
+  SELECT doc_id, sum(c - 1) AS dup_lines FROM (
+    SELECT doc_id, line, count(*) AS c
+    FROM (SELECT doc_id, unnest(lns) AS line FROM base) u
+    GROUP BY 1, 2) t
+  GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+  FROM base, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2),
+bgc AS (
+  SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+topg AS (
+  SELECT doc_id, gram, c FROM (
+    SELECT doc_id, gram, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+    FROM bgc) t WHERE rn = 1),
+m AS (
+  SELECT s.doc_id, s.n_words, s.mean_word_len, s.alpha_frac, s.stop_hits,
+         s.bullet_line_frac, s.ellipsis_line_frac,
+         round(CASE WHEN s.n_lines > 0
+               THEN coalesce(d.dup_lines, 0)::DOUBLE / s.n_lines
+               ELSE 0 END, 4) AS dup_line_frac,
+         round(CASE WHEN t.gram IS NOT NULL AND s.n_chars > 0
+               THEN t.c * len(t.gram)::DOUBLE / s.n_chars
+               ELSE 0 END, 4) AS top_bigram_char_frac
+  FROM scal s
+  LEFT JOIN dupl d ON d.doc_id = s.doc_id
+  LEFT JOIN topg t ON t.doc_id = s.doc_id)
+SELECT *,
+       (n_words >= {dp.GOPHER_MIN_WORDS} AND n_words <= {dp.GOPHER_MAX_WORDS}
+        AND mean_word_len >= {dp.GOPHER_MIN_MEAN_WORD_LEN!r}
+        AND mean_word_len <= {dp.GOPHER_MAX_MEAN_WORD_LEN!r}
+        AND alpha_frac >= {dp.GOPHER_MIN_ALPHA_FRAC!r}
+        AND stop_hits >= {dp.GOPHER_MIN_STOP_HITS}
+        AND bullet_line_frac <= {dp.GOPHER_MAX_BULLET_FRAC!r}
+        AND ellipsis_line_frac <= {dp.GOPHER_MAX_ELLIPSIS_FRAC!r}
+        AND dup_line_frac <= {dp.GOPHER_MAX_DUP_LINE_FRAC!r}
+        AND top_bigram_char_frac <= {dp.GOPHER_MAX_TOP_BIGRAM_FRAC!r}) AS keep
+FROM m"""
 
 
 def _corpus_curated_sql() -> str:
@@ -1311,6 +1404,7 @@ GROUP BY l_returnflag, l_linestatus""",
         "text_contamination": _text_contamination_sql(),
         "data_splits": _data_splits_sql(),
         "corpus_curated": _corpus_curated_sql(),
+        "text_gopher_quality": _gopher_quality_sql(),
         "dedup_incremental": _MINHASH_CTE
         + f""",
 nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),

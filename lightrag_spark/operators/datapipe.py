@@ -749,6 +749,162 @@ def quality_scores(docs: DataFrame, text: str = "text", id_col: str = "doc_id") 
     )
 
 
+# Gopher-style document-quality thresholds (Rae et al., "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", 2021, §A1.1
+# — public rule set, constants inlined here so the oracle can replay them).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8       # words containing >=1 alphabetic char
+GOPHER_MIN_STOP_HITS = 2          # stopword occurrences (our STOPWORDS list)
+GOPHER_MAX_BULLET_FRAC = 0.9      # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3    # lines ending with an ellipsis
+GOPHER_MAX_DUP_LINE_FRAC = 0.3    # repeated-line fraction
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.2  # chars covered by the most frequent 2-gram
+
+
+def gopher_quality(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Gopher-style quality metrics + keep flag.
+
+    Output: (doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+    bullet_line_frac, ellipsis_line_frac, dup_line_frac,
+    top_bigram_char_frac, keep).
+
+    Plan shape: the scalar metrics are pure scan-side expressions; the two
+    frequency metrics (duplicate lines, top 2-gram) need per-doc value
+    counts, which run as explode -> map-side-combined groupBy keyed on
+    (doc, value) then (doc) — per-document keys, so the shuffle is
+    skew-free and linear in corpus size.  All fractions rounded to 4dp
+    (cross-engine float stability; the DuckDB twin replays the formulas).
+
+    Definitions pinned for determinism:
+    - words = non-empty whitespace tokens (the corpus-wide contract);
+    - dup_line_frac = sum(occurrences-1 per distinct non-empty trimmed
+      line) / total non-empty lines (0 when no lines);
+    - top_bigram_char_frac = count * len(gram) / len(trim(text)), most
+      frequent space-joined word 2-gram, ties to the lexicographically
+      smallest gram.
+    """
+    toks = tokens_col(text)
+    words = F.filter(toks, lambda t: t != "")
+    n_words = F.size(words)
+    total_wl = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_alpha = F.size(F.filter(words, lambda t: t.rlike("[A-Za-z]")))
+    lines = F.filter(
+        F.transform(F.split(F.col(text), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike("^(-|\\*|•)"))
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)$")))
+
+    scalars = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(
+            F.when(n_words > 0, total_wl / n_words).otherwise(F.lit(0.0)), 4
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0)), 4
+        ).alias("alpha_frac"),
+        n_stop.cast("long").alias("stop_hits"),
+        F.round(
+            F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0)), 4
+        ).alias("bullet_line_frac"),
+        F.round(
+            F.when(n_lines > 0, n_ellipsis / n_lines).otherwise(F.lit(0.0)), 4
+        ).alias("ellipsis_line_frac"),
+        n_lines.alias("_n_lines"),
+        F.length(F.trim(F.col(text))).alias("_n_chars"),
+    )
+
+    # duplicate-line fraction: per-(doc, line) counts -> per-doc excess
+    line_rows = docs.select(F.col(id_col), F.explode(lines).alias("line"))
+    dup = (
+        line_rows.groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") - 1).alias("_dup_lines"))
+    )
+
+    # top-bigram char coverage: per-(doc, gram) counts -> per-doc argmax
+    grams = docs.filter(F.size(words) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 2),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+            )
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            # min over (-count, gram) == max count, ties -> smallest gram
+            F.min_by(
+                F.struct(F.col("c"), F.col("gram")),
+                F.struct((-F.col("c")).alias("nc"), F.col("gram")),
+            ).alias("_t"),
+        )
+    )
+
+    out = (
+        scalars.join(dup, id_col, "left")
+        .join(top, id_col, "left")
+        .withColumn(
+            "dup_line_frac",
+            F.round(
+                F.when(
+                    F.col("_n_lines") > 0,
+                    F.coalesce(F.col("_dup_lines"), F.lit(0)) / F.col("_n_lines"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .withColumn(
+            "top_bigram_char_frac",
+            F.round(
+                F.when(
+                    F.col("_t").isNotNull() & (F.col("_n_chars") > 0),
+                    F.col("_t.c") * F.length(F.col("_t.gram")) / F.col("_n_chars"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("top_bigram_char_frac") <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "stop_hits",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "dup_line_frac",
+        "top_bigram_char_frac",
+        keep.alias("keep"),
+    )
+
+
 def lang_stats(docs: DataFrame, text: str = "text") -> DataFrame:
     return (
         docs.groupBy("lang")
