@@ -515,6 +515,38 @@ def _q_data_splits(spark, sf):
     )
 
 
+_EVAL_SLICE_N = 20
+
+
+def _q_eval_slice(spark, sf):
+    """Deterministic per-language eval slice (sampling.stratified_exact_
+    sample): exactly N docs per lang, smallest-hash head, stable across
+    partitioning — the 'sampled eval slice' a 10^12-doc P/R audit reads."""
+    from lightrag_spark.operators.sampling import stratified_exact_sample
+
+    docs = _documents(spark, sf)
+    return stratified_exact_sample(
+        docs, _EVAL_SLICE_N, ["lang"], "doc_id"
+    ).select("doc_id", "lang")
+
+
+def _eval_slice_sql() -> str:
+    from lightrag_spark.operators.sampling import HASH_HEX_CHARS
+
+    denom = float(16**HASH_HEX_CHARS)
+    return f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('evalslice:' || doc_id::VARCHAR), 1, {HASH_HEX_CHARS}))::BIGINT
+           / {denom!r} AS u
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+  FROM u)
+SELECT doc_id, lang FROM r WHERE rn <= {_EVAL_SLICE_N}"""
+
+
 def _q_gopher_quality(spark, sf):
     """Gopher-style document-quality filter (datapipe.gopher_quality):
     scan-side scalar metrics + per-doc line/bigram frequency metrics +
@@ -654,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_splits": _q_data_splits,
         "corpus_curated": _q_corpus_curated,
         "text_gopher_quality": _q_gopher_quality,
+        "eval_slice": _q_eval_slice,
     }
 
 
@@ -1405,6 +1438,7 @@ GROUP BY l_returnflag, l_linestatus""",
         "data_splits": _data_splits_sql(),
         "corpus_curated": _corpus_curated_sql(),
         "text_gopher_quality": _gopher_quality_sql(),
+        "eval_slice": _eval_slice_sql(),
         "dedup_incremental": _MINHASH_CTE
         + f""",
 nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),

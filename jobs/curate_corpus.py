@@ -31,6 +31,8 @@ def main():
                     help="near-dup Jaccard threshold (default operator constant)")
     ap.add_argument("--keep-contaminated", action="store_true",
                     help="flag contaminated docs instead of dropping them")
+    ap.add_argument("--quality", action="store_true",
+                    help="drop documents failing the Gopher quality thresholds")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -50,6 +52,7 @@ def main():
     cfg = CurateConfig(
         bench_phrases=args.bench_phrase,
         drop_contaminated=not args.keep_contaminated,
+        quality_filter=args.quality,
     )
     if args.threshold is not None:
         cfg.neardup_threshold = args.threshold

@@ -47,6 +47,40 @@ def deterministic_sample(
     return df.filter(hash_uniform(F.col(key_col), salt) < fraction)
 
 
+def stratified_exact_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_cols: list[str],
+    key_col: str,
+    salt: str = "evalslice",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer when the stratum
+    is smaller), chosen deterministically: rows rank by hash-uniform
+    within each stratum and the smallest-hash head wins.  The eval-slice
+    sampler — a balanced per-(lang, source, ...) slice whose membership
+    is stable across runs and cluster sizes, and ADDITIVE under corpus
+    growth only in the sense that ranking is re-evaluated per epoch (a
+    new lower-hash doc can displace the tail; pin an epoch's slice by
+    writing it out).
+
+    Scale note: the window shuffles one stratum per reducer.  Strata here
+    are facet values (languages, sources) — thousands at most, each
+    reduced to a top-``n`` head via the rank filter, and Spark's window
+    rank short-circuits after the head when a limit-pushdown applies; for
+    truly huge single strata prefer ``deterministic_sample`` with a
+    fraction (no shuffle) and accept approximate counts.
+    """
+    from pyspark.sql.window import Window
+
+    u = hash_uniform(F.col(key_col), salt)
+    w = Window.partitionBy(*strata_cols).orderBy(u.asc(), F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],

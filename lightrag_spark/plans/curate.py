@@ -58,6 +58,11 @@ class CurateConfig:
     drop_contaminated: bool = True
     # near-dup + CC can be disabled for a cheap exact-only pass
     near_dup: bool = True
+    # Gopher-style quality gate (datapipe.gopher_quality): docs failing
+    # the published thresholds are dropped BEFORE the (more expensive)
+    # near-dup/contamination stages — boilerplate and word-salad pages are
+    # exactly the ones that flood LSH buckets.
+    quality_filter: bool = False
     # THREE consumers fan out of the post-dedup docs frame (band rows,
     # bench shingles, the final join) — without a persist each one re-runs
     # the scan + sanitize + both dedup shuffles.  On a cluster this is
@@ -113,6 +118,14 @@ def curate_documents(docs: DataFrame, cfg: CurateConfig | None = None) -> Curate
     gate's documents table, an Iceberg docs table written by a previous
     epoch).  ``curate_corpus`` is the pages-in front door."""
     cfg = cfg or CurateConfig()
+
+    # ---- stage 2b (optional): Gopher quality gate -------------------------
+    if cfg.quality_filter:
+        q = dp.gopher_quality(docs)
+        docs = docs.join(
+            q.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
+
     if cfg.persist_docs:
         from pyspark.storagelevel import StorageLevel
 

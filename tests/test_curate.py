@@ -103,6 +103,29 @@ def test_plan_shape(result):
     assert "BroadcastMode" in plan or "broadcast" in plan  # bench side
 
 
+def test_quality_filter_stage(spark):
+    """quality_filter=True drops Gopher-failing docs before dedup; the
+    long clean docs survive, the short ones vanish."""
+    long_good = (
+        "the quick brown fox jumps over a lazy dog and then the fox runs "
+        "in the field of green grass while a bird sits on the old oak "
+        "tree and sings a song about the morning sun that rises over the "
+        "hills in the east and warms the cold air of the early day here "
+    )
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/1", long_good, 0),
+            ("http://a.com/2", "tiny", 1),
+        ],
+        "url string, text string, page_order long",
+    )
+    from lightrag_spark.plans.curate import CurateConfig, curate_corpus
+
+    r = curate_corpus(pages, CurateConfig(quality_filter=True, near_dup=False))
+    got = {row["doc_order"] for row in r.curated.collect()}
+    assert got == {0}
+
+
 def test_exact_only_mode(spark):
     pages = spark.createDataFrame(ROWS, "url string, text string, page_order long")
     cfg = CurateConfig(near_dup=False)

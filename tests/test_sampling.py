@@ -70,3 +70,29 @@ def test_uniform_range_and_salt_independence(docs):
     ).collect()
     assert all(0.0 <= r.u1 < 1.0 and 0.0 <= r.u2 < 1.0 for r in rows)
     assert sum(r.u1 != r.u2 for r in rows) > len(rows) * 0.99
+
+
+def test_stratified_exact_sample(docs, spark):
+    from lightrag_spark.operators.sampling import stratified_exact_sample
+
+    got = stratified_exact_sample(docs, 7, ["lang"], "doc_id")
+    per = {
+        r.lang: r.n
+        for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        r.lang: min(7, r.n)
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == want
+
+    # membership is a pure function of the key set — invariant under
+    # repartitioning (the DataFrame.sample failure mode this replaces)
+    a = {r.doc_id for r in got.collect()}
+    b = {
+        r.doc_id
+        for r in stratified_exact_sample(
+            docs.repartition(17), 7, ["lang"], "doc_id"
+        ).collect()
+    }
+    assert a == b
