@@ -515,6 +515,82 @@ def _q_data_splits(spark, sf):
     )
 
 
+def _q_batch_seeds(spark, sf):
+    """Batched KG query, stage 1 (plans/batch_query.batch_entity_seeds):
+    all eval questions' lexical entity seeds in ONE pass over the node
+    table — questions broadcast, per-question windows rank by (degree,
+    name)."""
+    from lightrag_spark.plans.batch_query import batch_entity_seeds
+
+    r = _build(spark, sf)
+    qdf = spark.createDataFrame([(q,) for q in _EVAL_QUERIES], "question string")
+    return batch_entity_seeds(r.kg_nodes, qdf, k=10)
+
+
+def _q_batch_onehop(spark, sf):
+    """Batched KG query, stage 2 (batch_one_hop): per-question 1-hop
+    edges of the seeds, _find_most_related_edges order, one pass over the
+    edge table for every question at once."""
+    from lightrag_spark.plans.batch_query import batch_entity_seeds, batch_one_hop
+
+    r = _build(spark, sf)
+    qdf = spark.createDataFrame([(q,) for q in _EVAL_QUERIES], "question string")
+    seeds = batch_entity_seeds(r.kg_nodes, qdf, k=10)
+    return batch_one_hop(seeds, r.kg_edges, r.kg_nodes, k=10)
+
+
+def _batch_query_ctes() -> str:
+    qvals = ", ".join(f"('{q}')" for q in _EVAL_QUERIES)
+    return f""",
+qs AS (SELECT * FROM (VALUES {qvals}) v(question)),
+qtok AS (
+  SELECT DISTINCT question, tok FROM (
+    SELECT question,
+           unnest(list_filter(regexp_split_to_array(trim(question), '\\s+'), x -> x <> '')) AS tok
+    FROM qs) t),
+ents AS (
+  SELECT m.entity_name, coalesce(d.degree, 0)::BIGINT AS degree
+  FROM (SELECT DISTINCT entity_name FROM mentions) m
+  LEFT JOIN node_degree d ON m.entity_name = d.e),
+seed_rank AS (
+  SELECT question, entity_name, degree,
+         row_number() OVER (PARTITION BY question ORDER BY degree DESC, entity_name) AS rn
+  FROM (SELECT q.question, e.entity_name, e.degree
+        FROM qtok q JOIN ents e ON e.entity_name = q.tok) h)"""
+
+
+def _batch_seeds_sql() -> str:
+    return (
+        _KG_CTE
+        + _batch_query_ctes()
+        + """
+SELECT question, entity_name, degree, rn::BIGINT AS pos
+FROM seed_rank WHERE rn <= 10"""
+    )
+
+
+def _batch_onehop_sql() -> str:
+    return (
+        _KG_CTE
+        + _batch_query_ctes()
+        + """,
+seeds AS (SELECT question, entity_name FROM seed_rank WHERE rn <= 10),
+ew AS (
+  SELECT e.src, e.tgt, e.weight, (ds.degree + dt.degree)::BIGINT AS degree_sum
+  FROM edges e
+  JOIN node_degree ds ON e.src = ds.e
+  JOIN node_degree dt ON e.tgt = dt.e),
+incident AS (
+  SELECT DISTINCT s.question, w.src, w.tgt, w.weight, w.degree_sum
+  FROM seeds s JOIN ew w ON w.src = s.entity_name OR w.tgt = s.entity_name)
+SELECT question, src, tgt, weight, degree_sum, rn::BIGINT AS pos FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY question ORDER BY degree_sum DESC, weight DESC, src, tgt) AS rn
+  FROM incident) r
+WHERE rn <= 10"""
+    )
+
+
 _EVAL_SLICE_N = 20
 
 
@@ -687,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curated": _q_corpus_curated,
         "text_gopher_quality": _q_gopher_quality,
         "eval_slice": _q_eval_slice,
+        "batch_query_seeds": _q_batch_seeds,
+        "batch_query_onehop": _q_batch_onehop,
     }
 
 
@@ -1439,6 +1517,8 @@ GROUP BY l_returnflag, l_linestatus""",
         "corpus_curated": _corpus_curated_sql(),
         "text_gopher_quality": _gopher_quality_sql(),
         "eval_slice": _eval_slice_sql(),
+        "batch_query_seeds": _batch_seeds_sql(),
+        "batch_query_onehop": _batch_onehop_sql(),
         "dedup_incremental": _MINHASH_CTE
         + f""",
 nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
