@@ -591,6 +591,25 @@ WHERE rn <= 10"""
     )
 
 
+def _q_boilerplate(spark, sf):
+    """Corpus boilerplate report (datapipe.boilerplate_shingles): top-50
+    3-gram shingles by document frequency."""
+    return dp.boilerplate_shingles(_documents(spark, sf), top_k=50)
+
+
+def _boilerplate_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+shl AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM toks),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+counts AS (
+  SELECT shingle, count(*)::BIGINT AS n_docs FROM ex GROUP BY 1 HAVING count(*) >= 2)
+SELECT shingle, n_docs, rn::BIGINT AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n_docs DESC, shingle) AS rn FROM counts) r
+WHERE rn <= 50"""
+
+
 _EVAL_SLICE_N = 20
 
 
@@ -763,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curated": _q_corpus_curated,
         "text_gopher_quality": _q_gopher_quality,
         "eval_slice": _q_eval_slice,
+        "text_boilerplate": _q_boilerplate,
         "batch_query_seeds": _q_batch_seeds,
         "batch_query_onehop": _q_batch_onehop,
     }
@@ -1517,6 +1537,7 @@ GROUP BY l_returnflag, l_linestatus""",
         "corpus_curated": _corpus_curated_sql(),
         "text_gopher_quality": _gopher_quality_sql(),
         "eval_slice": _eval_slice_sql(),
+        "text_boilerplate": _boilerplate_sql(),
         "batch_query_seeds": _batch_seeds_sql(),
         "batch_query_onehop": _batch_onehop_sql(),
         "dedup_incremental": _MINHASH_CTE

@@ -749,6 +749,39 @@ def quality_scores(docs: DataFrame, text: str = "text", id_col: str = "doc_id") 
     )
 
 
+def boilerplate_shingles(
+    docs: DataFrame,
+    top_k: int = 50,
+    min_docs: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(shingle, n_docs, rank) — the corpus's most document-frequent
+    3-gram shingles: the boilerplate report.  Shingles appearing across
+    many documents are navigation chrome, cookie banners, templates —
+    exactly what floods LSH buckets (the megabucket guard's prey) and
+    what a cleaning pass strips before training.
+
+    One pass: distinct (doc, shingle) rows from the Arrow kernel, one
+    map-side-combined groupBy on shingle, global top-k.  The final
+    ordering window is a single-reducer top-k over n_docs-filtered rows —
+    fine because ``min_docs`` already collapsed the tail; for corpus-wide
+    percentile work use the unranked aggregate directly.
+    """
+    counts = (
+        shingle_rows(docs, text, id_col)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.asc("shingle"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("shingle", "n_docs", "rank")
+    )
+
+
 # Gopher-style document-quality thresholds (Rae et al., "Scaling Language
 # Models: Methods, Analysis & Insights from Training Gopher", 2021, §A1.1
 # — public rule set, constants inlined here so the oracle can replay them).
