@@ -201,3 +201,122 @@ def curate_documents(docs: DataFrame, cfg: CurateConfig | None = None) -> Curate
         components=components,
         contamination=contamination,
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-epoch incremental curation
+# ---------------------------------------------------------------------------
+
+
+def save_curation_state(docs: DataFrame, state_dir: str) -> None:
+    """Persist the dedup state a future epoch probes against: the content
+    hashes (exact dedup) and the minhash band index (near dedup) of every
+    ACCEPTED document.  Overwrites — call once at bootstrap, then
+    ``append_curation_state`` per epoch."""
+    docs.select("doc_id", "content_hash").write.mode("overwrite").parquet(
+        f"{state_dir}/content_hashes"
+    )
+    dp.save_minhash_index(docs, f"{state_dir}/minhash_index")
+
+
+def append_curation_state(docs: DataFrame, state_dir: str) -> None:
+    """Append an epoch's accepted docs to the persisted state (hash rows +
+    band rows; the band append keeps the band_idx partition layout so
+    future probes still prune partitions)."""
+    docs.select("doc_id", "content_hash").write.mode("append").parquet(
+        f"{state_dir}/content_hashes"
+    )
+    from ..operators.ann import prune_megabuckets
+
+    bands = dp.minhash_band_rows(docs, with_shingles=True)
+    bands = prune_megabuckets(bands, "auto")  # same save-time guard as bootstrap
+    bands.write.mode("append").partitionBy("band_idx").parquet(
+        f"{state_dir}/minhash_index"
+    )
+
+
+def curate_epoch(
+    spark,
+    pages: DataFrame,
+    state_dir: str,
+    cfg: CurateConfig | None = None,
+    update_state: bool = True,
+) -> CurateResult:
+    """One crawl epoch against persisted curation state: the production
+    incremental path (a fresh crawl lands; only documents that are new
+    vs EVERYTHING accepted so far survive).
+
+    Order of the gates, cheapest first:
+    1. in-batch URL + exact dedup (curate_corpus stages 1-2);
+    2. cross-epoch EXACT dedup — anti-join on stored content hashes
+       (one broadcast-or-shuffle join against a hash-only table);
+    3. in-batch near-dup clustering + cross-epoch near-dup probe against
+       the stored band index (datapipe.incremental_near_pairs — work is
+       bounded by band collisions);
+    4. contamination + quality + splits as in the batch path.
+
+    ``update_state=True`` appends the SURVIVORS' hashes and band rows to
+    the state after materializing the curated frame, so the next epoch
+    sees them.  Bootstrap: a missing/empty state dir skips the
+    cross-epoch gates (first epoch).
+    """
+    import os
+
+    cfg = cfg or CurateConfig()
+    hashes_path = f"{state_dir}/content_hashes"
+    index_path = f"{state_dir}/minhash_index"
+    have_state = os.path.exists(hashes_path)
+
+    # stages 1-2 in-batch (url canon + sanitize + exact dedup)
+    pages = pages.withColumn("_curl", canonical_url_col(F.col("url")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_curl").orderBy("page_order")
+    pages = (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_curl")
+    )
+    docs = enqueue_documents(pages)
+
+    if have_state:
+        prev_hashes = spark.read.parquet(hashes_path).select("content_hash")
+        docs = docs.join(prev_hashes, "content_hash", "left_anti")
+
+    result = curate_documents(docs, cfg)
+    curated = result.curated
+
+    if have_state and cfg.near_dup:
+        cross = dp.incremental_near_pairs(
+            spark, curated, index_path, threshold=cfg.neardup_threshold
+        )
+        curated = curated.join(
+            cross.select(F.col("new_doc_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+
+    if update_state:
+        # Lineage truncation, not caching: appending to the state paths
+        # makes Spark refreshByPath-invalidate ANY cached plan that reads
+        # them, so a persist()ed survivors frame silently recomputes
+        # against the post-append state and anti-joins ITSELF away (the
+        # epoch's survivors are in the state by then).  localCheckpoint
+        # severs the plan from the state files entirely; a cluster job
+        # writes curated_docs parquet first and re-reads it, same idea.
+        curated = curated.localCheckpoint(eager=True)
+        accepted = curated.select("doc_id", "text").join(
+            result.docs.select("doc_id", "content_hash"), "doc_id"
+        )
+        if have_state:
+            append_curation_state(accepted, state_dir)
+        else:
+            save_curation_state(accepted, state_dir)
+
+    return CurateResult(
+        curated=curated,
+        docs=result.docs,
+        near_pairs=result.near_pairs,
+        components=result.components,
+        contamination=result.contamination,
+    )

@@ -126,6 +126,45 @@ def test_quality_filter_stage(spark):
     assert got == {0}
 
 
+def test_curate_epoch_incremental(spark, tmp_path):
+    """Crawl-epoch curation: epoch 2's exact and near duplicates of
+    epoch-1 ACCEPTED docs are dropped via the persisted state; genuinely
+    new docs survive and join the state for epoch 3."""
+    from lightrag_spark.plans.curate import CurateConfig, curate_epoch
+
+    state = str(tmp_path / "state")
+    e1 = spark.createDataFrame(
+        [
+            ("http://a.com/1", BASE, 0),
+            ("http://a.com/2", "fresh first epoch doc about gardening tomatoes", 1),
+        ],
+        "url string, text string, page_order long",
+    )
+    cfg = CurateConfig()
+    r1 = curate_epoch(spark, e1, state, cfg)
+    assert {r["doc_order"] for r in r1.curated.collect()} == {0, 1}
+
+    e2 = spark.createDataFrame(
+        [
+            ("http://b.com/1", BASE, 10),                       # exact dup of epoch 1
+            ("http://b.com/2", BASE + " tiny extra tail", 11),  # near dup of epoch 1
+            ("http://b.com/3", "entirely new spark shuffle partition text here", 12),
+        ],
+        "url string, text string, page_order long",
+    )
+    r2 = curate_epoch(spark, e2, state, cfg)
+    assert {r["doc_order"] for r in r2.curated.collect()} == {12}
+
+    # epoch 3: a dup of the EPOCH-2 survivor is now also caught
+    e3 = spark.createDataFrame(
+        [("http://c.com/1", "entirely new spark shuffle partition text here", 20),
+         ("http://c.com/2", "and one more truly novel document for epoch three", 21)],
+        "url string, text string, page_order long",
+    )
+    r3 = curate_epoch(spark, e3, state, cfg, update_state=False)
+    assert {r["doc_order"] for r in r3.curated.collect()} == {21}
+
+
 def test_exact_only_mode(spark):
     pages = spark.createDataFrame(ROWS, "url string, text string, page_order long")
     cfg = CurateConfig(near_dup=False)
