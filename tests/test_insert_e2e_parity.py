@@ -54,10 +54,14 @@ TEXTS = [
 _FENCE = re.compile(r"---Input Text---\n```\n(.*?)\n```", re.DOTALL)
 
 
-def _sanitized_texts():
+def _sanitize(pairs):
     from lightrag_spark.functions.textnorm import sanitize_text_for_encoding
 
-    return [(p, sanitize_text_for_encoding(t.strip())) for p, t in TEXTS]
+    return [(p, sanitize_text_for_encoding(t.strip())) for p, t in pairs]
+
+
+def _sanitized_texts():
+    return _sanitize(TEXTS)
 
 
 def _doc_ids(texts):
@@ -66,7 +70,7 @@ def _doc_ids(texts):
     return [compute_mdhash_id(t, prefix="doc-") for _, t in texts]
 
 
-async def _run_reference(tmp):
+async def _run_reference(tmp, raw_texts=TEXTS):
     """ainsert through the reference package; returns (nodes, edges, chunks)."""
     import numpy as np
     from lightrag import LightRAG
@@ -100,7 +104,7 @@ async def _run_reference(tmp):
         assert m, f"no fenced input text in prompt: {hay[:200]}"
         return model.respond(m.group(1), 1 if history else 0)
 
-    texts = _sanitized_texts()
+    texts = _sanitize(raw_texts)
     doc_ids = _doc_ids(texts)
 
     initialize_share_data()
@@ -167,14 +171,14 @@ async def _run_reference(tmp):
     return nodes, edges, chunks
 
 
-def _run_ours(spark):
+def _run_ours(spark, raw_texts=TEXTS):
     from lightrag_spark.plans.kg_build import KGBuildConfig, build_kg
     from lightrag_spark.sources.pages import enqueue_documents
 
-    texts = _sanitized_texts()
+    texts = _sanitize(raw_texts)
     # raw (unsanitized) pages in: enqueue owns sanitize + doc-id assignment
     pages = spark.createDataFrame(
-        [(p, t.strip(), i) for i, (p, t) in enumerate(TEXTS)],
+        [(p, t.strip(), i) for i, (p, t) in enumerate(raw_texts)],
         "url string, text string, page_order long",
     )
     docs = enqueue_documents(pages)
@@ -257,3 +261,36 @@ def test_triple_precision_recall(graphs):
     precision = tp / max(1, len(our_set))
     recall = tp / max(1, len(ref_set))
     assert precision == 1.0 and recall == 1.0
+
+
+def test_synth_corpus_parity(spark):
+    """Same full-loop differential over a SYNTHESIZED crawl slice (the
+    generator's template prose + dirty pages exercising the sanitize
+    path), not hand-written docs — guards against the fixed corpus
+    accidentally dodging a divergence."""
+    from lightrag_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(
+        spark, 10, seed=11, min_words=60, max_words=300,
+        duplicate_fraction=0.0, dirty_fraction=0.5,
+    ).select("url", "text", "page_order").orderBy("page_order").collect()
+    raw = [(f"s{r.page_order}.txt", r.text) for r in pages]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ref_nodes, ref_edges, ref_chunks = asyncio.run(_run_reference(tmp, raw))
+    our_nodes, our_edges, our_chunks = _run_ours(spark, raw)
+
+    assert set(ref_nodes) == set(our_nodes) and len(ref_nodes) > 30
+    for name in ref_nodes:
+        a, b = ref_nodes[name], our_nodes[name]
+        assert a["entity_type"] == b["entity_type"], name
+        assert a["description"] == b["description"], name
+        assert a["source_id"] == SEP.join(b["source_ids"]), name
+    assert set(ref_edges) == set(our_edges) and len(ref_edges) > 30
+    for key in ref_edges:
+        a, b = ref_edges[key], our_edges[key]
+        assert a["weight"] == b["weight"], key
+        assert a["description"] == b["description"], key
+        assert a["source_id"] == SEP.join(b["source_ids"]), key
+    for cid, a in ref_chunks.items():
+        assert a["content"] == our_chunks[cid]["content"], cid
