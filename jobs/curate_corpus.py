@@ -77,6 +77,15 @@ def main():
         row["split"]: row["n"]
         for row in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
+    # per-partition lineage (north-rule metrics shape, as in index_corpus):
+    # row counts per output partition of the curated table
+    partitions = [
+        {"part_id": row["pid"], "rows": row["rows"]}
+        for row in curated.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("rows"))
+        .orderBy("pid")
+        .collect()
+    ]
     n_docs = r.docs.count()
     n_curated = sum(split_counts.values())
     metrics = {
@@ -88,6 +97,7 @@ def main():
             r.contamination.count() if r.contamination is not None else 0
         ),
         "splits": split_counts,
+        "partitions": partitions,
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
     }

@@ -797,28 +797,42 @@ GOPHER_MAX_DUP_LINE_FRAC = 0.3    # repeated-line fraction
 GOPHER_MAX_TOP_BIGRAM_FRAC = 0.2  # chars covered by the most frequent 2-gram
 
 
-def gopher_quality(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+def gopher_quality(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    use_arrow: bool = True,
+) -> DataFrame:
     """Per-document Gopher-style quality metrics + keep flag.
 
     Output: (doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
     bullet_line_frac, ellipsis_line_frac, dup_line_frac,
     top_bigram_char_frac, keep).
 
-    Plan shape: the scalar metrics are pure scan-side expressions; the two
-    frequency metrics (duplicate lines, top 2-gram) need per-doc value
-    counts, which run as explode -> map-side-combined groupBy keyed on
-    (doc, value) then (doc) — per-document keys, so the shuffle is
-    skew-free and linear in corpus size.  All fractions rounded to 4dp
-    (cross-engine float stability; the DuckDB twin replays the formulas).
+    Default is ONE Arrow kernel computing every metric per row — each
+    document's metrics are independent, so nothing needs a shuffle at
+    all, and the interpreted higher-order bigram expressions (O(w²)
+    character copying via per-element slice, the shingles_col disease)
+    never run.  ``use_arrow=False`` keeps the pure-expression/groupBy
+    formulation as the cross-checkable twin of the DuckDB oracle (its
+    frequency metrics shuffle per-doc-keyed — skew-free but present).
 
-    Definitions pinned for determinism:
+    Definitions pinned for determinism (identical in kernel, expression
+    twin, and the DuckDB oracle):
     - words = non-empty whitespace tokens (the corpus-wide contract);
     - dup_line_frac = sum(occurrences-1 per distinct non-empty trimmed
       line) / total non-empty lines (0 when no lines);
     - top_bigram_char_frac = count * len(gram) / len(trim(text)), most
       frequent space-joined word 2-gram, ties to the lexicographically
-      smallest gram.
+      smallest gram;
+    - fractions round 4dp HALF-UP (floor(x*1e4+0.5)/1e4 in the kernel —
+      Python's round() is banker's and would diverge on exact .5s).
     """
+    if use_arrow:
+        return _gopher_quality_kernel(docs, text, id_col)
+    # null text == empty text (the kernel's contract): without this the
+    # expression metrics go NULL instead of 0 and keep becomes NULL
+    docs = docs.withColumn(text, F.coalesce(F.col(text), F.lit("")))
     toks = tokens_col(text)
     words = F.filter(toks, lambda t: t != "")
     n_words = F.size(words)
@@ -936,6 +950,95 @@ def gopher_quality(docs: DataFrame, text: str = "text", id_col: str = "doc_id") 
         "top_bigram_char_frac",
         keep.alias("keep"),
     )
+
+
+def _gopher_quality_kernel(docs: DataFrame, text: str, id_col: str) -> DataFrame:
+    """One-pass Arrow implementation of gopher_quality (see its docstring
+    for the pinned metric definitions)."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, n_words int, mean_word_len double, "
+        "alpha_frac double, stop_hits bigint, bullet_line_frac double, "
+        "ellipsis_line_frac double, dup_line_frac double, "
+        "top_bigram_char_frac double, keep boolean"
+    )
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = docs.select(id_col, text).repartition(n_part)
+    stops = set(STOPWORDS)
+    thresholds = (
+        GOPHER_MIN_WORDS, GOPHER_MAX_WORDS, GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MAX_MEAN_WORD_LEN, GOPHER_MIN_ALPHA_FRAC, GOPHER_MIN_STOP_HITS,
+        GOPHER_MAX_BULLET_FRAC, GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_DUP_LINE_FRAC, GOPHER_MAX_TOP_BIGRAM_FRAC,
+    )
+
+    def kernel(batches):
+        import math
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        (min_w, max_w, min_mwl, max_mwl, min_alpha, min_stop,
+         max_bullet, max_ellipsis, max_dup, max_bigram) = thresholds
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        alpha_re = re.compile(r"[A-Za-z]")
+        bullet_re = re.compile(r"^(-|\*|•)")
+        ellipsis_re = re.compile(r"(\.\.\.|…)$")
+
+        def r4(x):
+            return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "n_words", "mean_word_len", "alpha_frac", "stop_hits",
+                "bullet_line_frac", "ellipsis_line_frac", "dup_line_frac",
+                "top_bigram_char_frac", "keep")}
+            for did, txt in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                raw = txt or ""
+                tx = raw.strip(" ")
+                words = [w for w in java_ws.split(tx) if w]
+                n = len(words)
+                mwl = r4(sum(len(w) for w in words) / n) if n else 0.0
+                alpha = r4(sum(1 for w in words if alpha_re.search(w)) / n) if n else 0.0
+                stop = sum(1 for w in words if w.lower() in stops)
+                lines = [l for l in (s.strip(" ") for s in raw.split("\n")) if l]
+                nl = len(lines)
+                bullet = r4(sum(1 for l in lines if bullet_re.search(l)) / nl) if nl else 0.0
+                ell = r4(sum(1 for l in lines if ellipsis_re.search(l)) / nl) if nl else 0.0
+                dup = r4(sum(c - 1 for c in Counter(lines).values()) / nl) if nl else 0.0
+                if n >= 2:
+                    counts = Counter(
+                        f"{words[i]} {words[i+1]}" for i in range(n - 1)
+                    )
+                    c, gram = min(
+                        ((cnt, g) for g, cnt in counts.items()),
+                        key=lambda t: (-t[0], t[1]),
+                    )
+                    bigram = r4(c * len(gram) / len(tx)) if tx else 0.0
+                else:
+                    bigram = 0.0
+                keep = (
+                    min_w <= n <= max_w and min_mwl <= mwl <= max_mwl
+                    and alpha >= min_alpha and stop >= min_stop
+                    and bullet <= max_bullet and ell <= max_ellipsis
+                    and dup <= max_dup and bigram <= max_bigram
+                )
+                rows["id"].append(did)
+                rows["n_words"].append(n)
+                rows["mean_word_len"].append(mwl)
+                rows["alpha_frac"].append(alpha)
+                rows["stop_hits"].append(stop)
+                rows["bullet_line_frac"].append(bullet)
+                rows["ellipsis_line_frac"].append(ell)
+                rows["dup_line_frac"].append(dup)
+                rows["top_bigram_char_frac"].append(bigram)
+                rows["keep"].append(keep)
+            out = pd.DataFrame(rows)
+            out.columns = [id_col] + list(out.columns[1:])
+            yield out
+
+    return src.mapInPandas(kernel, out_schema)
 
 
 def lang_stats(docs: DataFrame, text: str = "text") -> DataFrame:

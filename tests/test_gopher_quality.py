@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from lightrag_spark.operators import datapipe as dp
 
 GOOD = (
@@ -71,3 +73,25 @@ def test_empty_and_null_text(spark):
     for r in got.values():
         assert r["n_words"] == 0 and r["keep"] is False
         assert r["dup_line_frac"] == 0.0 and r["top_bigram_char_frac"] == 0.0
+
+
+def test_kernel_matches_expression(spark):
+    """Arrow kernel == expression/groupBy twin on generator pages (incl.
+    dirty docs) and the edge docs above."""
+    from lightrag_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(
+        spark, 60, seed=3, min_words=20, max_words=200, dirty_fraction=0.3
+    ).select(F.col("page_order").alias("doc_id"), "text")
+    edge = spark.createDataFrame(
+        [(100, GOOD), (101, "- a\n- b"), (102, "x y x y x y"), (103, ""),
+         (104, "one\ntwo\ntwo\nthree..."), (105, None)],
+        "doc_id long, text string",
+    )
+    for frame in (pages, edge):
+        a = {r.doc_id: tuple(r) for r in dp.gopher_quality(frame).collect()}
+        b = {
+            r.doc_id: tuple(r)
+            for r in dp.gopher_quality(frame, use_arrow=False).collect()
+        }
+        assert a == b
