@@ -502,9 +502,20 @@ def incremental_near_pairs(
     )
 
 
-def simhash_fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_fingerprints(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    use_arrow: bool = True,
+) -> DataFrame:
     """(doc_id, simhash) — 60-bit SimHash over distinct 3-gram word
     shingles (the SAME feature set the minhash family hashes).
+
+    Default is a one-pass Arrow kernel (per-doc fingerprints are
+    independent — no shuffle, no 60-column bit-sum aggregation over the
+    exploded shingle rows; the driver's DuckDB gate proves the kernel
+    bit-identical to the expression formula below, which ``use_arrow=
+    False`` keeps runnable for cross-checks).
 
     Features were distinct unigrams through round 3; on template-generated
     corpora that marked ~2.3% of ALL pairs as ≤3 bits apart (shared
@@ -522,6 +533,50 @@ def simhash_fingerprints(docs: DataFrame, text: str = "text", id_col: str = "doc
     all values stay below 2^60 so signed-long shifts behave identically
     in both engines.
     """
+    if use_arrow:
+        id_type = docs.schema[id_col].dataType.simpleString()
+        out_schema = f"`{id_col}` {id_type}, simhash long"
+        n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        src = docs.select(id_col, text).repartition(n_part)
+        shingle_n, bits, hex_chars = SHINGLE_N, SIMHASH_BITS, SIMHASH_HEX_CHARS
+
+        def kernel(batches):
+            import hashlib
+            import re
+
+            import numpy as np
+            import pandas as pd
+
+            java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+            shifts = np.arange(bits, dtype=np.uint64)
+            for pdf in batches:
+                ids, fps = [], []
+                for did, txt in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                    toks_ = java_ws.split((txt or "").strip(" "))
+                    if len(toks_) < shingle_n:
+                        continue
+                    distinct = dict.fromkeys(
+                        " ".join(toks_[i : i + shingle_n])
+                        for i in range(len(toks_) - shingle_n + 1)
+                    )
+                    hvs = np.fromiter(
+                        (
+                            int(hashlib.md5(s.encode()).hexdigest()[:hex_chars], 16)
+                            for s in distinct
+                        ),
+                        dtype=np.uint64,
+                        count=len(distinct),
+                    )
+                    # signed bit sums, vectorized: (n_shingles x 60) in one shot
+                    ones = ((hvs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                    sums = 2 * ones.sum(axis=0) - len(distinct)
+                    fp = int(((sums > 0).astype(np.uint64) << shifts).sum())
+                    ids.append(did)
+                    fps.append(fp)
+                yield pd.DataFrame({id_col: ids, "simhash": fps})
+
+        return src.mapInPandas(kernel, out_schema)
+
     toks = shingle_rows(docs, text, id_col).withColumnRenamed("shingle", "tok")
     vals = toks.withColumn(
         "hv",
