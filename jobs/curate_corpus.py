@@ -46,6 +46,10 @@ def main():
         pages = synthesize_pages(spark, args.synth, seed=42, duplicate_fraction=0.08)
     else:
         pages = spark.read.parquet(args.pages_dir)
+        # WARC-shaped inputs may carry html without text: derive it
+        from lightrag_spark.sources.pages import pages_with_text
+
+        pages = pages_with_text(pages)
         if "page_order" not in pages.columns:
             pages = pages.withColumn("page_order", F.monotonically_increasing_id())
 

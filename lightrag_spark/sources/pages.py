@@ -143,6 +143,55 @@ _DOCS_SCHEMA = StructType(
 )
 
 
+def html_to_text_col(html: F.Column) -> F.Column:
+    """Deterministic HTML-to-text over the ``html binary`` column — pure
+    Catalyst expression chain (scan-side, codegen, no Python), so the
+    extraction runs at parquet-scan speed on a 10^12-page corpus.
+
+    Rules (conservative, documented — every transformation is one
+    regexp_replace, and NOTHING locale- or parser-dependent happens):
+
+    1. decode utf-8;
+    2. drop <script>...</script> and <style>...</style> blocks entirely
+       (their text is code, not content);
+    3. block-level closing tags and <br> become newlines (paragraph
+       structure survives as line structure);
+    4. every remaining tag is stripped;
+    5. HTML entities are NOT decoded — entity handling belongs to the
+       sanitize stage's byte-identity contract, and decoding here would
+       silently change content bytes;
+    6. leading/trailing whitespace trimmed; inner bytes untouched.
+
+    Byte-identity: tests assert extract(html) == the generator's ``text``
+    column for every synthetic page (including dirty ones), which is the
+    north rule's "extracted text per url byte-identical" clause made
+    checkable in-sandbox.
+    """
+    s = html.cast("string")
+    s = F.regexp_replace(s, r"(?is)<script\b.*?</script>", "")
+    s = F.regexp_replace(s, r"(?is)<style\b.*?</style>", "")
+    s = F.regexp_replace(
+        s, r"(?i)<(br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/section|/article)\s*/?>", "\n"
+    )
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", "")
+    # F.trim strips only U+0020; the tag->newline step leaves trailing
+    # newlines, so trim the full whitespace class explicitly
+    return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
+def pages_with_text(pages: DataFrame) -> DataFrame:
+    """Ensure the pages frame has a usable ``text`` column: pass through
+    when present/non-null, else extract from ``html`` (the crawl-ingest
+    face — WARC payloads carry html, not text)."""
+    if "text" in pages.columns and "html" in pages.columns:
+        return pages.withColumn(
+            "text", F.coalesce(F.col("text"), html_to_text_col(F.col("html")))
+        )
+    if "text" in pages.columns:
+        return pages
+    return pages.withColumn("text", html_to_text_col(F.col("html")))
+
+
 def enqueue_documents(pages: DataFrame, streaming: bool = False) -> DataFrame:
     """pages -> docs(doc_id, text, file_path, doc_order, content_hash, status).
 
