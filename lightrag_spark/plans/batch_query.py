@@ -83,11 +83,13 @@ def batch_one_hop(
         .withColumn("degree_sum", (F.col("sd") + F.col("td")).cast("long"))
     )
     seed_cols = seeds.select(question_col, F.col("entity_name").alias("_seed"))
+    # equi-join on an exploded endpoint column — an OR-condition join
+    # ((src==seed)|(tgt==seed)) would compile to BroadcastNestedLoopJoin,
+    # scanning every edge against every seed; exploding the two endpoints
+    # keeps it one scan + one hash join
     incident = (
-        e.join(
-            F.broadcast(seed_cols),
-            (F.col("src") == F.col("_seed")) | (F.col("tgt") == F.col("_seed")),
-        )
+        e.withColumn("_ep", F.explode(F.array("src", "tgt")))
+        .join(F.broadcast(seed_cols), F.col("_ep") == F.col("_seed"))
         .select(question_col, "src", "tgt", "weight", "degree_sum")
         .distinct()
     )
