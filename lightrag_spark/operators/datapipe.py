@@ -577,7 +577,12 @@ def simhash_fingerprints(
 
         return src.mapInPandas(kernel, out_schema)
 
-    toks = shingle_rows(docs, text, id_col).withColumnRenamed("shingle", "tok")
+    # use_arrow=False is the independent expression twin — shingle
+    # generation must take the expression path too, or the cross-check
+    # still routes through the Arrow kernel it is supposed to verify.
+    toks = shingle_rows(docs, text, id_col, use_arrow=False).withColumnRenamed(
+        "shingle", "tok"
+    )
     vals = toks.withColumn(
         "hv",
         F.conv(F.substring(F.md5("tok"), 1, SIMHASH_HEX_CHARS), 16, 10).cast("long"),

@@ -72,6 +72,11 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # Convergence is only observable via one extra confirming round, so
+    # max_iter must exceed the propagation depth by one.
+    changed = -1
     for _round in range(max_iter):
         # neighbour minimum in one round: labels of b flow to a
         prop = (

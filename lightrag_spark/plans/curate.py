@@ -208,6 +208,16 @@ def curate_documents(docs: DataFrame, cfg: CurateConfig | None = None) -> Curate
 # ---------------------------------------------------------------------------
 
 
+def _state_exists(spark, path: str) -> bool:
+    """Probe a state path through the Hadoop FileSystem API so the check
+    works for whatever scheme the state dir lives on (HDFS/S3/local) —
+    a driver-local ``os.path.exists`` is always False for remote URIs,
+    which would silently re-bootstrap (overwrite) the state every epoch."""
+    from ..functions.fsutil import hadoop_path_exists
+
+    return hadoop_path_exists(spark, path)
+
+
 def save_curation_state(docs: DataFrame, state_dir: str) -> None:
     """Persist the dedup state a future epoch probes against: the content
     hashes (exact dedup) and the minhash band index (near dedup) of every
@@ -260,12 +270,10 @@ def curate_epoch(
     sees them.  Bootstrap: a missing/empty state dir skips the
     cross-epoch gates (first epoch).
     """
-    import os
-
     cfg = cfg or CurateConfig()
     hashes_path = f"{state_dir}/content_hashes"
     index_path = f"{state_dir}/minhash_index"
-    have_state = os.path.exists(hashes_path)
+    have_state = _state_exists(spark, hashes_path)
 
     # stages 1-2 in-batch (url canon + sanitize + exact dedup)
     pages = pages.withColumn("_curl", canonical_url_col(F.col("url")))
@@ -304,7 +312,20 @@ def curate_epoch(
         # epoch's survivors are in the state by then).  localCheckpoint
         # severs the plan from the state files entirely; a cluster job
         # writes curated_docs parquet first and re-reads it, same idea.
+        # The auxiliary frames (docs/near_pairs/components/contamination)
+        # carry the SAME lineage through the anti-join on content_hashes,
+        # so they must be truncated too before the append — otherwise any
+        # action on them after this call recomputes against the grown
+        # state and silently loses this epoch's rows.
         curated = curated.localCheckpoint(eager=True)
+        _ckpt = lambda df: df.localCheckpoint(eager=True) if df is not None else None
+        result = CurateResult(
+            curated=curated,
+            docs=_ckpt(result.docs),
+            near_pairs=_ckpt(result.near_pairs),
+            components=_ckpt(result.components),
+            contamination=_ckpt(result.contamination),
+        )
         accepted = curated.select("doc_id", "text").join(
             result.docs.select("doc_id", "content_hash"), "doc_id"
         )

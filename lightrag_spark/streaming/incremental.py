@@ -130,11 +130,23 @@ def stream_near_dup_probe(
     stream checkpoint alone only gives at-least-once for a user sink (a
     batch retried after a failure between the write and the checkpoint
     commit would run again), so the sink is made idempotent: each
-    micro-batch overwrites its own ``batch_id=N`` partition directory —
+    micro-batch overwrites its own content-keyed partition directory —
     a replayed batch rewrites the same path instead of appending
     duplicates, restoring end-to-end exactly-once.  The index stays fixed
     within a run (crawl-epoch semantics); refresh it between epochs with
     save_minhash_index.
+
+    Sink layout: ``{matches_out}/batch_key=<hex>/`` — one partition
+    directory per micro-batch, keyed by the md5 of the batch's sorted
+    input-file list (falling back to the doc_id span when file metadata
+    is unavailable), NOT by the checkpoint's batch_id.  A replayed batch
+    covers the same files, so it lands on the same key and overwrites
+    its own partition; a restart with a FRESH checkpoint over a grown
+    source replays old files to their original keys (byte-identical
+    rewrite) and new files to new keys — nothing is clobbered.  A
+    matches_out written by the pre-r4 flat-append layout mixes
+    partitioned and unpartitioned files and must be cleared or migrated
+    before reuse.
 
     Returns the started StreamingQuery.
     """
@@ -154,12 +166,34 @@ def stream_near_dup_probe(
     def probe_batch(batch_df, batch_id):
         if batch_df.isEmpty():
             return
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        # Content-derived partition key: same input files -> same key,
+        # whichever checkpoint assigned the batch.  collect() is a
+        # single row (a distinct-file aggregate), not corpus data.
+        files = [
+            r[0]
+            for r in batch_df.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+            if r[0]
+        ]
+        if files:
+            seed = "\n".join(sorted(files))
+        else:
+            span = batch_df.agg(
+                F.min("doc_id"), F.max("doc_id"), F.count("*")
+            ).first()
+            seed = f"{span[0]}:{span[1]}:{span[2]}"
+        batch_key = hashlib.md5(seed.encode()).hexdigest()[:16]
         matches = dp.incremental_near_pairs(
             spark, batch_df, index_path, threshold=thr
         )
         # idempotent sink: retried batches overwrite their own partition
         matches.write.mode("overwrite").parquet(
-            f"{matches_out}/batch_id={int(batch_id)}"
+            f"{matches_out}/batch_key={batch_key}"
         )
 
     writer = stream.writeStream.foreachBatch(probe_batch).option(
