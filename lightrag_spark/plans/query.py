@@ -185,13 +185,20 @@ def kg_query_context(
     keyword_model_fn=None,
     hl_keywords: list | None = None,
     ll_keywords: list | None = None,
+    enable_rerank: bool = False,
+    rerank_fn=None,
+    min_rerank_score: float = 0.5,
+    chunk_top_k: int | None = None,
 ):
     """The kg_query retrieval driver minus the final LLM answer
     (operate.py:4191-4423): keyword extraction (cached) -> local entity-VDB
     seeds / global relation-VDB seeds -> mode dispatch with round-robin
     interleave-dedup -> 1-hop relations -> chunk selection (WEIGHT
     linear-gradient polling, utils.py:5189-5270, or VECTOR cosine re-rank)
-    -> context render with dynamic token budget.
+    -> optional rerank (process_chunks_unified steps 1-3,
+    utils.py:5601-5707: rerank -> min_rerank_score filter -> chunk_top_k
+    head; ``rerank_fn`` is the pluggable scorer — operators.rerank) ->
+    context render with dynamic token budget.
 
     ``result`` is a KGBuildResult (kg_nodes / kg_edges / chunks).  Returns
     (context_str, reference_list, debug) where debug carries the
@@ -326,6 +333,20 @@ def kg_query_context(
         for cid in chunk_ids
         if cid in contents
     ]
+    if enable_rerank and chunk_dicts:
+        from ..operators.rerank import apply_rerank, filter_by_min_rerank_score
+
+        chunk_dicts = apply_rerank(
+            query_text,
+            chunk_dicts,
+            rerank_fn,
+            top_n=chunk_top_k or len(chunk_dicts),
+        )
+        chunk_dicts = filter_by_min_rerank_score(chunk_dicts, min_rerank_score)
+    if chunk_top_k is not None and chunk_top_k > 0:
+        chunk_dicts = chunk_dicts[:chunk_top_k]
+    if enable_rerank or chunk_top_k is not None:
+        chunk_ids = [c["chunk_id"] for c in chunk_dicts]
     ent_dicts = [
         {
             "entity_name": e["entity_name"],
@@ -424,6 +445,10 @@ def kg_query(
     answer_cache: dict | None = None,
     keywords_cache: dict | None = None,
     keyword_model_fn=None,
+    enable_rerank: bool = False,
+    rerank_fn=None,
+    min_rerank_score: float = 0.5,
+    chunk_top_k: int | None = None,
 ) -> dict:
     """The COMPLETE kg_query loop (operate.py:4191-4423): keyword extraction
     -> retrieval context (kg_query_context) -> rag_response system prompt
@@ -482,6 +507,10 @@ def kg_query(
         max_total_tokens=max_total_tokens,
         hl_keywords=hl,
         ll_keywords=ll,
+        enable_rerank=enable_rerank,
+        rerank_fn=rerank_fn,
+        min_rerank_score=min_rerank_score,
+        chunk_top_k=chunk_top_k,
     )
     common = dict(
         context=context, references=refs, hl_keywords=hl, ll_keywords=ll
@@ -507,6 +536,14 @@ def kg_query(
         ident = getattr(response_fn, "model_identity", None) or getattr(
             response_fn, "__qualname__", ""
         )
+    # the reference's cache identity blob includes enable_rerank
+    # (operate.py:4328-4345) — a reranked context must never serve a
+    # cached non-reranked answer for the same parameters, and vice versa
+    if enable_rerank:
+        rr_ident = getattr(rerank_fn, "model_identity", None) or getattr(
+            rerank_fn, "__qualname__", "rerank"
+        )
+        ident = f"{ident or ''}|rerank={rr_ident}|min={min_rerank_score}|ctk={chunk_top_k}"
     args_hash = answer_cache_key(
         query_text, mode, response_type, top_k, related_chunk_number,
         max_entity_tokens, max_relation_tokens, max_total_tokens,

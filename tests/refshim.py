@@ -111,6 +111,28 @@ def load_reference():
         Timeout=_AnyAttr(),
         HTTPError=Exception,
     )
+    # lightrag.rerank's module-level imports (HTTP client + retry lib are
+    # unused by the pure chunk/aggregate functions under differential test)
+    _stub(
+        "aiohttp",
+        ClientError=type("ClientError", (Exception,), {}),
+        ClientResponseError=type("ClientResponseError", (Exception,), {}),
+        ClientSession=_AnyAttr(),
+    )
+    class _OrAnything:  # rerank.py composes retry predicates with `|`
+        def __or__(self, other):
+            return self
+
+        def __ror__(self, other):
+            return self
+
+    _stub(
+        "tenacity",
+        retry=lambda *a, **k: (lambda fn: fn),
+        retry_if_exception_type=lambda *a, **k: _OrAnything(),
+        stop_after_attempt=lambda *a, **k: _AnyAttr(),
+        wait_exponential=lambda *a, **k: _AnyAttr(),
+    )
     if _REF not in sys.path:
         sys.path.insert(0, _REF)
     try:
