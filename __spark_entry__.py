@@ -26,7 +26,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lightrag_spark.constants import DEFAULT_ENTITY_TYPES
+from lightrag_spark.constants import (
+    DEFAULT_ENTITY_TYPES,
+    FORCE_LLM_SUMMARY_ON_MERGE,
+    SUMMARY_MAX_TOKENS,
+)
 from lightrag_spark.operators import ann
 from lightrag_spark.operators import datapipe as dp
 from lightrag_spark.plans.kg_build import KGBuildConfig, build_kg
@@ -743,6 +747,185 @@ def _q_dedup_components(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# mutation / upsert / summarization queries (SURVEY §2.4/2.5/2.8) — the
+# deterministic admin paths replayed against independent DuckDB twins
+# ---------------------------------------------------------------------------
+
+# delete-by-doc predicate: content-hash based (first hex digit of the doc
+# md5) so exact duplicates are deleted together — a doc_id-based predicate
+# could delete one copy of a duplicate pair and "resurrect" the other,
+# making Spark (which deletes materialized chunks) and the oracle (which
+# refilters source documents) legitimately diverge.
+_DELETE_HEX = ("0", "1", "2", "3")
+
+
+def _q_kg_delete_doc(spark, sf):
+    """adelete_by_doc_id (reference lightrag.py:5387+, utils_graph.py:
+    1848-2040): purge ~1/4 of the documents from a materialized build and
+    rebuild the graph from the SURVIVING chunks' llm_cache — zero model
+    calls.  The oracle is a fresh DuckDB build over the surviving
+    documents: purge+rebuild must equal fresh-build (the reference's
+    rebuild-from-cache contract)."""
+    from lightrag_spark.plans.mutations import rebuild_kg_from_chunks
+
+    r = _build(spark, sf)
+    surviving = r.chunks.filter(~F.substring("doc_id", 5, 1).isin(*_DELETE_HEX))
+    nodes, _edges = rebuild_kg_from_chunks(surviving, r.llm_cache, SIMPLE_CFG)
+    return nodes.select(
+        "entity_name",
+        "entity_type",
+        F.col("mention_count").cast("long").alias("mention_count"),
+        F.size("source_ids").cast("long").alias("n_source_chunks"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
+_RENAMED_ENTITY = "zzzz~renamed"
+
+
+def _q_kg_rename_entity(spark, sf):
+    """aedit_entity rename path (utils_graph.py:277-838): re-key the
+    top-degree entity, redirect every incident edge, re-canonicalize the
+    (src, tgt) pair order, recompute degrees.  Output = the full edge set
+    after the rename."""
+    from lightrag_spark.plans.mutations import rename_entity
+
+    r = _build(spark, sf)
+    top = (
+        r.kg_nodes.orderBy(F.desc("degree"), F.asc("entity_name"))
+        .select("entity_name")
+        .first()["entity_name"]
+    )
+    _nodes, edges = rename_entity(r.kg_nodes, r.kg_edges, top, _RENAMED_ENTITY)
+    return edges.select(
+        "src",
+        "tgt",
+        F.col("weight").cast("double").alias("weight"),
+        F.col("relation_count").cast("long").alias("relation_count"),
+    )
+
+
+def _q_kg_merge_entities(spark, sf):
+    """amerge_entities (utils_graph.py:1343-1560): merge the #2 and #3
+    entities by degree into #1 — per-field strategy matrix on the node
+    payload (keep_first type from the FIRST SOURCE, summed mention_count),
+    incident edges redirected with self-loop drop and duplicate-pair
+    collapse, degrees recomputed for the whole graph."""
+    from lightrag_spark.plans.mutations import merge_entities
+
+    r = _build(spark, sf)
+    top3 = [
+        row["entity_name"]
+        for row in r.kg_nodes.orderBy(F.desc("degree"), F.asc("entity_name"))
+        .select("entity_name")
+        .limit(3)
+        .collect()
+    ]
+    nodes, _edges = merge_entities(
+        spark, r.kg_nodes, r.kg_edges, source_entities=top3[1:], target_entity=top3[0]
+    )
+    return nodes.select(
+        "entity_name",
+        "entity_type",
+        F.col("mention_count").cast("long").alias("mention_count"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
+# upsert split: stored graph built from docs whose content-md5 starts
+# 0-7, the incremental batch is the rest — content-hash split for the
+# same duplicate-safety reason as the delete predicate.
+_UPSERT_STORED_HEX = tuple("01234567")
+
+
+def _q_kg_upsert_edges(spark, sf):
+    """Incremental upsert (plans/incremental_merge.py:258 upsert_graph;
+    reference operate.py:2290-2341, 2640-2798): build the stored graph
+    from half the corpus, extract the other half, upsert.  The oracle is
+    a FRESH build over the whole corpus — the upsert's defining invariant
+    is partition-invariance: upsert(A)+B == build(A∪B) exactly (weight
+    sums, relation counts, pair canonicalization)."""
+    import dataclasses
+
+    from lightrag_spark.plans.incremental_merge import upsert_graph
+
+    cfg = dataclasses.replace(SIMPLE_CFG, cache_records=True)
+    docs = _docs_for_kg(spark, sf)
+    first_hex = F.substring("doc_id", 5, 1)
+    r_a = build_kg(docs.filter(first_hex.isin(*_UPSERT_STORED_HEX)), cfg)
+    r_b = build_kg(docs.filter(~first_hex.isin(*_UPSERT_STORED_HEX)), cfg)
+    _nodes, edges = upsert_graph(
+        r_a.kg_nodes, r_a.kg_edges, r_b.mentions, r_b.triples, cfg
+    )
+    return edges.select(
+        "src",
+        "tgt",
+        F.col("weight").cast("double").alias("weight"),
+        F.col("relation_count").cast("long").alias("relation_count"),
+    )
+
+
+def _q_kg_upsert_nodes(spark, sf):
+    """Node face of the same upsert split: stored-plus-new mention counts,
+    type vote (stored counts once, appended last), degree over the
+    upserted edge set — must equal the fresh full-corpus build."""
+    import dataclasses
+
+    from lightrag_spark.plans.incremental_merge import upsert_graph
+
+    cfg = dataclasses.replace(SIMPLE_CFG, cache_records=True)
+    docs = _docs_for_kg(spark, sf)
+    first_hex = F.substring("doc_id", 5, 1)
+    r_a = build_kg(docs.filter(first_hex.isin(*_UPSERT_STORED_HEX)), cfg)
+    r_b = build_kg(docs.filter(~first_hex.isin(*_UPSERT_STORED_HEX)), cfg)
+    nodes, _edges = upsert_graph(
+        r_a.kg_nodes, r_a.kg_edges, r_b.mentions, r_b.triples, cfg
+    )
+    return nodes.select(
+        "entity_name",
+        "entity_type",
+        F.col("mention_count").cast("long").alias("mention_count"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
+_SUMMARY_MAX_FRAGS = 12
+
+
+def _q_kg_summary(spark, sf):
+    """Map-reduce description summarization (operators/summary.py:26,
+    functions/summary_core.py; reference operate.py:368-611): per entity,
+    build a deterministic fragment list (one fragment per source chunk,
+    chunk-id order, capped) and run the finalizer — small lists join with
+    <SEP>, lists at/over the force-merge count (8) take the summarizer
+    branch.  The whitespace tokenizer + deterministic mock summarizer
+    make both branches DuckDB-replayable."""
+    from lightrag_spark.operators.summary import finalize_descriptions
+
+    r = _build(spark, sf)
+    frags = (
+        r.mentions.select("entity_name", "chunk_id")
+        .distinct()
+        .groupBy("entity_name")
+        .agg(F.slice(F.array_sort(F.collect_list("chunk_id")), 1, _SUMMARY_MAX_FRAGS).alias("ids"))
+        .withColumn(
+            "descriptions",
+            F.transform(
+                "ids",
+                lambda c: F.concat(F.col("entity_name"), F.lit(" appears in "), c),
+            ),
+        )
+    )
+    out = finalize_descriptions(frags, "entity_name", "Entity", "whitespace")
+    return out.select(
+        "entity_name",
+        F.size("descriptions").cast("long").alias("n_frags"),
+        "description",
+        "llm_was_used",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_chunks": _q_kg_chunks,
@@ -785,6 +968,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": _q_boilerplate,
         "batch_query_seeds": _q_batch_seeds,
         "batch_query_onehop": _q_batch_onehop,
+        "kg_delete_doc": _q_kg_delete_doc,
+        "kg_rename_entity": _q_kg_rename_entity,
+        "kg_merge_entities": _q_kg_merge_entities,
+        "kg_upsert_edges": _q_kg_upsert_edges,
+        "kg_upsert_nodes": _q_kg_upsert_nodes,
+        "kg_summary": _q_kg_summary,
     }
 
 
@@ -795,13 +984,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TYPE_LIST = "[" + ", ".join(f"'{t}'" for t in TYPES) + "]"
 
 # Shared CTE prefix: enqueue (trim + doc-md5 + first-wins dedup) -> token
-# arrays -> token windows -> chunks -> entity streams.
-_KG_CTE = f"""
+# arrays -> token windows -> chunks -> entity streams.  ``doc_pred``
+# filters the source documents (the delete-by-doc twin: a purge+rebuild
+# must equal a fresh build over the surviving documents).
+
+
+def _kg_cte(doc_pred: str = "") -> str:
+    where = f" WHERE {doc_pred}" if doc_pred else ""
+    return f"""
 WITH dedup AS (
   SELECT * FROM (
     SELECT doc_id, trim(text) AS text, 'doc-' || md5(trim(text)) AS doc_key,
            row_number() OVER (PARTITION BY md5(trim(text)) ORDER BY doc_id) AS rn
-    FROM documents) t WHERE rn = 1),
+    FROM documents{where}) t WHERE rn = 1),
 toks AS (
   SELECT doc_key, doc_id, regexp_split_to_array(text, '\\s+') AS t FROM dedup),
 starts AS (
@@ -833,6 +1028,9 @@ node_degree AS (
   SELECT e, count(*)::BIGINT AS degree FROM (
     SELECT src AS e FROM edges UNION ALL SELECT tgt FROM edges) u GROUP BY e)
 """
+
+
+_KG_CTE = _kg_cte()
 
 _SHINGLE_SQL = (
     "CASE WHEN len(t) >= {n} THEN list_distinct(list_transform("
@@ -1540,6 +1738,114 @@ GROUP BY l_returnflag, l_linestatus""",
         "text_boilerplate": _boilerplate_sql(),
         "batch_query_seeds": _batch_seeds_sql(),
         "batch_query_onehop": _batch_onehop_sql(),
+        "kg_delete_doc": _kg_cte(
+            "substr(md5(trim(text)),1,1) NOT IN "
+            + "(" + ", ".join(f"'{h}'" for h in _DELETE_HEX) + ")"
+        )
+        + f"""
+, node_counts AS (
+  SELECT entity_name,
+         ({_TYPE_LIST})[(('0x' || substr(md5(entity_name),1,8))::BIGINT % {len(TYPES)}) + 1] AS entity_type,
+         count(*)::BIGINT AS mention_count,
+         least(count(DISTINCT chunk_id), 200)::BIGINT AS n_source_chunks
+  FROM mentions GROUP BY entity_name)
+SELECT n.entity_name, n.entity_type, n.mention_count, n.n_source_chunks,
+       coalesce(d.degree, 0)::BIGINT AS degree
+FROM node_counts n LEFT JOIN node_degree d ON n.entity_name = d.e""",
+        "kg_rename_entity": _KG_CTE
+        + f"""
+, nodes AS (
+  SELECT m.entity_name, coalesce(d.degree, 0)::BIGINT AS degree
+  FROM (SELECT DISTINCT entity_name FROM mentions) m
+  LEFT JOIN node_degree d ON m.entity_name = d.e),
+top1 AS (
+  SELECT entity_name AS old_name FROM nodes
+  ORDER BY degree DESC, entity_name LIMIT 1)
+SELECT least(ns, nt) AS src, greatest(ns, nt) AS tgt, weight, relation_count
+FROM (
+  SELECT CASE WHEN e.src = t.old_name THEN '{_RENAMED_ENTITY}' ELSE e.src END AS ns,
+         CASE WHEN e.tgt = t.old_name THEN '{_RENAMED_ENTITY}' ELSE e.tgt END AS nt,
+         e.weight, e.relation_count
+  FROM edges e CROSS JOIN top1 t) r""",
+        "kg_merge_entities": _KG_CTE
+        + f"""
+, node_counts AS (
+  SELECT entity_name, count(*)::BIGINT AS mention_count FROM mentions GROUP BY entity_name),
+nodes AS (
+  SELECT n.entity_name, n.mention_count, coalesce(d.degree, 0)::BIGINT AS degree
+  FROM node_counts n LEFT JOIN node_degree d ON n.entity_name = d.e),
+ranked AS (
+  SELECT entity_name, row_number() OVER (ORDER BY degree DESC, entity_name) AS rn
+  FROM nodes),
+t AS (
+  SELECT max(CASE WHEN rn = 1 THEN entity_name END) AS t1,
+         max(CASE WHEN rn = 2 THEN entity_name END) AS t2,
+         max(CASE WHEN rn = 3 THEN entity_name END) AS t3
+  FROM ranked WHERE rn <= 3),
+red AS (
+  SELECT DISTINCT least(ns, nt) AS src, greatest(ns, nt) AS tgt FROM (
+    SELECT CASE WHEN e.src IN (t.t2, t.t3) THEN t.t1 ELSE e.src END AS ns,
+           CASE WHEN e.tgt IN (t.t2, t.t3) THEN t.t1 ELSE e.tgt END AS nt
+    FROM edges e CROSS JOIN t) x
+  WHERE ns <> nt),
+deg2 AS (
+  SELECT e, count(*)::BIGINT AS degree FROM (
+    SELECT src AS e FROM red UNION ALL SELECT tgt FROM red) u GROUP BY e),
+merged_node AS (
+  SELECT t.t1 AS entity_name,
+         ({_TYPE_LIST})[(('0x' || substr(md5(t.t2),1,8))::BIGINT % {len(TYPES)}) + 1] AS entity_type,
+         (SELECT sum(n2.mention_count) FROM nodes n2
+          WHERE n2.entity_name IN (t.t1, t.t2, t.t3))::BIGINT AS mention_count
+  FROM t),
+rest AS (
+  SELECT n.entity_name,
+         ({_TYPE_LIST})[(('0x' || substr(md5(n.entity_name),1,8))::BIGINT % {len(TYPES)}) + 1] AS entity_type,
+         n.mention_count
+  FROM nodes n CROSS JOIN t
+  WHERE n.entity_name NOT IN (t.t1, t.t2, t.t3)),
+allnodes AS (
+  SELECT * FROM rest UNION ALL SELECT * FROM merged_node)
+SELECT a.entity_name, a.entity_type, a.mention_count,
+       coalesce(d.degree, 0)::BIGINT AS degree
+FROM allnodes a LEFT JOIN deg2 d ON a.entity_name = d.e""",
+        "kg_upsert_edges": _KG_CTE
+        + """
+SELECT src, tgt, weight, relation_count FROM edges""",
+        "kg_upsert_nodes": _KG_CTE
+        + f"""
+, node_counts AS (
+  SELECT entity_name,
+         ({_TYPE_LIST})[(('0x' || substr(md5(entity_name),1,8))::BIGINT % {len(TYPES)}) + 1] AS entity_type,
+         count(*)::BIGINT AS mention_count
+  FROM mentions GROUP BY entity_name)
+SELECT n.entity_name, n.entity_type, n.mention_count,
+       coalesce(d.degree, 0)::BIGINT AS degree
+FROM node_counts n LEFT JOIN node_degree d ON n.entity_name = d.e""",
+        "kg_summary": _KG_CTE
+        + f"""
+, ent_chunks AS (
+  SELECT entity_name,
+         (list_sort(list(chunk_id)))[1:{_SUMMARY_MAX_FRAGS}] AS ids
+  FROM mentions GROUP BY entity_name),
+frag AS (
+  SELECT entity_name,
+         list_transform(ids, c -> entity_name || ' appears in ' || c) AS frags
+  FROM ent_chunks),
+tok AS (
+  SELECT entity_name, frags, len(frags) AS n,
+         list_sum(list_transform(frags,
+           f -> len(regexp_split_to_array(trim(f), '\\s+')))) AS total
+  FROM frag)
+SELECT entity_name, n::BIGINT AS n_frags,
+  CASE WHEN n = 1 THEN frags[1]
+       WHEN n < {FORCE_LLM_SUMMARY_ON_MERGE} AND total < {SUMMARY_MAX_TOKENS}
+         THEN array_to_string(frags, '<SEP>')
+       ELSE 'Entity summary of ' || entity_name || ': ' || frags[1]
+            || ' [+' || (n - 1)::VARCHAR || ' merged fragments]'
+  END AS description,
+  NOT (n = 1 OR (n < {FORCE_LLM_SUMMARY_ON_MERGE} AND total < {SUMMARY_MAX_TOKENS}))
+    AS llm_was_used
+FROM tok""",
         "dedup_incremental": _MINHASH_CTE
         + f""",
 nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
