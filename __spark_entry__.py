@@ -543,6 +543,36 @@ def _q_batch_onehop(spark, sf):
     return batch_one_hop(seeds, r.kg_edges, r.kg_nodes, k=10)
 
 
+def _q_batch_chunks(spark, sf):
+    """Batched KG query, stage 3 (batch_related_chunks): per-question
+    WEIGHT chunk pick — first-seen dedup within each question, per-entity
+    cap — for every eval question in one pass over the node table."""
+    from lightrag_spark.plans.batch_query import batch_entity_seeds, batch_related_chunks
+
+    r = _build(spark, sf)
+    qdf = spark.createDataFrame([(q,) for q in _EVAL_QUERIES], "question string")
+    seeds = batch_entity_seeds(r.kg_nodes, qdf, k=10)
+    return batch_related_chunks(seeds, r.kg_nodes, per_entity=5)
+
+
+def _q_batch_context(spark, sf):
+    """Batched KG query, stage 4 (batch_context): the COMPLETE per-question
+    context render — JSON-lines entity/relation sections, token-budgeted
+    chunk admission, reference list — N questions in one Spark pass,
+    zero Python.  The oracle rebuilds the exact strings in SQL."""
+    from lightrag_spark.plans.batch_query import (
+        batch_context,
+        batch_entity_seeds,
+        batch_one_hop,
+    )
+
+    r = _build(spark, sf)
+    qdf = spark.createDataFrame([(q,) for q in _EVAL_QUERIES], "question string")
+    seeds = batch_entity_seeds(r.kg_nodes, qdf, k=10)
+    rels = batch_one_hop(seeds, r.kg_edges, r.kg_nodes, k=10)
+    return batch_context(seeds, rels, r.kg_nodes, r.chunks, per_entity=5)
+
+
 def _batch_query_ctes() -> str:
     qvals = ", ".join(f"('{q}')" for q in _EVAL_QUERIES)
     return f""",
@@ -592,6 +622,141 @@ SELECT question, src, tgt, weight, degree_sum, rn::BIGINT AS pos FROM (
     PARTITION BY question ORDER BY degree_sum DESC, weight DESC, src, tgt) AS rn
   FROM incident) r
 WHERE rn <= 10"""
+    )
+
+
+def _batch_chunk_ctes() -> str:
+    """Chunk-pick CTE chain shared by the batch chunk/context oracles:
+    per-entity source lists in the stored order (winning doc id, chunk
+    index), question-scoped first-seen dedup, per-entity cap."""
+    return """,
+bseeds AS (SELECT question, entity_name, degree, rn FROM seed_rank WHERE rn <= 10),
+src_lists AS (
+  SELECT m.entity_name, c.chunk_id,
+         row_number() OVER (
+           PARTITION BY m.entity_name ORDER BY dd.doc_id, c.chunk_order_index) AS list_idx
+  FROM (SELECT DISTINCT chunk_id, entity_name FROM mentions) m
+  JOIN chunks c ON c.chunk_id = m.chunk_id
+  JOIN dedup dd ON dd.doc_key = c.doc_key),
+qexp AS (
+  SELECT s.question, s.entity_name, s.rn AS pos, l.chunk_id, l.list_idx
+  FROM bseeds s JOIN src_lists l ON l.entity_name = s.entity_name),
+fs AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY question, chunk_id ORDER BY pos, list_idx) AS dup_rn
+  FROM qexp),
+picked AS (
+  SELECT question, entity_name, pos::BIGINT AS pos, chunk_id, chunk_pos FROM (
+    SELECT question, entity_name, pos, chunk_id,
+           row_number() OVER (PARTITION BY question, pos ORDER BY list_idx)::BIGINT AS chunk_pos
+    FROM fs WHERE dup_rn = 1) t
+  WHERE chunk_pos <= 5)"""
+
+
+def _batch_chunks_sql() -> str:
+    return (
+        _KG_CTE
+        + _batch_query_ctes()
+        + _batch_chunk_ctes()
+        + """
+SELECT question, entity_name, pos, chunk_id, chunk_pos FROM picked"""
+    )
+
+
+# json.dumps string-body escaping (backslash, then quote) in SQL
+_SQL_ESC = "replace(replace({c}, '\\', '\\\\'), '\"', '\\\"')"
+# whitespace token count of a rendered section (0 when blank)
+_SQL_WC = (
+    "CASE WHEN trim({c}) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim({c}), '\\s+')) END"
+)
+
+
+def _batch_context_sql() -> str:
+    ent_type = (
+        f"({_TYPE_LIST})[(('0x' || substr(md5(entity_name),1,8))::BIGINT % {len(TYPES)}) + 1]"
+    )
+    return (
+        _KG_CTE
+        + _batch_query_ctes()
+        + _batch_chunk_ctes()
+        + f""",
+onehop AS (
+  SELECT question, src, tgt, rn FROM (
+    SELECT i.*, row_number() OVER (
+      PARTITION BY question ORDER BY degree_sum DESC, weight DESC, src, tgt) AS rn
+    FROM (
+      SELECT DISTINCT s.question, w.src, w.tgt, w.weight, w.degree_sum
+      FROM (SELECT question, entity_name FROM seed_rank WHERE rn <= 10) s
+      JOIN (
+        SELECT e.src, e.tgt, e.weight, (ds.degree + dt.degree)::BIGINT AS degree_sum
+        FROM edges e
+        JOIN node_degree ds ON e.src = ds.e
+        JOIN node_degree dt ON e.tgt = dt.e) w
+      ON w.src = s.entity_name OR w.tgt = s.entity_name) i) r
+  WHERE rn <= 10),
+ent_lines AS (
+  SELECT question, rn,
+         '{{"degree": ' || degree || ', "entity_name": "' || {_SQL_ESC.format(c="entity_name")}
+         || '", "entity_type": "' || {_SQL_ESC.format(c=ent_type)} || '"}}' AS line
+  FROM bseeds),
+ents_str AS (
+  SELECT question, string_agg(line, chr(10) ORDER BY rn) AS entities_str
+  FROM ent_lines GROUP BY question),
+rel_lines AS (
+  SELECT question, rn,
+         '{{"src": "' || {_SQL_ESC.format(c="src")} || '", "tgt": "'
+         || {_SQL_ESC.format(c="tgt")} || '"}}' AS line
+  FROM onehop),
+rels_str AS (
+  SELECT question, string_agg(line, chr(10) ORDER BY rn) AS relations_str
+  FROM rel_lines GROUP BY question),
+budget AS (
+  SELECT e.question, e.entities_str,
+         coalesce(r.relations_str, '') AS relations_str,
+         30000 - {_SQL_WC.format(c="e.entities_str")}
+               - {_SQL_WC.format(c="coalesce(r.relations_str, '')")} - 200 AS avail
+  FROM ents_str e LEFT JOIN rels_str r USING (question)),
+costed AS (
+  SELECT p.question, p.pos, p.chunk_pos, ch.content, dd.source AS file_path,
+         {_SQL_WC.format(c="ch.content")} AS cost
+  FROM picked p
+  JOIN chunks ch ON ch.chunk_id = p.chunk_id
+  JOIN dedup dd ON dd.doc_key = ch.doc_key),
+cums AS (
+  SELECT *, sum(cost) OVER (
+    PARTITION BY question ORDER BY pos, chunk_pos ROWS UNBOUNDED PRECEDING) AS cum
+  FROM costed),
+kept AS (
+  SELECT c.* FROM cums c JOIN budget b USING (question) WHERE c.cum <= b.avail),
+refd AS (
+  SELECT *, dense_rank() OVER (PARTITION BY question ORDER BY fmin) AS reference_id
+  FROM (SELECT *, min(pos * 100 + chunk_pos) OVER (
+          PARTITION BY question, file_path) AS fmin FROM kept) t),
+chunk_lines AS (
+  SELECT question, pos, chunk_pos,
+         '{{"content": "' || {_SQL_ESC.format(c="content")}
+         || '", "reference_id": ' || reference_id || '}}' AS line
+  FROM refd),
+chs AS (
+  SELECT question, string_agg(line, chr(10) ORDER BY pos, chunk_pos) AS chunks_str
+  FROM chunk_lines GROUP BY question),
+ref_lines AS (
+  SELECT DISTINCT question, reference_id,
+         '[' || reference_id || '] ' || file_path AS line
+  FROM refd),
+refs AS (
+  SELECT question, string_agg(line, chr(10) ORDER BY reference_id) AS refs_str
+  FROM ref_lines GROUP BY question)
+SELECT b.question,
+       '-----Entities-----' || chr(10) || b.entities_str
+       || chr(10) || chr(10) || '-----Relationships-----' || chr(10) || b.relations_str
+       || chr(10) || chr(10) || '-----Chunks-----' || chr(10) || coalesce(c.chunks_str, '')
+       || chr(10) || chr(10) || '-----References-----' || chr(10) || coalesce(f.refs_str, '')
+       || chr(10) AS context
+FROM budget b
+LEFT JOIN chs c USING (question)
+LEFT JOIN refs f USING (question)"""
     )
 
 
@@ -974,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_upsert_edges": _q_kg_upsert_edges,
         "kg_upsert_nodes": _q_kg_upsert_nodes,
         "kg_summary": _q_kg_summary,
+        "batch_query_chunks": _q_batch_chunks,
+        "batch_query_context": _q_batch_context,
     }
 
 
@@ -994,7 +1161,7 @@ def _kg_cte(doc_pred: str = "") -> str:
     return f"""
 WITH dedup AS (
   SELECT * FROM (
-    SELECT doc_id, trim(text) AS text, 'doc-' || md5(trim(text)) AS doc_key,
+    SELECT doc_id, source, trim(text) AS text, 'doc-' || md5(trim(text)) AS doc_key,
            row_number() OVER (PARTITION BY md5(trim(text)) ORDER BY doc_id) AS rn
     FROM documents{where}) t WHERE rn = 1),
 toks AS (
@@ -1738,6 +1905,8 @@ GROUP BY l_returnflag, l_linestatus""",
         "text_boilerplate": _boilerplate_sql(),
         "batch_query_seeds": _batch_seeds_sql(),
         "batch_query_onehop": _batch_onehop_sql(),
+        "batch_query_chunks": _batch_chunks_sql(),
+        "batch_query_context": _batch_context_sql(),
         "kg_delete_doc": _kg_cte(
             "substr(md5(trim(text)),1,1) NOT IN "
             + "(" + ", ".join(f"'{h}'" for h in _DELETE_HEX) + ")"
