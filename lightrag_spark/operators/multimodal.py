@@ -44,14 +44,37 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
+def _pil_image():
+    """Import-gated PIL (the tiktoken pattern): the kernels self-upgrade
+    to real decode the moment the library exists in the environment; the
+    fake path stays the deterministic CI twin."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image_meta(payload: bytes, fake: bool = False) -> dict:
-    """Decode image metadata.  STUB: real decode needs PIL/libvips (absent
-    here); ``fake=True`` derives deterministic pseudo-dimensions from the
-    payload hash so the distributed plumbing can be exercised end-to-end."""
+    """Decode image metadata.  With PIL present the real decode runs;
+    without it, ``fake=True`` derives deterministic pseudo-dimensions from
+    the payload hash so the distributed plumbing is exercised end-to-end,
+    and ``fake=False`` raises rather than silently degrading."""
     if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/libvips, not available in this container"
-        )
+        Image = _pil_image()
+        if Image is None:
+            raise NotImplementedError(
+                "image decode requires PIL/libvips, not available in this container"
+            )
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return {
+                "width": int(im.width),
+                "height": int(im.height),
+                "format": (im.format or "").lower() or None,
+            }
     h = hashlib.md5(payload).hexdigest()
     return {
         "width": 64 + int(h[:4], 16) % 1984,
@@ -116,14 +139,22 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_kernel(payload: bytes, target_w: int, target_h: int, fake: bool = False) -> bytes:
-    """Resize an image payload.  STUB: real resize needs PIL/libvips
-    (absent here); ``fake=True`` returns a deterministic surrogate whose
-    length scales with the target area so batch-shape and size accounting
-    are exercised for real."""
+    """Resize an image payload.  With PIL present the real resize runs
+    (PNG re-encode); without it, ``fake=True`` returns a deterministic
+    surrogate whose length scales with the target area so batch-shape and
+    size accounting are exercised for real."""
     if not fake:
-        raise NotImplementedError(
-            "image resize requires PIL/libvips, not available in this container"
-        )
+        Image = _pil_image()
+        if Image is None:
+            raise NotImplementedError(
+                "image resize requires PIL/libvips, not available in this container"
+            )
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            out = io.BytesIO()
+            im.resize((target_w, target_h)).save(out, format="PNG")
+            return out.getvalue()
     h = hashlib.md5(payload).digest()
     rep = max(1, (target_w * target_h) // (16 * len(h)))
     return (h * rep)[: max(16, target_w * target_h // 16)]
