@@ -573,6 +573,58 @@ def _q_batch_context(spark, sf):
     return batch_context(seeds, rels, r.kg_nodes, r.chunks, per_entity=5)
 
 
+def _q_batch_rerank(spark, sf):
+    """Batched rerank (operators/rerank.py rerank_scores_batch; reference
+    rerank.py's scorer seam with the deterministic lexical stand-in):
+    every question's picked chunks scored by token-set Jaccard against
+    the question in ONE codegen pass, ranked per question (score desc,
+    chunk_id)."""
+    from pyspark.sql.window import Window
+
+    from lightrag_spark.operators.rerank import rerank_scores_batch
+    from lightrag_spark.plans.batch_query import batch_entity_seeds, batch_related_chunks
+
+    r = _build(spark, sf)
+    qdf = spark.createDataFrame([(q,) for q in _EVAL_QUERIES], "question string")
+    seeds = batch_entity_seeds(r.kg_nodes, qdf, k=10)
+    picked = batch_related_chunks(seeds, r.kg_nodes, per_entity=5)
+    cand = picked.join(r.chunks.select("chunk_id", "content"), "chunk_id")
+    scored = rerank_scores_batch(cand)
+    w = Window.partitionBy("question").orderBy(
+        F.desc("rerank_score"), F.asc("chunk_id")
+    )
+    return scored.withColumn("rpos", F.row_number().over(w).cast("long")).select(
+        "question", "chunk_id", "rerank_score", "rpos"
+    )
+
+
+def _batch_rerank_sql() -> str:
+    return (
+        _KG_CTE
+        + _batch_query_ctes()
+        + _batch_chunk_ctes()
+        + """,
+scored AS (
+  SELECT p.question, p.chunk_id,
+         round(
+           CASE WHEN len(list_distinct(list_concat(dt, qt))) > 0
+                THEN len(list_intersect(dt, qt))::DOUBLE
+                     / len(list_distinct(list_concat(dt, qt)))
+                ELSE 0.0 END, 6) AS rerank_score
+  FROM (
+    SELECT p.question, p.chunk_id,
+           list_distinct(list_filter(
+             regexp_split_to_array(lower(trim(ch.content)), '\\s+'), x -> x <> '')) AS dt,
+           list_distinct(list_filter(
+             regexp_split_to_array(lower(trim(p.question)), '\\s+'), x -> x <> '')) AS qt
+    FROM picked p JOIN chunks ch ON ch.chunk_id = p.chunk_id) p)
+SELECT question, chunk_id, rerank_score,
+       row_number() OVER (
+         PARTITION BY question ORDER BY rerank_score DESC, chunk_id)::BIGINT AS rpos
+FROM scored"""
+    )
+
+
 def _batch_query_ctes() -> str:
     qvals = ", ".join(f"('{q}')" for q in _EVAL_QUERIES)
     return f""",
@@ -1141,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_summary": _q_kg_summary,
         "batch_query_chunks": _q_batch_chunks,
         "batch_query_context": _q_batch_context,
+        "batch_query_rerank": _q_batch_rerank,
     }
 
 
@@ -1907,6 +1960,7 @@ GROUP BY l_returnflag, l_linestatus""",
         "batch_query_onehop": _batch_onehop_sql(),
         "batch_query_chunks": _batch_chunks_sql(),
         "batch_query_context": _batch_context_sql(),
+        "batch_query_rerank": _batch_rerank_sql(),
         "kg_delete_doc": _kg_cte(
             "substr(md5(trim(text)),1,1) NOT IN "
             + "(" + ", ".join(f"'{h}'" for h in _DELETE_HEX) + ")"

@@ -298,6 +298,42 @@ def lexical_rerank_fn(
 lexical_rerank_fn.model_identity = "lexical-jaccard-rerank-v1"
 
 
+def rerank_scores_batch(
+    df: DataFrame,
+    question_col: str = "question",
+    text_col: str = "content",
+    score_col: str = "rerank_score",
+) -> DataFrame:
+    """N-question face of the lexical scorer: ``df`` carries BOTH a
+    question column and a text column (one row per candidate pair, as the
+    batched query path produces); the token-set Jaccard is computed row
+    by row with built-in array functions — whole-stage codegen, no
+    shuffle, no Python, any number of questions in one pass.
+
+    Scores are rounded to 6 decimals so the DuckDB oracle twin hashes
+    identically across engines."""
+
+    def toks(c):
+        return F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(c))), r"\s+"), lambda x: x != ""
+            )
+        )
+
+    qt, dt = toks(question_col), toks(text_col)
+    inter = F.size(F.array_intersect(dt, qt))
+    union = F.size(F.array_union(dt, qt))
+    return df.withColumn(
+        score_col,
+        F.round(
+            F.when(
+                union > 0, inter.cast("double") / union.cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+
+
 def rerank_scores_df(
     chunks: DataFrame,
     query_text: str,
