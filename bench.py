@@ -113,6 +113,10 @@ def main():
         "kg_nodes",
         "kg_global_context",
         "kg_hybrid_interleave",
+        "batch_query_context",
+        "batch_query_rerank",
+        "kg_summary",
+        "kg_delete_doc",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",

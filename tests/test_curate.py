@@ -175,3 +175,28 @@ def test_exact_only_mode(spark):
     assert {2, 3} <= set(rows)
     assert 1 not in rows and 4 not in rows
     assert all(row["component_size"] == 1 for row in rows.values())
+
+
+def test_curate_epoch_aux_frames_stable_after_state_append(spark, tmp_path):
+    """The advisor's refreshByPath hazard: after curate_epoch appends this
+    epoch's survivors to the state files, actions on the RETURNED frames
+    (curated AND the auxiliary docs frame, whose lineage also crossed the
+    anti-join on content_hashes) must still reflect THIS epoch — not a
+    recompute against the grown state that anti-joins the survivors away."""
+    from lightrag_spark.plans.curate import CurateConfig, curate_epoch
+
+    state = str(tmp_path / "state")
+    e1 = spark.createDataFrame(
+        [("http://a.com/1", BASE, 0)], "url string, text string, page_order long"
+    )
+    curate_epoch(spark, e1, state, CurateConfig())
+    e2 = spark.createDataFrame(
+        [("http://b.com/1", "entirely new spark shuffle partition text here", 10)],
+        "url string, text string, page_order long",
+    )
+    r2 = curate_epoch(spark, e2, state, CurateConfig())
+    # both counted AFTER update_state appended the epoch-2 survivor to the
+    # state: without lineage truncation these recompute to empty
+    assert r2.curated.count() == 1
+    assert r2.docs.count() == 1
+    assert {row["doc_order"] for row in r2.curated.collect()} == {10}
