@@ -984,11 +984,15 @@ def _q_kg_delete_doc(spark, sf):
     calls.  The oracle is a fresh DuckDB build over the surviving
     documents: purge+rebuild must equal fresh-build (the reference's
     rebuild-from-cache contract)."""
+    import dataclasses
+
     from lightrag_spark.plans.mutations import rebuild_kg_from_chunks
 
     r = _build(spark, sf)
     surviving = r.chunks.filter(~F.substring("doc_id", 5, 1).isin(*_DELETE_HEX))
-    nodes, _edges = rebuild_kg_from_chunks(surviving, r.llm_cache, SIMPLE_CFG)
+    nodes, _edges = rebuild_kg_from_chunks(
+        surviving, r.llm_cache, dataclasses.replace(SIMPLE_CFG, cache_records=True)
+    )
     return nodes.select(
         "entity_name",
         "entity_type",

@@ -184,6 +184,7 @@ def batch_context(
     max_total_tokens: int = 30000,
     overhead_tokens: int = 200,
     question_col: str = "question",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-question CONTEXT RENDER — the batched face of
     plans/context.build_context_str (_build_context_str,
@@ -202,8 +203,17 @@ def batch_context(
     Scale shape: every aggregation partitions by question; the rendered
     strings are top-k-bounded by construction.  No Python runs anywhere —
     the whole render is Catalyst string expressions over windowed frames.
+    ``materialize`` (default on) eagerly localCheckpoints the bounded
+    inputs and the kept-chunk frame: the render references each in
+    several plan branches, and without truncation every branch recomputes
+    the whole upstream subtree (measured ~5x stage count on a warm build;
+    the frames are k-rows-per-question small by contract, so the
+    checkpoint is cheap at any corpus size).
     """
     q = question_col
+    if materialize:
+        seeds = seeds.localCheckpoint(eager=True)
+        relations = relations.localCheckpoint(eager=True)
 
     ent_lines = seeds.join(
         nodes.select("entity_name", "entity_type"), "entity_name", "left"
@@ -277,43 +287,44 @@ def batch_context(
     )
     refrank = Window.partitionBy(q).orderBy("_fmin")
     kept = kept.withColumn("reference_id", F.dense_rank().over(refrank))
+    if materialize:
+        kept = kept.localCheckpoint(eager=True)
 
-    chunk_lines = kept.select(
-        q,
-        "pos",
-        "chunk_pos",
-        F.concat(
-            F.lit('{"content": "'),
-            _json_escape(F.col("content")),
-            F.lit('", "reference_id": '),
-            F.col("reference_id").cast("string"),
-            F.lit("}"),
-        ).alias("line"),
+    # one aggregation produces BOTH per-question strings: the chunk lines
+    # (pick order) and the distinct reference list (ref-id order) — no
+    # second pass over kept
+    chunk_line = F.concat(
+        F.lit('{"content": "'),
+        _json_escape(F.col("content")),
+        F.lit('", "reference_id": '),
+        F.col("reference_id").cast("string"),
+        F.lit("}"),
     )
-    chs = chunk_lines.groupBy(q).agg(
-        _ordered_join(["pos", "chunk_pos"], F.col("line")).alias("chunks_str")
+    ref_line = F.concat(
+        F.lit("["),
+        F.col("reference_id").cast("string"),
+        F.lit("] "),
+        F.col("file_path"),
     )
-    ref_lines = (
-        kept.select(q, "reference_id", "file_path")
-        .distinct()
-        .select(
-            q,
-            "reference_id",
-            F.concat(
-                F.lit("["),
-                F.col("reference_id").cast("string"),
-                F.lit("] "),
-                F.col("file_path"),
-            ).alias("line"),
-        )
-    )
-    refs = ref_lines.groupBy(q).agg(
-        _ordered_join(["reference_id"], F.col("line")).alias("refs_str")
+    chs = kept.groupBy(q).agg(
+        _ordered_join(["pos", "chunk_pos"], chunk_line).alias("chunks_str"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.array_distinct(
+                        F.collect_list(
+                            F.struct(F.col("reference_id").alias("k0"), ref_line.alias("v"))
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            "\n",
+        ).alias("refs_str"),
     )
 
     return (
         budget.join(chs, q, "left")
-        .join(refs, q, "left")
         .select(
             q,
             F.concat(

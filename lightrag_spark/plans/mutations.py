@@ -56,7 +56,23 @@ def rebuild_kg_from_chunks(
         emit_cache_rows=False,
         model_call_counter=model_call_counter,
     )
+    if cfg.cache_records:
+        # Same contract as build_kg: the salted merges fan out into several
+        # concurrent AQE jobs, and concurrent first-touch of an
+        # unmaterialized extraction subtree recomputes it per job (measured
+        # ~3x on the delete-path rebuild).  Persist + pin before the fan-out.
+        from pyspark.storagelevel import StorageLevel
+
+        records = records.persist(StorageLevel.MEMORY_AND_DISK)
+        records.count()
     mentions, triples, _ = split_records(records)
+    if cfg.cache_records:
+        from pyspark.storagelevel import StorageLevel
+
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+        triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
+        mentions.count()
+        triples.count()
     nodes = merge_entity_nodes(
         mentions, salts=cfg.merge_salts, max_fragments=cfg.max_description_fragments
     )
