@@ -174,6 +174,56 @@ def _ws_tokens(s: str) -> int:
     return len(s.split()) if s and s.strip() else 0
 
 
+def generate_reference_list_from_chunks(
+    chunks: list[dict],
+) -> tuple[list[dict], list[dict]]:
+    """Frequency-prioritized reference ids (utils.py:6262-6326): file
+    paths rank by (occurrence count desc, first appearance asc); every
+    chunk gets a string ``reference_id`` ('' for unknown_source).  NOTE
+    the deliberate contrast with build_context_str's first-seen ids —
+    the reference uses first-seen inside the KG context render and this
+    frequency order at the query result boundary; both are kept."""
+    if not chunks:
+        return [], []
+    counts: dict[str, int] = {}
+    for ch in chunks:
+        fp = ch.get("file_path", "")
+        if fp and fp != "unknown_source":
+            counts[fp] = counts.get(fp, 0) + 1
+    with_idx = []
+    seen: set = set()
+    for i, ch in enumerate(chunks):
+        fp = ch.get("file_path", "")
+        if fp and fp != "unknown_source" and fp not in seen:
+            with_idx.append((fp, counts[fp], i))
+            seen.add(fp)
+    ordered = [fp for fp, _, _ in sorted(with_idx, key=lambda x: (-x[1], x[2]))]
+    ref_of = {fp: str(i + 1) for i, fp in enumerate(ordered)}
+    updated = []
+    for ch in chunks:
+        c = dict(ch)
+        fp = c.get("file_path", "")
+        c["reference_id"] = ref_of.get(fp, "") if fp != "unknown_source" else ""
+        updated.append(c)
+    reference_list = [
+        {"reference_id": str(i + 1), "file_path": fp} for i, fp in enumerate(ordered)
+    ]
+    return reference_list, updated
+
+
+def render_chunks_context_text(chunks_with_reference_ids: list[dict]) -> str:
+    """The exact chunk-context JSON lines sent to the LLM
+    (utils.py:6328-6350): one compact object per chunk, reference_id
+    first, optional content_headings passed through."""
+    out = []
+    for ch in chunks_with_reference_ids:
+        entry = {"reference_id": ch["reference_id"], "content": ch["content"]}
+        if ch.get("content_headings"):
+            entry["content_headings"] = ch["content_headings"]
+        out.append(entry)
+    return "\n".join(json.dumps(e, ensure_ascii=False) for e in out)
+
+
 def build_context_str(
     entities: list[dict],
     relations: list[dict],

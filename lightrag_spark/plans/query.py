@@ -114,14 +114,18 @@ def naive_query_context(
     query_text: str,
     top_k: int = 10,
     max_total_tokens: int = 30000,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """naive mode (operate.py:6145-6330): pure vector retrieval over chunk
     embeddings + dynamic token budget.  Embeds chunk content on the fly
-    with the mock embedder (production: a stored embedding column)."""
+    with the mock embedder (production: a stored embedding column).
+    ``keep_cols`` threads extra chunk columns (e.g. file_path) through the
+    search untouched — vector_search preserves input columns."""
     from ..operators.embedding import vector_search, with_embeddings
 
+    extra = [c for c in keep_cols if c in chunks.columns]
     vdb = with_embeddings(
-        chunks.select("chunk_id", "content"), "content"
+        chunks.select("chunk_id", "content", *extra), "content"
     ).withColumnRenamed("chunk_id", "vdb_id")
     hits = vector_search(vdb, query_text, k=top_k, min_sim=0.0)
     return truncate_by_token_budget(
@@ -129,7 +133,7 @@ def naive_query_context(
         "content",
         [F.desc("sim"), F.asc("chunk_id")],
         max_total_tokens,
-    ).select("chunk_id", "content", "sim")
+    ).select("chunk_id", "content", "sim", *extra)
 
 
 def build_local_context(
@@ -564,6 +568,175 @@ def kg_query(
     if isinstance(response, str):
         # echo-strip (operate.py:4404-4414): some providers leak the prompt
         # back; scrub only when the response is longer than the prompt.
+        if len(response) > len(sys_prompt):
+            response = (
+                response.replace(sys_prompt, "")
+                .replace("user", "")
+                .replace("model", "")
+                .replace(query_text, "")
+                .replace("<system>", "")
+                .replace("</system>", "")
+                .strip()
+            )
+        if answer_cache is not None:
+            answer_cache[args_hash] = response
+    return _result(response, args_hash=args_hash, **common)
+
+
+def naive_query(
+    chunks: DataFrame,
+    query_text: str,
+    *,
+    mode: str = "naive",
+    response_type: str = "Multiple Paragraphs",
+    user_prompt: str = "",
+    top_k: int = 10,
+    max_total_tokens: int = 30000,
+    only_need_context: bool = False,
+    only_need_prompt: bool = False,
+    response_fn=None,
+    model_identity: str | None = None,
+    answer_cache: dict | None = None,
+    enable_rerank: bool = False,
+    rerank_fn=None,
+    min_rerank_score: float = 0.5,
+    chunk_top_k: int | None = None,
+) -> dict | None:
+    """The COMPLETE naive_query loop (operate.py:6145-6430): chunk-VDB
+    vector retrieval with a DYNAMIC token budget (max_total − rendered
+    prompt overhead − query tokens − 200 buffer, operate.py:6250-6265) ->
+    optional rerank (process_chunks_unified) -> frequency-prioritized
+    reference list (utils.py:6262-6326) -> naive_query_context render ->
+    naive_rag_response system prompt -> answer cache -> pluggable LLM ->
+    echo-strip.
+
+    Mirrors kg_query's hooks: ``response_fn(user_query, system_prompt) ->
+    str``, mutable ``answer_cache`` (args_hash -> answer).  Token counting
+    for the overhead subtraction uses the same whitespace tokens as the
+    Spark-side budget window (truncate_by_token_budget), keeping the two
+    halves of the budget in one unit.
+
+    Returns None when retrieval finds no chunks (reference parity:
+    operate.py:6219-6223); the empty query returns fail_response."""
+    from ..prompts import (
+        PROMPTS,
+        render_naive_query_context,
+        render_rag_response_prompt,
+    )
+    from .context import (
+        _ws_tokens,
+        generate_reference_list_from_chunks,
+        render_chunks_context_text,
+    )
+
+    def _result(content, **kw):
+        base = {
+            "content": content,
+            "context": None,
+            "references": [],
+            "args_hash": None,
+            "cache_hit": False,
+        }
+        base.update(kw)
+        return base
+
+    if not query_text:
+        return _result(PROMPTS["fail_response"])
+
+    user_prompt_str = f"\n\n{user_prompt}" if user_prompt else "n/a"
+    rtype = response_type or "Multiple Paragraphs"
+    # dynamic budget: render the system prompt with empty content to price
+    # its overhead, then hand retrieval only what remains
+    pre_prompt = render_rag_response_prompt(
+        "", response_type=rtype, user_prompt=user_prompt_str, naive=True
+    )
+    buffer_tokens = 200  # reference list + safety (operate.py:6260)
+    available = max_total_tokens - (
+        _ws_tokens(pre_prompt) + _ws_tokens(query_text) + buffer_tokens
+    )
+    if available <= 0:
+        return _result(PROMPTS["fail_response"])
+
+    hits = naive_query_context(
+        chunks,
+        query_text,
+        top_k=top_k,
+        max_total_tokens=available,
+        keep_cols=("file_path",),
+    ).collect()  # top_k-bounded by construction
+    if not hits:
+        return None
+
+    chunk_dicts = [
+        {
+            "chunk_id": r["chunk_id"],
+            "content": r["content"],
+            "file_path": r["file_path"] if "file_path" in r.__fields__ else "",
+            "sim": r["sim"],
+        }
+        for r in hits
+    ]
+    if enable_rerank and chunk_dicts:
+        from ..operators.rerank import apply_rerank, filter_by_min_rerank_score
+
+        chunk_dicts = apply_rerank(
+            query_text,
+            chunk_dicts,
+            rerank_fn,
+            top_n=chunk_top_k or len(chunk_dicts),
+        )
+        chunk_dicts = filter_by_min_rerank_score(chunk_dicts, min_rerank_score)
+        if chunk_top_k is not None and chunk_top_k > 0:
+            chunk_dicts = chunk_dicts[:chunk_top_k]
+        if not chunk_dicts:
+            return None
+
+    reference_list, with_refs = generate_reference_list_from_chunks(chunk_dicts)
+    text_units_str = render_chunks_context_text(with_refs)
+    reference_list_str = "\n".join(
+        f"[{r['reference_id']}] {r['file_path']}"
+        for r in reference_list
+        if r["reference_id"]
+    )
+    context = render_naive_query_context(text_units_str, reference_list_str)
+    common = dict(context=context, references=reference_list)
+
+    if only_need_context and not only_need_prompt:
+        return _result(context, **common)
+
+    sys_prompt = render_rag_response_prompt(
+        context, response_type=rtype, user_prompt=user_prompt_str, naive=True
+    )
+    if only_need_prompt:
+        content = "\n\n".join([sys_prompt, "---User Query---", query_text])
+        return _result(content, **common)
+
+    ident = model_identity
+    if ident is None and response_fn is not None:
+        ident = getattr(response_fn, "model_identity", None) or getattr(
+            response_fn, "__qualname__", ""
+        )
+    if enable_rerank:
+        rr_ident = getattr(rerank_fn, "model_identity", None) or getattr(
+            rerank_fn, "__qualname__", "rerank"
+        )
+        ident = f"{ident or ''}|rerank={rr_ident}|min={min_rerank_score}|ctk={chunk_top_k}"
+    args_hash = answer_cache_key(
+        query_text, mode, rtype, top_k, 0, 0, 0, max_total_tokens,
+        "", "", user_prompt, model_identity=ident or "",
+    )
+    if answer_cache is not None and args_hash in answer_cache:
+        return _result(
+            answer_cache[args_hash], args_hash=args_hash, cache_hit=True, **common
+        )
+    if response_fn is None:
+        raise ValueError(
+            "naive_query needs response_fn(user_query, system_prompt) -> str "
+            "to synthesize an answer (pass only_need_context/only_need_prompt "
+            "to stop before the model call)"
+        )
+    response = response_fn(query_text, sys_prompt)
+    if isinstance(response, str):
         if len(response) > len(sys_prompt):
             response = (
                 response.replace(sys_prompt, "")
