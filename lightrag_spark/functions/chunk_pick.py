@@ -17,6 +17,67 @@
 from __future__ import annotations
 
 
+def build_sorted_chunks(
+    items: list[dict],
+    exclude_chunk_ids=None,
+    drop_empty: bool = False,
+) -> tuple[list[dict], dict]:
+    """Steps 2-3 shared by _find_related_text_unit_from_entities
+    (operate.py:5739-5766) and ..._from_relations (operate.py:6001-6056):
+    occurrence counting + first-seen dedup over rank-ordered chunk lists,
+    then a per-item STABLE sort by final occurrence count descending (a
+    chunk shared with later items outranks an unshared one even though
+    only its first owner kept it).
+
+    ``exclude_chunk_ids`` drops chunks before counting — the relation
+    path's dedup against the already-selected entity chunks.
+    ``drop_empty`` removes items left with no chunks: the reference does
+    this for relations but NOT for entities, where empty items keep their
+    slot in the weighted-polling quota gradient.
+
+    Each input item carries ``chunks``; each output item gains
+    ``sorted_chunks``.  Returns (items, occurrence_counts).
+    """
+    exclude = set(exclude_chunk_ids or ())
+    counts: dict[str, int] = {}
+    staged: list[tuple[dict, list[str]]] = []
+    for it in items:
+        kept: list[str] = []
+        for cid in it.get("chunks", []):
+            if cid in exclude:
+                continue
+            counts[cid] = counts.get(cid, 0) + 1
+            if counts[cid] == 1:
+                kept.append(cid)
+        staged.append((it, kept))
+    out: list[dict] = []
+    for it, kept in staged:
+        if drop_empty and not kept:
+            continue
+        new = dict(it)
+        new["sorted_chunks"] = sorted(
+            kept, key=lambda c: counts.get(c, 0), reverse=True
+        )
+        out.append(new)
+    return out, counts
+
+
+def round_robin_merge_chunk_ids(*ordered_id_lists: list[str]) -> list[str]:
+    """The id-level core of _merge_all_chunks (operate.py:5210-5258):
+    iteration i takes list0[i], list1[i], ... skipping already-seen ids.
+    Callers pass (vector, entity, relation) in that reference order."""
+    merged: list[str] = []
+    seen: set[str] = set()
+    for i in range(max((len(l) for l in ordered_id_lists), default=0)):
+        for lst in ordered_id_lists:
+            if i < len(lst):
+                cid = lst[i]
+                if cid and cid not in seen:
+                    seen.add(cid)
+                    merged.append(cid)
+    return merged
+
+
 def pick_by_weighted_polling(
     entities_or_relations: list[dict],
     max_related_chunks: int,

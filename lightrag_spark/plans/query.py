@@ -197,8 +197,11 @@ def kg_query_context(
     """The kg_query retrieval driver minus the final LLM answer
     (operate.py:4191-4423): keyword extraction (cached) -> local entity-VDB
     seeds / global relation-VDB seeds -> mode dispatch with round-robin
-    interleave-dedup -> 1-hop relations -> chunk selection (WEIGHT
-    linear-gradient polling, utils.py:5189-5270, or VECTOR cosine re-rank)
+    interleave-dedup -> 1-hop relations -> chunk selection from BOTH the
+    entity and relation lists (occurrence-count sort + WEIGHT
+    linear-gradient polling, utils.py:5189-5270, or VECTOR cosine re-rank;
+    relation chunks exclude entity-selected ones) + mix mode's naive
+    vector chunks -> 3-way round-robin chunk merge (vector/entity/relation)
     -> optional rerank (process_chunks_unified steps 1-3,
     utils.py:5601-5707: rerank -> min_rerank_score filter -> chunk_top_k
     head; ``rerank_fn`` is the pluggable scorer — operators.rerank) ->
@@ -209,7 +212,11 @@ def kg_query_context(
     intermediate lists.  Every collect here is top-k-bounded by
     construction — the corpus-scale work (VDB scoring, joins) is Spark-side.
     """
-    from ..functions.chunk_pick import pick_by_weighted_polling
+    from ..functions.chunk_pick import (
+        build_sorted_chunks,
+        pick_by_weighted_polling,
+        round_robin_merge_chunk_ids,
+    )
     from ..functions.keywords import extract_keywords_only
     from ..operators.embedding import entity_vdb, get_edge_data, vector_search
     from .context import build_context_str, entities_from_relations
@@ -297,30 +304,102 @@ def kg_query_context(
         )
         .collect()
     }
-    seen_chunks: set = set()
-    polled_input = []
+    # The chunk VDB backs the VECTOR pick method and mix mode's naive
+    # branch; built lazily (one plan, reused by every consumer below).
+    _chunk_vdb = None
+
+    def chunk_vdb():
+        nonlocal _chunk_vdb
+        if _chunk_vdb is None:
+            from ..operators.embedding import with_embeddings
+
+            _chunk_vdb = with_embeddings(
+                chunks.select(
+                    F.col("chunk_id").alias("vdb_id"), "content", "file_path"
+                ),
+                "content",
+            )
+        return _chunk_vdb
+
+    # ---- entity chunks (_find_related_text_unit_from_entities,
+    # operate.py:5690-5849): occurrence dedup + count sort, then WEIGHT
+    # polling or VECTOR cosine pick.  Empty-chunk entities keep their slot
+    # in the polling quota gradient (reference keeps them too).
+    ent_items = []
     for e in final_entities:
         p = payloads.get(e["entity_name"])
         if p is None:
             continue
-        fresh = [c for c in (p["source_ids"] or []) if c not in seen_chunks]
-        seen_chunks.update(fresh)
-        polled_input.append({"entity_name": e["entity_name"], "sorted_chunks": fresh})
+        srcs = list(p["source_ids"] or [])
+        if srcs:
+            ent_items.append({"entity_name": e["entity_name"], "chunks": srcs})
+    ent_sorted, _ = build_sorted_chunks(ent_items)
+    entity_chunk_ids: list = []
+    if ent_sorted:
+        if kg_chunk_pick_method == "VECTOR":
+            all_ids = [c for it in ent_sorted for c in it["sorted_chunks"]]
+            entity_chunk_ids = pick_chunks_by_vector(
+                chunk_vdb(), all_ids, query_text,
+                int(related_chunk_number * len(ent_sorted) / 2),
+            )
+        if not entity_chunk_ids:  # WEIGHT, or VECTOR's empty-result fallback
+            entity_chunk_ids = pick_by_weighted_polling(
+                ent_sorted, related_chunk_number, min_related_chunks=1
+            )
+        entity_chunk_ids = list(dict.fromkeys(entity_chunk_ids))
 
-    if kg_chunk_pick_method == "VECTOR":
-        from ..operators.embedding import with_embeddings
+    # ---- relation chunks (_find_related_text_unit_from_relations,
+    # operate.py:5941-6143): same pipeline over the final relation list,
+    # minus chunks the entity stage already selected; relations left empty
+    # after dedup are DROPPED before polling (unlike entities).
+    rel_pairs = [(r["src"], r["tgt"]) for r in final_relations]
+    rel_srcs: dict = {}
+    if rel_pairs:
+        keys = [s + "\x1f" + t for s, t in rel_pairs]
+        for row in (
+            edges.filter(F.concat_ws("\x1f", "src", "tgt").isin(keys))
+            .select("src", "tgt", "source_ids")
+            .collect()
+        ):
+            rel_srcs[(row["src"], row["tgt"])] = list(row["source_ids"] or [])
+    rel_items = []
+    for r in final_relations:
+        srcs = rel_srcs.get((r["src"], r["tgt"])) or []
+        if srcs:
+            rel_items.append({"src": r["src"], "tgt": r["tgt"], "chunks": srcs})
+    rel_sorted, _ = build_sorted_chunks(
+        rel_items, exclude_chunk_ids=entity_chunk_ids, drop_empty=True
+    )
+    relation_chunk_ids: list = []
+    if rel_sorted:
+        if kg_chunk_pick_method == "VECTOR":
+            all_ids = [c for it in rel_sorted for c in it["sorted_chunks"]]
+            relation_chunk_ids = pick_chunks_by_vector(
+                chunk_vdb(), all_ids, query_text,
+                int(related_chunk_number * len(rel_sorted) / 2),
+            )
+        if not relation_chunk_ids:
+            relation_chunk_ids = pick_by_weighted_polling(
+                rel_sorted, related_chunk_number, min_related_chunks=1
+            )
+        relation_chunk_ids = list(dict.fromkeys(relation_chunk_ids))
 
-        all_ids = [c for ent in polled_input for c in ent["sorted_chunks"]]
-        vdb = with_embeddings(
-            chunks.select(F.col("chunk_id").alias("vdb_id"), "content"), "content"
-        )
-        chunk_ids = pick_chunks_by_vector(
-            vdb, all_ids, query_text, related_chunk_number * max(len(polled_input), 1)
-        )
-        if not chunk_ids:  # reference falls back to WEIGHT
-            chunk_ids = pick_by_weighted_polling(polled_input, related_chunk_number)
-    else:
-        chunk_ids = pick_by_weighted_polling(polled_input, related_chunk_number)
+    # ---- vector chunks, mix mode only (_get_vector_context,
+    # operate.py:4671-4727): naive cosine retrieval over the chunk VDB,
+    # chunk_top_k (or top_k) hits, no truncation — the unified merge and
+    # the token budget handle that downstream.
+    vector_chunk_ids: list = []
+    if mode == "mix":
+        hits = vector_search(
+            chunk_vdb(), query_text, k=chunk_top_k or top_k, min_sim=0.0
+        ).collect()
+        vector_chunk_ids = [r["vdb_id"] for r in hits]
+
+    # ---- 3-way round-robin merge, vector first (_merge_all_chunks,
+    # operate.py:5210-5258)
+    chunk_ids = round_robin_merge_chunk_ids(
+        vector_chunk_ids, entity_chunk_ids, relation_chunk_ids
+    )
 
     contents = {
         r["chunk_id"]: r
@@ -372,6 +451,9 @@ def kg_query_context(
         "entities": ent_dicts,
         "relations": rel_dicts,
         "chunk_ids": chunk_ids,
+        "vector_chunk_ids": vector_chunk_ids,
+        "entity_chunk_ids": entity_chunk_ids,
+        "relation_chunk_ids": relation_chunk_ids,
     }
     return context, refs, debug
 

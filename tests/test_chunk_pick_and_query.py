@@ -59,6 +59,90 @@ def test_weighted_polling_second_round_reallocates():
     assert got == ["a1", "b1", "b2", "b3"]
 
 
+def test_build_sorted_chunks_reference_semantics():
+    """Steps 2-3 of _find_related_text_unit_from_entities
+    (operate.py:5740-5766) / ..._from_relations (operate.py:6009-6057):
+    first-seen dedup, occurrence-count sort, exclude set, and the
+    entity/relation drop_empty asymmetry."""
+    from lightrag_spark.functions.chunk_pick import build_sorted_chunks
+
+    items = [
+        {"name": "e1", "chunks": ["a", "b", "shared"]},
+        {"name": "e2", "chunks": ["shared", "c"]},   # shared deduped away
+        {"name": "e3", "chunks": ["shared", "b"]},   # both deduped away
+    ]
+    out, counts = build_sorted_chunks(items)
+    assert counts == {"a": 1, "b": 2, "shared": 3, "c": 1}
+    # e1 keeps first-seen copies; sort is by FINAL count desc (stable):
+    # shared(3) > b(2) > a(1)
+    assert out[0]["sorted_chunks"] == ["shared", "b", "a"]
+    assert out[1]["sorted_chunks"] == ["c"]
+    # entity path keeps emptied items in the polling gradient
+    assert out[2]["sorted_chunks"] == [] and len(out) == 3
+    # inputs are not mutated
+    assert "sorted_chunks" not in items[0]
+
+    # relation path: exclude entity-selected ids, drop emptied relations
+    out2, counts2 = build_sorted_chunks(
+        items, exclude_chunk_ids=["a", "b"], drop_empty=True
+    )
+    assert counts2 == {"shared": 3, "c": 1}
+    assert [it["sorted_chunks"] for it in out2] == [["shared"], ["c"]]
+
+    # stable sort: equal counts keep first-seen order within an item
+    out3, _ = build_sorted_chunks([{"chunks": ["x", "y", "z"]}])
+    assert out3[0]["sorted_chunks"] == ["x", "y", "z"]
+
+    assert build_sorted_chunks([]) == ([], {})
+
+
+def test_round_robin_merge_chunk_ids():
+    """_merge_all_chunks id-level core (operate.py:5210-5258): iteration i
+    takes vector[i], entity[i], relation[i], first-seen dedup."""
+    from lightrag_spark.functions.chunk_pick import round_robin_merge_chunk_ids
+
+    got = round_robin_merge_chunk_ids(
+        ["v1", "v2"], ["e1", "v1", "e2"], ["r1"]
+    )
+    assert got == ["v1", "e1", "r1", "v2", "e2"]
+    assert round_robin_merge_chunk_ids([], [], []) == []
+    assert round_robin_merge_chunk_ids(["a"], [], ["a", "b"]) == ["a", "b"]
+    # empty/None ids are skipped
+    assert round_robin_merge_chunk_ids(["", "a"], ["a"]) == ["a"]
+
+
+def test_kg_query_context_relation_and_mix_chunks(spark):
+    """The driver's chunk list draws from all three sources: relation
+    chunks are disjoint from entity chunks (exclude-set dedup), and mix
+    mode prepends naive vector retrieval, vector-first in the merge
+    (operate.py:5210-5258)."""
+    import __spark_entry__ as m
+    from lightrag_spark.plans.query import kg_query_context
+
+    r = m._build(spark, "/root/testdata/sf0.001")
+    ctx, refs, dbg = kg_query_context(
+        r, "network customer united_states analysis", mode="hybrid",
+        top_k=8, related_chunk_number=2,
+    )
+    assert dbg["entity_chunk_ids"]
+    assert not (set(dbg["entity_chunk_ids"]) & set(dbg["relation_chunk_ids"]))
+    assert dbg["vector_chunk_ids"] == []  # hybrid has no naive branch
+    # no rerank / no chunk_top_k: merged list is exactly entity ∪ relation
+    assert set(dbg["chunk_ids"]) == set(
+        dbg["entity_chunk_ids"] + dbg["relation_chunk_ids"]
+    )
+
+    ctx2, refs2, dbg2 = kg_query_context(
+        r, "network customer united_states analysis", mode="mix",
+        top_k=8, related_chunk_number=2, chunk_top_k=6,
+    )
+    assert dbg2["vector_chunk_ids"]
+    # vector chunk leads the merged order (V slot first in iteration 0)
+    assert dbg2["chunk_ids"][0] == dbg2["vector_chunk_ids"][0]
+    # chunk_top_k caps the final list
+    assert len(dbg2["chunk_ids"]) <= 6
+
+
 def test_kg_query_context_end_to_end(spark):
     import __spark_entry__ as m
     from lightrag_spark.plans.query import kg_query_context
