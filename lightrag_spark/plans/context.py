@@ -230,6 +230,7 @@ def build_context_str(
     chunks: list[dict],
     max_total_tokens: int = 30000,
     overhead_tokens: int = 200,
+    kept_out: list | None = None,
 ) -> tuple[str, list[dict]]:
     """Driver-side final render (_build_context_str, operate.py:5272-5450):
     JSON-lines entity and relation sections, then chunks greedily admitted
@@ -238,7 +239,10 @@ def build_context_str(
     reference list [n] -> file_path.  Inputs are the COLLECTED top-k-bounded
     assembly outputs — by contract a few hundred rows, never corpus-scale.
 
-    Returns (context_str, reference_list)."""
+    Returns (context_str, reference_list).  When ``kept_out`` is given the
+    budget-admitted chunks (each with its reference_id) are appended to it
+    — the structured query_data surface reports exactly what the LLM
+    context carries."""
     entities_str = "\n".join(json.dumps(e, ensure_ascii=False, sort_keys=True) for e in entities)
     relations_str = "\n".join(json.dumps(r, ensure_ascii=False, sort_keys=True) for r in relations)
 
@@ -267,6 +271,8 @@ def build_context_str(
         )
         for c in kept
     )
+    if kept_out is not None:
+        kept_out.extend(kept)
     ref_lines = "\n".join(f"[{r['reference_id']}] {r['file_path']}" for r in reference_list)
     context = (
         "-----Entities-----\n" + entities_str + "\n\n"

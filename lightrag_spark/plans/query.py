@@ -295,12 +295,13 @@ def kg_query_context(
         if "description" in nodes.columns
         else F.array_join("descriptions", "\n")
     )
+    opt_node_cols = [c for c in ("file_paths", "created_at") if c in nodes.columns]
     payloads = {
         r["entity_name"]: r
         for r in nodes.filter(F.col("entity_name").isin(ent_names))
         .select(
             "entity_name", "entity_type", "degree",
-            desc_col.alias("description"), "source_ids",
+            desc_col.alias("description"), "source_ids", *opt_node_cols,
         )
         .collect()
     }
@@ -354,14 +355,28 @@ def kg_query_context(
     # after dedup are DROPPED before polling (unlike entities).
     rel_pairs = [(r["src"], r["tgt"]) for r in final_relations]
     rel_srcs: dict = {}
+    rel_payloads: dict = {}
     if rel_pairs:
         keys = [s + "\x1f" + t for s, t in rel_pairs]
+        edge_desc = (
+            F.col("description")
+            if "description" in edges.columns
+            else F.array_join("descriptions", "\n")
+        )
+        opt_edge_cols = [
+            c for c in ("keywords", "weight", "file_paths", "created_at")
+            if c in edges.columns
+        ]
         for row in (
             edges.filter(F.concat_ws("\x1f", "src", "tgt").isin(keys))
-            .select("src", "tgt", "source_ids")
+            .select(
+                "src", "tgt", "source_ids",
+                edge_desc.alias("description"), *opt_edge_cols,
+            )
             .collect()
         ):
             rel_srcs[(row["src"], row["tgt"])] = list(row["source_ids"] or [])
+            rel_payloads[(row["src"], row["tgt"])] = row
     rel_items = []
     for r in final_relations:
         srcs = rel_srcs.get((r["src"], r["tgt"])) or []
@@ -442,8 +457,10 @@ def kg_query_context(
     rel_dicts = [
         {"src": r["src"], "tgt": r["tgt"]} for r in final_relations
     ]
+    kept_chunks: list = []
     context, refs = build_context_str(
-        ent_dicts, rel_dicts, chunk_dicts, max_total_tokens=max_total_tokens
+        ent_dicts, rel_dicts, chunk_dicts, max_total_tokens=max_total_tokens,
+        kept_out=kept_chunks,
     )
     debug = {
         "hl_keywords": hl,
@@ -454,6 +471,21 @@ def kg_query_context(
         "vector_chunk_ids": vector_chunk_ids,
         "entity_chunk_ids": entity_chunk_ids,
         "relation_chunk_ids": relation_chunk_ids,
+        # full stored rows in final interleave order — the structured
+        # query_data surface (lightrag.py:3701 aquery_data) formats these
+        # without a second KG lookup
+        "entity_payloads": [
+            payloads[e["entity_name"]].asDict()
+            for e in final_entities
+            if e["entity_name"] in payloads
+        ],
+        "relation_payloads": [
+            rel_payloads[(r["src"], r["tgt"])].asDict()
+            for r in final_relations
+            if (r["src"], r["tgt"]) in rel_payloads
+        ],
+        "chunks": chunk_dicts,
+        "kept_chunks": kept_chunks,
     }
     return context, refs, debug
 
@@ -569,6 +601,16 @@ def kg_query(
 
     if not query_text:
         return _result(PROMPTS["fail_response"])
+
+    if mode == "bypass":
+        # lightrag.py:3955-3990: bypass skips retrieval and keyword
+        # extraction entirely — the query goes straight to the model (no
+        # answer cache either; the reference calls use_llm_func directly).
+        if response_fn is None:
+            raise ValueError(
+                "bypass mode needs response_fn(user_query, system_prompt) -> str"
+            )
+        return _result(response_fn(query_text, None))
 
     hl, ll = extract_keywords_only(
         query_text, mode=mode, cache=keywords_cache, model_fn=keyword_model_fn
@@ -716,6 +758,7 @@ def naive_query(
             "content": content,
             "context": None,
             "references": [],
+            "chunks": [],
             "args_hash": None,
             "cache_hit": False,
         }
@@ -781,7 +824,7 @@ def naive_query(
         if r["reference_id"]
     )
     context = render_naive_query_context(text_units_str, reference_list_str)
-    common = dict(context=context, references=reference_list)
+    common = dict(context=context, references=reference_list, chunks=with_refs)
 
     if only_need_context and not only_need_prompt:
         return _result(context, **common)
