@@ -231,6 +231,42 @@ def _q_kg_onehop(spark, sf):
     )
 
 
+def _q_kg_subgraph_bfs(spark, sf):
+    """Graph-explorer BFS subgraph (networkx_impl.py:552-640 via
+    operators/explorer.py): depth-bounded reachability from the top-degree
+    entity with a non-binding node budget — min-hop depth per node.  The
+    capped degree-priority variant is differentially tested against the
+    reference implementation itself (tests/test_explorer.py)."""
+    from lightrag_spark.operators.explorer import bfs_subgraph
+
+    r = _build(spark, sf)
+    seed = (
+        r.kg_nodes.orderBy(F.desc("degree"), F.asc("entity_name"))
+        .limit(1)
+        .collect()[0]["entity_name"]
+    )
+    sub_nodes, _, _ = bfs_subgraph(
+        r.kg_nodes, r.kg_edges, seed, max_depth=2, max_nodes=1_000_000
+    )
+    return sub_nodes.select(
+        "entity_name",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
+def _q_kg_subgraph_star(spark, sf):
+    """Graph-explorer '*' mode (networkx_impl.py:535-551): induced edge set
+    of the top-10-by-degree node window."""
+    from lightrag_spark.operators.explorer import star_subgraph
+
+    r = _build(spark, sf)
+    _, sub_edges, _ = star_subgraph(r.kg_nodes, r.kg_edges, max_nodes=10)
+    return sub_edges.select(
+        "src", "tgt", F.col("weight").cast("double").alias("weight")
+    )
+
+
 def _q_kg_global_context(spark, sf):
     """Global-mode context seed chain (operate.py:5849-5938): top-10
     relations by (weight, rank) -> their src/tgt entities in first-seen
@@ -1198,6 +1234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_query_chunks": _q_batch_chunks,
         "batch_query_context": _q_batch_context,
         "batch_query_rerank": _q_batch_rerank,
+        "kg_subgraph_bfs": _q_kg_subgraph_bfs,
+        "kg_subgraph_star": _q_kg_subgraph_star,
     }
 
 
@@ -1662,6 +1700,44 @@ JOIN node_degree ds ON e.src = ds.e
 JOIN node_degree dt ON e.tgt = dt.e
 WHERE e.src IN (SELECT entity_name FROM seeds)
    OR e.tgt IN (SELECT entity_name FROM seeds)""",
+        "kg_subgraph_bfs": _KG_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+, nodes AS (
+  SELECT entity_name, coalesce(d.degree, 0)::BIGINT AS degree
+  FROM (SELECT DISTINCT entity_name FROM mentions) m
+  LEFT JOIN node_degree d ON m.entity_name = d.e),
+seed AS (
+  SELECT entity_name FROM (
+    SELECT entity_name,
+           row_number() OVER (ORDER BY degree DESC, entity_name) AS pos
+    FROM nodes) r WHERE pos = 1),
+adj AS (
+  SELECT src AS a, tgt AS b FROM edges
+  UNION
+  SELECT tgt, src FROM edges),
+walk AS (
+  SELECT entity_name, 0 AS depth FROM seed
+  UNION
+  SELECT adj.b, walk.depth + 1
+  FROM walk JOIN adj ON walk.entity_name = adj.a
+  WHERE walk.depth < 2)
+SELECT w.entity_name, min(w.depth)::BIGINT AS depth, n.degree
+FROM walk w JOIN nodes n USING (entity_name)
+GROUP BY w.entity_name, n.degree""",
+        "kg_subgraph_star": _KG_CTE
+        + """
+, nodes AS (
+  SELECT entity_name, coalesce(d.degree, 0)::BIGINT AS degree
+  FROM (SELECT DISTINCT entity_name FROM mentions) m
+  LEFT JOIN node_degree d ON m.entity_name = d.e),
+topn AS (
+  SELECT entity_name FROM (
+    SELECT entity_name,
+           row_number() OVER (ORDER BY degree DESC, entity_name) AS pos
+    FROM nodes) r WHERE pos <= 10)
+SELECT e.src, e.tgt, e.weight FROM edges e
+WHERE e.src IN (SELECT entity_name FROM topn)
+  AND e.tgt IN (SELECT entity_name FROM topn)""",
         "kg_related_chunks": _KG_CTE
         + """
 , seeds AS (
