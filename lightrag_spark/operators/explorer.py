@@ -38,6 +38,59 @@ def graph_labels(nodes: DataFrame) -> DataFrame:
     return nodes.select("entity_name").orderBy("entity_name")
 
 
+def entity_info(nodes: DataFrame, entity_name: str) -> dict:
+    """get_entity_info (utils_graph.py:2043-2068): the stored node row as
+    {entity_name, source_id, graph_data}.  source_id is the reference's
+    GRAPH_FIELD_SEP-joined export of the chunk id list; graph_data the full
+    stored payload (None when the entity is absent).  One pushed-down
+    point-lookup against the node table."""
+    from ..constants import GRAPH_FIELD_SEP
+
+    rows = nodes.filter(F.col("entity_name") == entity_name).limit(1).collect()
+    if not rows:
+        return {"entity_name": entity_name, "source_id": None, "graph_data": None}
+    data = rows[0].asDict()
+    srcs = data.get("source_ids") or []
+    return {
+        "entity_name": entity_name,
+        "source_id": GRAPH_FIELD_SEP.join(srcs) if srcs else None,
+        "graph_data": data,
+    }
+
+
+def relation_info(edges: DataFrame, src_entity: str, tgt_entity: str) -> dict:
+    """get_relation_info (utils_graph.py:2070+): the stored undirected edge
+    — swapping src/tgt finds the same relation (edges are stored with the
+    lexicographically ordered pair, so both orders are probed)."""
+    from ..constants import GRAPH_FIELD_SEP
+
+    lo, hi = sorted((src_entity, tgt_entity))
+    rows = (
+        edges.filter((F.col("src") == lo) & (F.col("tgt") == hi))
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        rows = (
+            edges.filter((F.col("src") == hi) & (F.col("tgt") == lo))
+            .limit(1)
+            .collect()
+        )
+    if not rows:
+        return {
+            "src_entity": src_entity, "tgt_entity": tgt_entity,
+            "source_id": None, "graph_data": None,
+        }
+    data = rows[0].asDict()
+    srcs = data.get("source_ids") or []
+    return {
+        "src_entity": src_entity,
+        "tgt_entity": tgt_entity,
+        "source_id": GRAPH_FIELD_SEP.join(srcs) if srcs else None,
+        "graph_data": data,
+    }
+
+
 def _adjacency(edges: DataFrame) -> DataFrame:
     """Undirected edge list as directed pairs (a -> b), deduped."""
     fwd = edges.select(F.col("src").alias("a"), F.col("tgt").alias("b"))
@@ -91,15 +144,23 @@ def bfs_subgraph(
     fetches ``remaining + 1`` rows so overflow is observed without a
     second count action.
     """
-    deg = nodes.select("entity_name", F.col("degree").cast("long").alias("degree"))
+    # BFS issues one action per level plus the budget probe — pin the two
+    # frames every action re-reads (degree map, adjacency) so a live,
+    # yet-unmaterialized KG build is not recomputed per level (persist is
+    # the runner's cache_records contract; no-op cheap when the caller
+    # already reads from parquet)
+    deg = nodes.select(
+        "entity_name", F.col("degree").cast("long").alias("degree")
+    ).persist()
     spark = nodes.sparkSession
 
     start = deg.filter(F.col("entity_name") == node_label).limit(1).collect()
     if not start:
+        deg.unpersist()
         empty_nodes = nodes.limit(0).withColumn("depth", F.lit(0))
         return empty_nodes, edges.limit(0), False
 
-    adj = _adjacency(edges)
+    adj = _adjacency(edges).persist()
     admitted: dict[str, int] = {node_label: 0}  # name -> depth, ≤ max_nodes
     frontier = [node_label]
     truncated = False
@@ -139,6 +200,8 @@ def bfs_subgraph(
         )
         truncated = leftover > 0
 
+    deg.unpersist()
+    adj.unpersist()
     depth_df = spark.createDataFrame(
         list(admitted.items()), "entity_name string, depth long"
     )
@@ -162,6 +225,11 @@ def get_knowledge_graph(
         if max_nodes is None
         else min(max_nodes, DEFAULT_MAX_GRAPH_NODES)
     )
+    # the wrapper fully materializes its bounded result over several
+    # actions — pin the caller's KG frames for the duration so a live
+    # (not-yet-written) build is computed once, not once per action
+    nodes = nodes.persist()
+    edges = edges.persist()
     if node_label == "*":
         sub_nodes, sub_edges, truncated = star_subgraph(nodes, edges, max_nodes)
     else:
@@ -194,4 +262,6 @@ def get_knowledge_graph(
                 "properties": r.asDict(),
             }
         )
+    nodes.unpersist()
+    edges.unpersist()
     return {"nodes": out_nodes, "edges": out_edges, "is_truncated": truncated}

@@ -225,3 +225,34 @@ def test_graph_labels(spark):
     nodes, _ = _frames(spark, g)
     labels = [r["entity_name"] for r in graph_labels(nodes).collect()]
     assert labels == sorted(g.nodes())
+
+
+def test_entity_and_relation_info(spark):
+    """get_entity_info / get_relation_info lookups (utils_graph.py:2043+)
+    over the real KG build: stored payload round-trip, undirected edge
+    symmetry, absent-key contract."""
+    import __spark_entry__ as m
+
+    from lightrag_spark.constants import GRAPH_FIELD_SEP
+    from lightrag_spark.operators.explorer import entity_info, relation_info
+
+    r = m._build(spark, "/root/testdata/sf0.001")
+    name = r.kg_nodes.orderBy("entity_name").first()["entity_name"]
+    info = entity_info(r.kg_nodes, name)
+    assert info["entity_name"] == name
+    assert info["graph_data"]["entity_name"] == name
+    assert info["source_id"] == GRAPH_FIELD_SEP.join(
+        info["graph_data"]["source_ids"]
+    )
+    missing = entity_info(r.kg_nodes, "no_such_entity")
+    assert missing == {
+        "entity_name": "no_such_entity", "source_id": None, "graph_data": None
+    }
+
+    e = r.kg_edges.orderBy("src", "tgt").first()
+    fwd = relation_info(r.kg_edges, e["src"], e["tgt"])
+    rev = relation_info(r.kg_edges, e["tgt"], e["src"])
+    assert fwd["graph_data"] == rev["graph_data"]
+    assert fwd["source_id"] and fwd["graph_data"]["weight"] == e["weight"]
+    none = relation_info(r.kg_edges, "x", "y")
+    assert none["graph_data"] is None
