@@ -363,3 +363,290 @@ def rename_entity(
         renamed_nodes.drop("degree"),
         redirected.drop("src_degree", "tgt_degree", "rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Manual create / edit — acreate_entity / acreate_relation / aedit_entity /
+# aedit_relation (utils_graph.py:572-1342)
+# ---------------------------------------------------------------------------
+
+MANUAL_SOURCE = "manual_creation"  # reference default source/file marker
+
+
+def _split_sep(value, default: str) -> list:
+    """Reference-style scalar field -> our array column (SEP-joined
+    source_id / comma-joined keywords are export formats; tables hold
+    arrays)."""
+    from ..constants import GRAPH_FIELD_SEP
+
+    if value is None:
+        value = default
+    if isinstance(value, (list, tuple)):
+        return [str(v) for v in value if str(v)]
+    parts = [p.strip() for p in str(value).replace(GRAPH_FIELD_SEP, "\x1f").split("\x1f")]
+    return [p for p in parts if p]
+
+
+def create_entity(
+    nodes: DataFrame,
+    edges: DataFrame,
+    entity_name: str,
+    entity_data: dict,
+    created_at: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """acreate_entity (utils_graph.py:1036-1178): append one manual node.
+
+    Contracts kept: non-empty description required; the name passes the
+    extraction naming contract (normalize_entity_name) and the create is
+    rejected when EITHER spelling already exists; defaults entity_type
+    UNKNOWN / source 'manual_creation'.  The append is a union of a
+    single-row frame — no shuffle, degrees recomputed lazily."""
+    from ..functions.textnorm import normalize_entity_name
+
+    desc = (entity_data or {}).get("description")
+    if not desc or not str(desc).strip():
+        raise ValueError("description is required to create an entity")
+    requested = entity_name
+    name = normalize_entity_name(requested if isinstance(requested, str) else "")
+    if not name:
+        raise ValueError("Entity name cannot be empty after normalization")
+    probe = [requested, name] if requested != name else [name]
+    if nodes.filter(F.col("entity_name").isin(probe)).limit(1).count() > 0:
+        raise ValueError(f"Entity {name!r} already exists")
+
+    spark = nodes.sparkSession
+    row = spark.createDataFrame(
+        [
+            (
+                name,
+                (entity_data.get("entity_type") or "UNKNOWN"),
+                [str(desc)],
+                str(desc),
+                _split_sep(entity_data.get("source_id"), MANUAL_SOURCE),
+                _split_sep(entity_data.get("file_path"), MANUAL_SOURCE),
+                0,
+                int(created_at),
+            )
+        ],
+        "entity_name string, entity_type string, descriptions array<string>,"
+        " description string, source_ids array<string>,"
+        " file_paths array<string>, mention_count long, created_at long",
+    )
+    for c in nodes.columns:
+        if c not in row.columns and c != "degree":
+            row = row.withColumn(c, F.lit(None).cast(nodes.schema[c].dataType))
+    new_nodes = nodes.drop("degree").unionByName(
+        row.select([c for c in nodes.columns if c != "degree"])
+    )
+    return with_degrees(new_nodes, edges.drop("src_degree", "tgt_degree", "rank"))
+
+
+def create_relation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    source_entity: str,
+    target_entity: str,
+    relation_data: dict,
+    created_at: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """acreate_relation (utils_graph.py:1179-1342): append one manual
+    undirected edge.  Both endpoints must exist; a duplicate pair is
+    rejected; the stored key is the lexicographically ordered pair (the
+    reference normalizes the VDB identity the same way)."""
+    desc = (relation_data or {}).get("description")
+    if not desc or not str(desc).strip():
+        raise ValueError("description is required to create a relation")
+    lo, hi = sorted([source_entity, target_entity])
+    found = {
+        r["entity_name"]
+        for r in nodes.filter(F.col("entity_name").isin([lo, hi])).collect()
+    }
+    for e in (source_entity, target_entity):
+        if e not in found:
+            raise ValueError(f"Entity {e!r} does not exist")
+    if (
+        edges.filter((F.col("src") == lo) & (F.col("tgt") == hi)).limit(1).count()
+        > 0
+    ):
+        raise ValueError(f"Relation {lo!r}~{hi!r} already exists")
+
+    kw = relation_data.get("keywords") or ""
+    kw_list = (
+        [k.strip() for k in kw.split(",") if k.strip()]
+        if isinstance(kw, str)
+        else [str(k) for k in kw]
+    )
+    spark = edges.sparkSession
+    row = spark.createDataFrame(
+        [
+            (
+                lo,
+                hi,
+                float(relation_data.get("weight", 1.0)),
+                sorted(set(kw_list)),
+                [str(desc)],
+                str(desc),
+                _split_sep(relation_data.get("source_id"), MANUAL_SOURCE),
+                _split_sep(relation_data.get("file_path"), MANUAL_SOURCE),
+                1,
+                int(created_at),
+            )
+        ],
+        "src string, tgt string, weight double, keywords array<string>,"
+        " descriptions array<string>, description string,"
+        " source_ids array<string>, file_paths array<string>,"
+        " relation_count long, created_at long",
+    )
+    base_cols = [
+        c for c in edges.columns if c not in ("src_degree", "tgt_degree", "rank")
+    ]
+    for c in base_cols:
+        if c not in row.columns:
+            row = row.withColumn(c, F.lit(None).cast(edges.schema[c].dataType))
+    new_edges = edges.drop("src_degree", "tgt_degree", "rank").unionByName(
+        row.select(base_cols)
+    )
+    return with_degrees(nodes.drop("degree"), new_edges)
+
+
+def edit_entity(
+    nodes: DataFrame,
+    edges: DataFrame,
+    entity_name: str,
+    updated_data: dict,
+) -> tuple[DataFrame, DataFrame]:
+    """aedit_entity (utils_graph.py:572-838): merge updated fields into the
+    stored node; an 'entity_name' field delegates to the rename path
+    (re-key + edge redirect).  Field updates compile to a single
+    when/otherwise projection over the node table — one narrow pass, no
+    shuffle."""
+    if not updated_data:
+        raise ValueError("updated_data is empty")
+    if "description" in updated_data:
+        d = updated_data["description"]
+        if not d or not str(d).strip():
+            raise ValueError("description cannot be emptied on edit")
+    if nodes.filter(F.col("entity_name") == entity_name).limit(1).count() == 0:
+        raise ValueError(f"Entity {entity_name!r} does not exist")
+
+    new_name = updated_data.get("entity_name")
+    data = {k: v for k, v in updated_data.items() if k != "entity_name"}
+    key = F.col("entity_name") == entity_name
+    out = nodes
+    for field, value in data.items():
+        if field == "description":
+            out = out.withColumn(
+                "descriptions",
+                F.when(key, F.array(F.lit(str(value)))).otherwise(
+                    F.col("descriptions")
+                ),
+            )
+            if "description" in out.columns:
+                out = out.withColumn(
+                    "description",
+                    F.when(key, F.lit(str(value))).otherwise(F.col("description")),
+                )
+        elif field == "source_id":
+            out = out.withColumn(
+                "source_ids",
+                F.when(
+                    key, F.lit(_split_sep(value, MANUAL_SOURCE)).cast("array<string>")
+                ).otherwise(F.col("source_ids")),
+            )
+        elif field == "file_path":
+            out = out.withColumn(
+                "file_paths",
+                F.when(
+                    key, F.lit(_split_sep(value, MANUAL_SOURCE)).cast("array<string>")
+                ).otherwise(F.col("file_paths")),
+            )
+        elif field in out.columns:
+            out = out.withColumn(
+                field,
+                F.when(key, F.lit(value).cast(out.schema[field].dataType)).otherwise(
+                    F.col(field)
+                ),
+            )
+        else:
+            raise ValueError(f"unknown entity field {field!r}")
+    if new_name and new_name != entity_name:
+        return rename_entity(out, edges, entity_name, new_name)
+    return out, edges
+
+
+def edit_relation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    source_entity: str,
+    target_entity: str,
+    updated_data: dict,
+) -> tuple[DataFrame, DataFrame]:
+    """aedit_relation (utils_graph.py:839-1035): merge updated fields into
+    the stored undirected edge (order-insensitive key)."""
+    if not updated_data:
+        raise ValueError("updated_data is empty")
+    if "description" in updated_data:
+        d = updated_data["description"]
+        if not d or not str(d).strip():
+            raise ValueError("description cannot be emptied on edit")
+    lo, hi = sorted([source_entity, target_entity])
+    key = (F.col("src") == lo) & (F.col("tgt") == hi)
+    if edges.filter(key).limit(1).count() == 0:
+        raise ValueError(f"Relation {lo!r}~{hi!r} does not exist")
+
+    out = edges
+    for field, value in updated_data.items():
+        if field == "description":
+            out = out.withColumn(
+                "descriptions",
+                F.when(key, F.array(F.lit(str(value)))).otherwise(
+                    F.col("descriptions")
+                ),
+            )
+            if "description" in out.columns:
+                out = out.withColumn(
+                    "description",
+                    F.when(key, F.lit(str(value))).otherwise(F.col("description")),
+                )
+        elif field == "keywords":
+            kw = value or ""
+            kw_list = (
+                sorted({k.strip() for k in kw.split(",") if k.strip()})
+                if isinstance(kw, str)
+                else sorted({str(k) for k in kw})
+            )
+            out = out.withColumn(
+                "keywords",
+                F.when(key, F.lit(kw_list).cast("array<string>")).otherwise(
+                    F.col("keywords")
+                ),
+            )
+        elif field == "source_id":
+            out = out.withColumn(
+                "source_ids",
+                F.when(
+                    key, F.lit(_split_sep(value, MANUAL_SOURCE)).cast("array<string>")
+                ).otherwise(F.col("source_ids")),
+            )
+        elif field == "file_path":
+            out = out.withColumn(
+                "file_paths",
+                F.when(
+                    key, F.lit(_split_sep(value, MANUAL_SOURCE)).cast("array<string>")
+                ).otherwise(F.col("file_paths")),
+            )
+        elif field == "weight":
+            out = out.withColumn(
+                "weight",
+                F.when(key, F.lit(float(value))).otherwise(F.col("weight")),
+            )
+        elif field in out.columns:
+            out = out.withColumn(
+                field,
+                F.when(key, F.lit(value).cast(out.schema[field].dataType)).otherwise(
+                    F.col(field)
+                ),
+            )
+        else:
+            raise ValueError(f"unknown relation field {field!r}")
+    return nodes, out
