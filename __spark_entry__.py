@@ -240,13 +240,19 @@ def _q_kg_subgraph_bfs(spark, sf):
     from lightrag_spark.operators.explorer import bfs_subgraph
 
     r = _build(spark, sf)
+    # the explorer issues one action per BFS level: pin the merged KG
+    # tables (same persist-and-pin contract as cache_records) so each
+    # action reuses the salted merge instead of recomputing it — measured
+    # 85s -> ~rebuild+seconds at sf1 cold
+    nodes = r.kg_nodes.persist()
+    edges = r.kg_edges.persist()
     seed = (
-        r.kg_nodes.orderBy(F.desc("degree"), F.asc("entity_name"))
+        nodes.orderBy(F.desc("degree"), F.asc("entity_name"))
         .limit(1)
         .collect()[0]["entity_name"]
     )
     sub_nodes, _, _ = bfs_subgraph(
-        r.kg_nodes, r.kg_edges, seed, max_depth=2, max_nodes=1_000_000
+        nodes, edges, seed, max_depth=2, max_nodes=1_000_000
     )
     return sub_nodes.select(
         "entity_name",
@@ -261,7 +267,11 @@ def _q_kg_subgraph_star(spark, sf):
     from lightrag_spark.operators.explorer import star_subgraph
 
     r = _build(spark, sf)
-    _, sub_edges, _ = star_subgraph(r.kg_nodes, r.kg_edges, max_nodes=10)
+    # same persist-and-pin as kg_subgraph_bfs: the star head + induced
+    # edge filter are separate actions over the merged tables
+    _, sub_edges, _ = star_subgraph(
+        r.kg_nodes.persist(), r.kg_edges.persist(), max_nodes=10
+    )
     return sub_edges.select(
         "src", "tgt", F.col("weight").cast("double").alias("weight")
     )
