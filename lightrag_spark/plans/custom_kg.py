@@ -36,7 +36,7 @@ from ..functions.hashing import compute_mdhash_id
 from ..functions.textnorm import normalize_entity_name, sanitize_text_for_encoding
 from ..functions.tokenizer import get_tokenizer
 
-__all__ = ["insert_custom_kg"]
+__all__ = ["insert_custom_kg", "insert_custom_chunks"]
 
 _NODE_SCHEMA = (
     "entity_name string, entity_type string, descriptions array<string>,"
@@ -229,3 +229,134 @@ def insert_custom_kg(
 
     out_nodes, out_edges = with_degrees(new_nodes, new_edges)
     return out_nodes, out_edges, new_chunks
+
+
+def insert_custom_chunks(
+    spark,
+    graph_dir: str,
+    full_text: str,
+    text_chunks: list,
+    doc_id: str | None = None,
+    cfg=None,
+) -> dict:
+    """ainsert_custom_chunks (lightrag.py:1846-2100): caller-chunked content
+    ingested as one idempotent incremental operation against a materialized
+    graph dir (the streaming/batch upsert layout: chunks/llm_cache/
+    kg_nodes/kg_edges).
+
+    Identity contract ported exactly (utils_pipeline.py:404-428): chunk ids
+    hash the LENGTH-PREFIXED (doc_key, chunk_text) pair — identical text in
+    two documents never shares a row — and the operation id hashes the
+    ordered chunk-id set, so the same logical input is the same operation
+    across retries.  Create vs patch is observed from the stored chunks
+    table (absent doc -> create; present -> union-only patch); a fully
+    committed operation re-run is a no-op (0 new chunks, 0 model calls).
+
+    Commit ordering follows upsert_pages_batch: cache rows append FIRST,
+    then the atomic graph pair swap, then the chunks append — the chunks
+    row set is the doc-visible commit record, written last, and a crash
+    anywhere earlier leaves a retryable state (extra cache rows are
+    harmless; chunk-id dedup makes the retry exact).
+    """
+    import os
+
+    from ..operators.extraction import extract_records, split_records
+    from ..operators.merge import (
+        add_unknown_endpoint_nodes,
+        merge_entity_nodes,
+        merge_relation_edges,
+        with_degrees,
+    )
+    from .incremental_merge import upsert_graph
+    from .kg_build import KGBuildConfig
+    from ..streaming.kg_ingest import _commit_pair, _committed
+
+    cfg = cfg or KGBuildConfig()
+    full_text = sanitize_text_for_encoding(full_text)
+    doc_key = doc_id if doc_id is not None else compute_mdhash_id(
+        full_text, prefix="doc-"
+    )
+    entries: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for t in text_chunks:
+        t = sanitize_text_for_encoding(t)
+        if not t:
+            continue
+        cid = compute_mdhash_id(f"{len(doc_key)}:{doc_key}:{t}", prefix="chunk-")
+        if cid in seen:
+            continue
+        seen.add(cid)
+        entries.append((cid, t))
+    if not entries:
+        return {"doc_id": doc_key, "mode": "noop", "inserted_chunks": 0,
+                "operation_id": None}
+    operation_id = compute_mdhash_id(
+        f"{len(doc_key)}:{doc_key}:" + "|".join(cid for cid, _ in entries),
+        prefix="op-",
+    )
+
+    tok = get_tokenizer(cfg.tokenizer_kind)
+    batch = spark.createDataFrame(
+        [
+            (cid, doc_key, i, tok.count(t), t, "custom_kg", 0)
+            for i, (cid, t) in enumerate(entries)
+        ],
+        "chunk_id string, doc_id string, chunk_order_index int, tokens int,"
+        " content string, file_path string, doc_order long",
+    )
+
+    chunks_path = os.path.join(graph_dir, "chunks")
+    nodes_path = os.path.join(graph_dir, "kg_nodes")
+    edges_path = os.path.join(graph_dir, "kg_edges")
+    cache_path = os.path.join(graph_dir, "llm_cache")
+
+    mode = "create"
+    new_batch = batch
+    stored_chunks = None
+    if os.path.exists(chunks_path):
+        stored_chunks = spark.read.parquet(chunks_path)
+        if (
+            stored_chunks.filter(F.col("doc_id") == doc_key).limit(1).count() > 0
+        ):
+            mode = "patch"
+        new_batch = batch.join(
+            stored_chunks.select("chunk_id"), "chunk_id", "left_anti"
+        )
+    n_new = new_batch.count()
+    if n_new == 0:
+        return {"doc_id": doc_key, "mode": "noop", "inserted_chunks": 0,
+                "operation_id": operation_id}
+
+    from pyspark.storagelevel import StorageLevel
+
+    records = extract_records(
+        new_batch,
+        max_gleaning=cfg.max_gleaning,
+        run_ts=cfg.run_ts,
+        model_min_len=cfg.model_min_len,
+        tokenizer_kind=cfg.tokenizer_kind,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        mentions, triples, cache = split_records(records)
+        if _committed(nodes_path) and _committed(edges_path):
+            stored_n = spark.read.parquet(nodes_path)
+            stored_e = spark.read.parquet(edges_path)
+            nodes, edges = upsert_graph(stored_n, stored_e, mentions, triples, cfg)
+        else:
+            nodes = merge_entity_nodes(mentions, salts=cfg.merge_salts)
+            edges = merge_relation_edges(triples, salts=cfg.merge_salts)
+            nodes = add_unknown_endpoint_nodes(nodes, edges)
+            nodes, edges = with_degrees(nodes, edges)
+
+        os.makedirs(graph_dir, exist_ok=True)
+        cache.write.mode("append").parquet(cache_path)
+        _commit_pair(nodes, edges, graph_dir)
+        new_batch.write.mode("append").parquet(chunks_path)
+    finally:
+        records.unpersist()
+    return {
+        "doc_id": doc_key,
+        "mode": mode,
+        "inserted_chunks": n_new,
+        "operation_id": operation_id,
+    }

@@ -131,3 +131,51 @@ def test_insert_custom_kg_validation(kg):
     out_nodes, out_edges, out_chunks = insert_custom_kg(nodes, edges, chunks, {})
     assert out_nodes.count() == nodes.count()
     assert out_chunks.count() == chunks.count()
+
+
+def test_insert_custom_chunks_create_patch_noop(spark, tmp_path):
+    """ainsert_custom_chunks (lightrag.py:1846+): create -> patch -> exact
+    idempotent no-op, with the length-prefixed document-scoped chunk ids
+    (utils_pipeline.py:404-428) and graph upsert per batch."""
+    from lightrag_spark.plans.custom_kg import insert_custom_chunks
+    from lightrag_spark.plans.kg_build import KGBuildConfig
+
+    gd = str(tmp_path / "graph")
+    cfg = KGBuildConfig(merge_salts=2)
+    r1 = insert_custom_chunks(
+        spark, gd, "full text body",
+        ["alpha works with beta gamma", "delta joins epsilon"], cfg=cfg,
+    )
+    assert r1["mode"] == "create" and r1["inserted_chunks"] == 2
+    nodes1 = spark.read.parquet(gd + "/kg_nodes")
+    assert nodes1.count() > 0
+    chunks1 = spark.read.parquet(gd + "/chunks")
+    assert chunks1.count() == 2
+    # chunk id is doc-scoped: same text, different doc -> different id
+    r_other = insert_custom_chunks(
+        spark, gd, "other doc", ["alpha works with beta gamma"], cfg=cfg,
+    )
+    assert r_other["inserted_chunks"] == 1
+    assert spark.read.parquet(gd + "/chunks").count() == 3
+
+    # patch: same doc, one old + one new chunk -> only the new one lands
+    r2 = insert_custom_chunks(
+        spark, gd, "full text body",
+        ["alpha works with beta gamma", "zeta meets eta"], cfg=cfg,
+    )
+    assert r2["mode"] == "patch" and r2["inserted_chunks"] == 1
+    assert r2["doc_id"] == r1["doc_id"]
+
+    # exact re-run of a committed operation: no-op, nothing appended
+    n_chunks = spark.read.parquet(gd + "/chunks").count()
+    r3 = insert_custom_chunks(
+        spark, gd, "full text body",
+        ["alpha works with beta gamma", "zeta meets eta"], cfg=cfg,
+    )
+    assert r3["mode"] == "noop" and r3["inserted_chunks"] == 0
+    assert r3["operation_id"] == r2["operation_id"] is not None
+    assert spark.read.parquet(gd + "/chunks").count() == n_chunks
+
+    # empty input -> noop without touching the dir
+    r4 = insert_custom_chunks(spark, gd, "x", ["", "  "], cfg=cfg)
+    assert r4["mode"] == "noop" and r4["operation_id"] is None
