@@ -551,6 +551,25 @@ def _q_text_contamination(spark, sf):
 _SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
 
 
+def _q_pack_layout(spark, sf):
+    """Sequence packing layout (operators/packing.py): global ordered
+    prefix sum via the two-phase distributed scan (range partition ->
+    per-partition subtotal -> driver prefix -> partition-LOCAL window) —
+    no single-partition global window anywhere in the plan."""
+    from lightrag_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return pack_sequences(docs, block_size=512)
+
+
+def _q_pack_blocks(spark, sf):
+    """Per-block roll-up of the packed tape (explode block span -> agg)."""
+    from lightrag_spark.operators.packing import pack_block_stats, pack_sequences
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return pack_block_stats(pack_sequences(docs, block_size=512), block_size=512)
+
+
 def _q_data_splits(spark, sf):
     """Deterministic train/valid/test assignment (operators/sampling.py:
     hash_split — membership is a pure function of doc_id, stable under
@@ -1246,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_query_rerank": _q_batch_rerank,
         "kg_subgraph_bfs": _q_kg_subgraph_bfs,
         "kg_subgraph_star": _q_kg_subgraph_star,
+        "data_pack_layout": _q_pack_layout,
+        "data_pack_blocks": _q_pack_blocks,
     }
 
 
@@ -1734,6 +1755,43 @@ walk AS (
 SELECT w.entity_name, min(w.depth)::BIGINT AS depth, n.degree
 FROM walk w JOIN nodes n USING (entity_name)
 GROUP BY w.entity_name, n.degree""",
+        "data_pack_layout": """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS tokens
+  FROM documents),
+c AS (SELECT doc_id, tokens, tokens + 1 AS cost FROM t),
+o AS (
+  SELECT doc_id, tokens, cost,
+         coalesce(SUM(cost) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS "offset"
+  FROM c)
+SELECT doc_id, tokens, "offset",
+       ("offset" // 512)::BIGINT AS start_block,
+       (("offset" + cost - 1) // 512)::BIGINT AS end_block,
+       ((("offset" + cost - 1) // 512) - ("offset" // 512) + 1)::BIGINT AS n_blocks
+FROM o""",
+        "data_pack_blocks": """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS tokens
+  FROM documents),
+c AS (SELECT doc_id, tokens, tokens + 1 AS cost FROM t),
+o AS (
+  SELECT doc_id, cost,
+         coalesce(SUM(cost) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS "offset"
+  FROM c),
+spans AS (
+  SELECT doc_id,
+         unnest(generate_series("offset" // 512, ("offset" + cost - 1) // 512))
+           ::BIGINT AS block_id
+  FROM o)
+SELECT block_id, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM spans GROUP BY block_id""",
         "kg_subgraph_star": _KG_CTE
         + """
 , nodes AS (
