@@ -543,6 +543,26 @@ def answer_cache_key(
     )
 
 
+def _call_with_history(response_fn, query_text, sys_prompt, history):
+    """Invoke the model hook, forwarding conversation history when the
+    callable accepts it (the reference passes ``history_messages`` straight
+    to the LLM adapter — operate.py:4363, lightrag.py:3975)."""
+    if history:
+        import inspect
+
+        try:
+            params = inspect.signature(response_fn).parameters
+            if "history_messages" in params or any(
+                p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
+            ):
+                return response_fn(
+                    query_text, sys_prompt, history_messages=history
+                )
+        except (TypeError, ValueError):
+            pass
+    return response_fn(query_text, sys_prompt)
+
+
 def kg_query(
     result,
     query_text: str,
@@ -567,6 +587,7 @@ def kg_query(
     rerank_fn=None,
     min_rerank_score: float = 0.5,
     chunk_top_k: int | None = None,
+    conversation_history: list | None = None,
 ) -> dict:
     """The COMPLETE kg_query loop (operate.py:4191-4423): keyword extraction
     -> retrieval context (kg_query_context) -> rag_response system prompt
@@ -610,7 +631,9 @@ def kg_query(
             raise ValueError(
                 "bypass mode needs response_fn(user_query, system_prompt) -> str"
             )
-        return _result(response_fn(query_text, None))
+        return _result(
+            _call_with_history(response_fn, query_text, None, conversation_history)
+        )
 
     hl, ll = extract_keywords_only(
         query_text, mode=mode, cache=keywords_cache, model_fn=keyword_model_fn
@@ -678,7 +701,12 @@ def kg_query(
         hl_str, ll_str, user_prompt,
         model_identity=ident or "",
     )
-    if answer_cache is not None and args_hash in answer_cache:
+    # the answer cache deliberately excludes conversation_history — with
+    # history set the cache is BYPASSED entirely, read and write
+    # (operate.py:4156-4190: a history-conditioned answer must never be
+    # served for, or poison, the history-free key)
+    use_cache = answer_cache is not None and not conversation_history
+    if use_cache and args_hash in answer_cache:
         return _result(
             answer_cache[args_hash], args_hash=args_hash, cache_hit=True, **common
         )
@@ -688,7 +716,9 @@ def kg_query(
             "to synthesize an answer (pass only_need_context/only_need_prompt "
             "to stop before the model call)"
         )
-    response = response_fn(query_text, sys_prompt)
+    response = _call_with_history(
+        response_fn, query_text, sys_prompt, conversation_history
+    )
     if isinstance(response, str):
         # echo-strip (operate.py:4404-4414): some providers leak the prompt
         # back; scrub only when the response is longer than the prompt.
@@ -702,7 +732,7 @@ def kg_query(
                 .replace("</system>", "")
                 .strip()
             )
-        if answer_cache is not None:
+        if use_cache:
             answer_cache[args_hash] = response
     return _result(response, args_hash=args_hash, **common)
 
@@ -725,6 +755,7 @@ def naive_query(
     rerank_fn=None,
     min_rerank_score: float = 0.5,
     chunk_top_k: int | None = None,
+    conversation_history: list | None = None,
 ) -> dict | None:
     """The COMPLETE naive_query loop (operate.py:6145-6430): chunk-VDB
     vector retrieval with a DYNAMIC token budget (max_total − rendered
@@ -850,7 +881,9 @@ def naive_query(
         query_text, mode, rtype, top_k, 0, 0, 0, max_total_tokens,
         "", "", user_prompt, model_identity=ident or "",
     )
-    if answer_cache is not None and args_hash in answer_cache:
+    # history bypasses the cache read AND write (operate.py:4156-4190)
+    use_cache = answer_cache is not None and not conversation_history
+    if use_cache and args_hash in answer_cache:
         return _result(
             answer_cache[args_hash], args_hash=args_hash, cache_hit=True, **common
         )
@@ -860,7 +893,9 @@ def naive_query(
             "to synthesize an answer (pass only_need_context/only_need_prompt "
             "to stop before the model call)"
         )
-    response = response_fn(query_text, sys_prompt)
+    response = _call_with_history(
+        response_fn, query_text, sys_prompt, conversation_history
+    )
     if isinstance(response, str):
         if len(response) > len(sys_prompt):
             response = (
@@ -872,6 +907,6 @@ def naive_query(
                 .replace("</system>", "")
                 .strip()
             )
-        if answer_cache is not None:
+        if use_cache:
             answer_cache[args_hash] = response
     return _result(response, args_hash=args_hash, **common)

@@ -261,6 +261,7 @@ def query_llm(
                 "top_k", "max_total_tokens", "enable_rerank", "rerank_fn",
                 "min_rerank_score", "chunk_top_k", "response_type",
                 "user_prompt", "model_identity", "answer_cache",
+                "conversation_history",
             )
         }
         r = naive_query(
@@ -278,7 +279,7 @@ def query_llm(
                 "max_total_tokens", "enable_rerank", "rerank_fn",
                 "min_rerank_score", "chunk_top_k", "response_type",
                 "user_prompt", "model_identity", "answer_cache",
-                "keywords_cache", "keyword_model_fn",
+                "keywords_cache", "keyword_model_fn", "conversation_history",
             )
         }
         r = kg_query(result, query_text, mode=mode, response_fn=response_fn, **kg_kwargs)

@@ -157,3 +157,46 @@ def test_query_llm_combined(kg):
     byp = query_llm(kg, "hello", mode="bypass", response_fn=model)
     assert byp["llm_response"]["content"] == "ANSWER(0)"
     assert byp["data"]["entities"] == []
+
+
+def test_conversation_history_bypasses_cache(kg):
+    """operate.py:4156-4190: history-conditioned answers never read from
+    or write to the answer cache; the history reaches the model hook as
+    history_messages."""
+    from lightrag_spark.plans.query import kg_query
+
+    seen = []
+
+    def model(q, sys_prompt, history_messages=None):
+        seen.append(history_messages)
+        return f"answer-{len(seen)}"
+
+    cache: dict = {}
+    q = "network customer united_states analysis"
+    r1 = kg_query(kg, q, mode="local", response_fn=model, answer_cache=cache)
+    assert r1["content"] == "answer-1" and cache  # cached, no history
+    r2 = kg_query(kg, q, mode="local", response_fn=model, answer_cache=cache)
+    assert r2["cache_hit"] is True  # warm
+
+    hist = [{"role": "user", "content": "earlier turn"}]
+    r3 = kg_query(
+        kg, q, mode="local", response_fn=model, answer_cache=cache,
+        conversation_history=hist,
+    )
+    assert r3["cache_hit"] is False and r3["content"] == "answer-2"
+    assert seen[-1] == hist  # history reached the model
+    assert len(cache) == 1  # the history answer was NOT written
+
+    # a 2-arg model hook still works with history (no kwargs leak)
+    def plain_model(q2, s2):
+        return "plain"
+
+    r4 = kg_query(
+        kg, q, mode="local", response_fn=plain_model, conversation_history=hist,
+    )
+    assert r4["content"] == "plain"
+
+    # bypass forwards history too
+    r5 = kg_query(kg, "hi", mode="bypass", response_fn=model,
+                  conversation_history=hist)
+    assert seen[-1] == hist and r5["content"].startswith("answer-")
