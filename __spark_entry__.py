@@ -570,6 +570,17 @@ def _q_pack_blocks(spark, sf):
     return pack_block_stats(pack_sequences(docs, block_size=512), block_size=512)
 
 
+def _q_pii_redact(spark, sf):
+    """PII scrubbing pass (operators/pii.py): fixed-order regexp chain,
+    pure codegen projection.  The DuckDB twin is GENERATED from the same
+    PII_PATTERNS table (_pii_sql below), so the two rewrites cannot
+    drift."""
+    from lightrag_spark.operators.pii import redact_pii
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return redact_pii(docs)
+
+
 def _q_data_splits(spark, sf):
     """Deterministic train/valid/test assignment (operators/sampling.py:
     hash_split — membership is a pure function of doc_id, stable under
@@ -1267,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_subgraph_star": _q_kg_subgraph_star,
         "data_pack_layout": _q_pack_layout,
         "data_pack_blocks": _q_pack_blocks,
+        "text_pii_redact": _q_pii_redact,
     }
 
 
@@ -1680,6 +1692,32 @@ s AS (SELECT lang, {case} AS split FROM u)
 SELECT lang, split, count(*)::BIGINT AS n_docs FROM s GROUP BY 1, 2"""
 
 
+def _pii_sql() -> str:
+    """DuckDB twin of operators/pii.redact_pii, GENERATED from the same
+    PII_PATTERNS table: one CTE per detector, counting on the previous
+    stage's text then rewriting with the 'g' flag — the fixed-order
+    contract stated once, executed twice."""
+    from lightrag_spark.operators.pii import PII_PATTERNS
+
+    ctes = ["s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    for i, (kind, pattern, placeholder) in enumerate(PII_PATTERNS):
+        pat = pattern.replace("'", "''")
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, "
+            + ", ".join(f"n_{k}" for k, _, _ in PII_PATTERNS[:i])
+            + (", " if i else "")
+            + f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{kind}, "
+            f"regexp_replace(t, '{pat}', '{placeholder}', 'g') AS t FROM s{i})"
+        )
+    total = " + ".join(f"n_{k}" for k, _, _ in PII_PATTERNS)
+    counts = ", ".join(f"n_{k}" for k, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, t AS text, {counts}, ({total})::BIGINT AS n_pii"
+        + f" FROM s{len(PII_PATTERNS)}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_chunks": _KG_CTE
@@ -1755,6 +1793,7 @@ walk AS (
 SELECT w.entity_name, min(w.depth)::BIGINT AS depth, n.degree
 FROM walk w JOIN nodes n USING (entity_name)
 GROUP BY w.entity_name, n.degree""",
+        "text_pii_redact": _pii_sql(),
         "data_pack_layout": """
 WITH t AS (
   SELECT doc_id,
