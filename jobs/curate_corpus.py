@@ -33,6 +33,10 @@ def main():
                     help="flag contaminated docs instead of dropping them")
     ap.add_argument("--quality", action="store_true",
                     help="drop documents failing the Gopher quality thresholds")
+    ap.add_argument("--pii", action="store_true",
+                    help="redact PII from the curated text (typed placeholders)")
+    ap.add_argument("--pack", type=int, default=None, metavar="BLOCK",
+                    help="emit the sequence-packing layout at this block size")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -90,6 +94,31 @@ def main():
         .orderBy("pid")
         .collect()
     ]
+    pii_total = None
+    if args.pii:
+        # scrub AFTER curation (drop first, rewrite survivors only) — one
+        # codegen projection over the curated table, rewritten in place
+        from lightrag_spark.operators.pii import redact_pii
+
+        redacted = redact_pii(curated, text_col="text", id_col="doc_id")
+        joined = curated.drop("text").join(redacted, "doc_id")
+        joined.write.mode("overwrite").partitionBy("split").parquet(
+            f"{args.out}/curated_docs_pii"
+        )
+        scrubbed = spark.read.parquet(f"{args.out}/curated_docs_pii")
+        pii_total = scrubbed.agg(F.sum("n_pii")).collect()[0][0]
+        curated = scrubbed
+
+    pack_blocks = None
+    if args.pack:
+        from lightrag_spark.operators.packing import pack_block_stats, pack_sequences
+
+        layout = pack_sequences(curated, block_size=args.pack)
+        layout.write.mode("overwrite").parquet(f"{args.out}/pack_layout")
+        stats = pack_block_stats(layout, block_size=args.pack)
+        stats.write.mode("overwrite").parquet(f"{args.out}/pack_blocks")
+        pack_blocks = spark.read.parquet(f"{args.out}/pack_blocks").count()
+
     n_docs = r.docs.count()
     n_curated = sum(split_counts.values())
     metrics = {
@@ -105,6 +134,10 @@ def main():
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
     }
+    if pii_total is not None:
+        metrics["pii_redactions"] = int(pii_total or 0)
+    if pack_blocks is not None:
+        metrics["pack_blocks"] = pack_blocks
     print(json.dumps(metrics))
     spark.stop()
 
