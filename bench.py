@@ -131,6 +131,8 @@ def main():
         "tpch_q1ish",
         "eval_retrieval",
         "corpus_curated",
+        "text_pii_redact",
+        "data_pack_layout",
     )
 
     def _time(name):
