@@ -549,6 +549,7 @@ def _q_text_contamination(spark, sf):
 
 
 _SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+_DOMAIN_QUOTA = 10
 
 
 def _q_pack_layout(spark, sf):
@@ -593,6 +594,34 @@ def _q_data_splits(spark, sf):
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def _q_domain_quota(spark, sf):
+    """Per-domain quota cap (operators/sampling.domain_quota_sample):
+    keep the 10 longest docs per source, salted two-phase top-k per key
+    so a mega-domain never lands in one reducer — the C4/RefinedWeb-style
+    anti-SEO-farm cap a crawl-epoch curation applies before training."""
+    from lightrag_spark.operators.sampling import domain_quota_sample
+
+    docs = _documents(spark, sf)
+    return domain_quota_sample(
+        docs,
+        max_per_key=_DOMAIN_QUOTA,
+        key_col="source",
+        order_cols=[F.col("n_chars").desc()],
+        id_col="doc_id",
+    ).select("doc_id", "source", "n_chars", "domain_rank")
+
+
+def _domain_quota_sql() -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+           AS domain_rank
+  FROM documents)
+SELECT doc_id, source, n_chars, domain_rank
+FROM r WHERE domain_rank <= {_DOMAIN_QUOTA}"""
 
 
 def _q_batch_seeds(spark, sf):
@@ -1259,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "text_contamination": _q_text_contamination,
         "data_splits": _q_data_splits,
+        "data_domain_quota": _q_domain_quota,
         "corpus_curated": _q_corpus_curated,
         "text_gopher_quality": _q_gopher_quality,
         "eval_slice": _q_eval_slice,
@@ -2139,6 +2169,7 @@ GROUP BY l_returnflag, l_linestatus""",
         "eval_retrieval": _eval_retrieval_sql(),
         "text_contamination": _text_contamination_sql(),
         "data_splits": _data_splits_sql(),
+        "data_domain_quota": _domain_quota_sql(),
         "corpus_curated": _corpus_curated_sql(),
         "text_gopher_quality": _gopher_quality_sql(),
         "eval_slice": _eval_slice_sql(),

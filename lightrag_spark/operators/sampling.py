@@ -81,6 +81,65 @@ def stratified_exact_sample(
     )
 
 
+def domain_quota_sample(
+    df: DataFrame,
+    max_per_key: int,
+    key_col: str,
+    order_cols: list[Column],
+    id_col: str,
+    salts: int = 8,
+    rank_col: str = "domain_rank",
+) -> DataFrame:
+    """Keep at most ``max_per_key`` best rows per key — the per-domain
+    quota cap web-corpus curation uses against SEO farms and mirror
+    sites (one domain contributing millions of near-identical pages
+    would otherwise dominate a crawl epoch; C4/RefinedWeb-style
+    pipelines cap per registrable domain).
+
+    Ordering is ``order_cols`` with ``id_col`` ascending appended as the
+    final tiebreak, making the ranking a total order — the survivor set
+    is therefore a pure function of the data, stable across partitioning
+    and cluster size (same contract as the other samplers here).
+
+    Scale/skew note: a single window over ``key_col`` puts each key's
+    ENTIRE row set in one reducer task — a mega-domain (billions of
+    pages) becomes one straggler.  This runs the salted two-phase shape
+    the KG merge uses (operators/merge.py): phase 1 ranks within
+    ``(key, crc32(id) % salts)`` and keeps ``max_per_key`` per salt
+    group — any global top-k row is necessarily in its subset's top-k,
+    so no survivor is lost — bounding every task at ~1/salts of the
+    hottest key; phase 2 re-ranks the <= ``max_per_key * salts``
+    survivors per key, a shuffle of quota-bounded (not corpus-bounded)
+    size.  Catalyst additionally inserts ``WindowGroupLimit`` (Partial)
+    before BOTH exchanges — map-side top-k pruning — so even the phase-1
+    shuffle carries at most ``max_per_key`` rows per (key, salt) per
+    input partition; the salting's job is bounding the reducer-side
+    sort, which the group-limit alone cannot.  Output carries
+    ``rank_col`` (1-based, BIGINT) for downstream "keep top-N only"
+    refinement without a re-sort.
+    """
+    from pyspark.sql.window import Window
+
+    if max_per_key < 1:
+        raise ValueError(f"max_per_key {max_per_key} must be >= 1")
+    if salts < 1:
+        raise ValueError(f"salts {salts} must be >= 1")
+    order = [*order_cols, F.col(id_col).asc()]
+    salted = df.withColumn(
+        "_qsalt", F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(salts))
+    )
+    w1 = Window.partitionBy(key_col, "_qsalt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_qr1", F.row_number().over(w1))
+        .filter(F.col("_qr1") <= max_per_key)
+        .drop("_qsalt", "_qr1")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return survivors.withColumn(
+        rank_col, F.row_number().over(w2).cast("long")
+    ).filter(F.col(rank_col) <= max_per_key)
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -96,3 +96,56 @@ def test_stratified_exact_sample(docs, spark):
         ).collect()
     }
     assert a == b
+
+
+def test_domain_quota_salted_equals_single_window(docs):
+    """The salted two-phase top-k must pick EXACTLY the single-window
+    survivor set (the subset-ranking argument), at several salt counts
+    including the degenerate salts=1, and be partition-invariant."""
+    from pyspark.sql.window import Window
+
+    from lightrag_spark.operators.sampling import domain_quota_sample
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    plain = {
+        (r.doc_id, r.domain_rank)
+        for r in docs.withColumn(
+            "domain_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("domain_rank") <= 7)
+        .select("doc_id", "domain_rank")
+        .collect()
+    }
+    assert plain
+    for salts, df in (
+        (1, docs),
+        (8, docs),
+        (64, docs.repartition(13)),
+    ):
+        got = {
+            (r.doc_id, r.domain_rank)
+            for r in domain_quota_sample(
+                df,
+                max_per_key=7,
+                key_col="source",
+                order_cols=[F.col("n_chars").desc()],
+                id_col="doc_id",
+                salts=salts,
+            )
+            .select("doc_id", "domain_rank")
+            .collect()
+        }
+        assert got == plain, f"salts={salts}"
+
+
+def test_domain_quota_validates_args(docs):
+    from lightrag_spark.operators.sampling import domain_quota_sample
+
+    with pytest.raises(ValueError):
+        domain_quota_sample(docs, 0, "source", [F.col("n_chars")], "doc_id")
+    with pytest.raises(ValueError):
+        domain_quota_sample(
+            docs, 5, "source", [F.col("n_chars")], "doc_id", salts=0
+        )
