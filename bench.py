@@ -133,6 +133,7 @@ def main():
         "corpus_curated",
         "text_pii_redact",
         "data_pack_layout",
+        "data_domain_quota",
     )
 
     def _time(name):
