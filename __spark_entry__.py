@@ -550,6 +550,8 @@ def _q_text_contamination(spark, sf):
 
 _SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
 _DOMAIN_QUOTA = 10
+# Skewed target mixture: first 10 sources get 4x the share of the rest.
+_MIX_WEIGHTS = {f"src{i}": (0.08 if i < 10 else 0.02) for i in range(20)}
 
 
 def _q_pack_layout(spark, sf):
@@ -622,6 +624,45 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, source, n_chars, domain_rank
 FROM r WHERE domain_rank <= {_DOMAIN_QUOTA}"""
+
+
+def _q_domain_mixture(spark, sf):
+    """Target-mixture resampling (operators/sampling.mixture_resample):
+    downsample-only to Pile/DoReMi-style domain shares — binding domain
+    keeps all rows, the rest keep hash-stable fractions; one broadcast
+    join + scan-side filter, no corpus shuffle."""
+    from lightrag_spark.operators.sampling import mixture_resample
+
+    docs = _documents(spark, sf)
+    return mixture_resample(
+        docs, _MIX_WEIGHTS, key_col="source", id_col="doc_id"
+    ).select("doc_id", "source")
+
+
+def _mixture_sql() -> str:
+    """DuckDB twin of mixture_resample under _MIX_WEIGHTS: the weight
+    table is generated from the SAME dict the Spark query uses, and the
+    keep probability is written in the same IEEE operation order
+    (w * n_out / n), so the boundary comparison is bit-identical."""
+    from lightrag_spark.operators.sampling import HASH_HEX_CHARS
+
+    total = sum(_MIX_WEIGHTS.values())
+    vals = ", ".join(
+        f"('{k}', {float(v) / total!r})" for k, v in sorted(_MIX_WEIGHTS.items())
+    )
+    denom = float(16**HASH_HEX_CHARS)
+    return f"""
+WITH w(source, w) AS (VALUES {vals}),
+n AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+stats AS (SELECT n.source, n.n, w.w FROM n JOIN w USING (source)),
+cap AS (SELECT min(n / w) AS n_out FROM stats),
+p AS (SELECT source, least(1.0, w * (SELECT n_out FROM cap) / n) AS p FROM stats),
+u AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('mixture:' || doc_id::VARCHAR), 1, {HASH_HEX_CHARS}))::BIGINT
+           / {denom!r} AS u
+  FROM documents)
+SELECT u.doc_id, u.source FROM u JOIN p USING (source) WHERE u.u < p.p"""
 
 
 def _q_batch_seeds(spark, sf):
@@ -1289,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _q_text_contamination,
         "data_splits": _q_data_splits,
         "data_domain_quota": _q_domain_quota,
+        "data_domain_mixture": _q_domain_mixture,
         "corpus_curated": _q_corpus_curated,
         "text_gopher_quality": _q_gopher_quality,
         "eval_slice": _q_eval_slice,
@@ -2170,6 +2212,7 @@ GROUP BY l_returnflag, l_linestatus""",
         "text_contamination": _text_contamination_sql(),
         "data_splits": _data_splits_sql(),
         "data_domain_quota": _domain_quota_sql(),
+        "data_domain_mixture": _mixture_sql(),
         "corpus_curated": _corpus_curated_sql(),
         "text_gopher_quality": _gopher_quality_sql(),
         "eval_slice": _eval_slice_sql(),

@@ -134,6 +134,7 @@ def main():
         "text_pii_redact",
         "data_pack_layout",
         "data_domain_quota",
+        "data_domain_mixture",
     )
 
     def _time(name):

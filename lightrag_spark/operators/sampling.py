@@ -140,6 +140,63 @@ def domain_quota_sample(
     ).filter(F.col(rank_col) <= max_per_key)
 
 
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    id_col: str,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Downsample-only resampling to a target domain mixture — the
+    Pile/DoReMi-style step that turns a crawl's accidental domain shares
+    into the mixture the training run wants.  Given target shares
+    ``weights`` (normalized internally), the output size is the largest
+    achievable WITHOUT upsampling any domain, ``n_out = min_d(n_d /
+    w_d)``, and each domain keeps ``p_d = w_d * n_out / n_d`` of its
+    rows (the binding domain keeps everything, p=1).  Expected output
+    share of every domain is then exactly ``w_d``.
+
+    Membership is ``hash_uniform(id) < p_d`` — a pure function of the
+    key, so the sample is stable under repartitioning, cluster size,
+    and re-runs, and SQL-expressible for the DuckDB oracle (both
+    engines compute ``w * n_out / n`` over IEEE doubles in the same
+    operation order, so the comparison constant is bit-identical).
+
+    Plan shape: one hash aggregate on ``key_col`` for the per-domain
+    counts (map-side partial combine, #domains result rows), the
+    1-row ``n_out`` reduction crossJoined back broadcast-style, and the
+    per-domain keep probabilities broadcast-joined onto the corpus —
+    the corpus itself is touched by exactly one scan + one broadcast
+    join + a scan-side filter, no corpus-sized shuffle.  Domains absent
+    from ``weights`` are dropped (inner join); weights for absent
+    domains are ignored by the min.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(k, float(v) / total) for k, v in sorted(weights.items())],
+        schema=f"{key_col} string, _w double",
+    )
+    n_df = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    stats = n_df.join(w_df, key_col, "inner")
+    cap = stats.agg(F.min(F.col("_n") / F.col("_w")).alias("_n_out"))
+    p = stats.crossJoin(F.broadcast(cap)).select(
+        key_col,
+        F.least(
+            F.lit(1.0), F.col("_w") * F.col("_n_out") / F.col("_n")
+        ).alias("_p"),
+    )
+    return (
+        df.join(F.broadcast(p), key_col, "inner")
+        .filter(hash_uniform(F.col(id_col), salt) < F.col("_p"))
+        .drop("_p")
+    )
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -149,3 +149,36 @@ def test_domain_quota_validates_args(docs):
         domain_quota_sample(
             docs, 5, "source", [F.col("n_chars")], "doc_id", salts=0
         )
+
+
+def test_mixture_resample_shares_and_invariance(docs):
+    """Downsample-only mixture: binding domains keep ALL rows, the rest
+    keep w*n_out/n in expectation; membership is partition-invariant."""
+    from lightrag_spark.operators.sampling import mixture_resample
+
+    weights = {f"src{i}": (0.08 if i < 10 else 0.02) for i in range(20)}
+    out = mixture_resample(docs, weights, key_col="source", id_col="doc_id")
+    got = {r.doc_id for r in out.collect()}
+    # n_d = 25 for every source at sf0.01 -> n_out = 25/0.08 = 312.5;
+    # p = 1.0 for the 0.08 sources (binding), 0.25 for the 0.02 sources.
+    per = {r.source: r.n for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for i in range(10):
+        assert per[f"src{i}"] == 25, per
+    small = sum(per.get(f"src{i}", 0) for i in range(10, 20))
+    assert 30 <= small <= 95  # 10 domains x Binomial(25, 0.25), generous band
+    again = {
+        r.doc_id
+        for r in mixture_resample(
+            docs.repartition(17), weights, key_col="source", id_col="doc_id"
+        ).collect()
+    }
+    assert again == got
+
+
+def test_mixture_resample_validates_args(docs):
+    from lightrag_spark.operators.sampling import mixture_resample
+
+    with pytest.raises(ValueError):
+        mixture_resample(docs, {}, key_col="source", id_col="doc_id")
+    with pytest.raises(ValueError):
+        mixture_resample(docs, {"src0": 0.0}, key_col="source", id_col="doc_id")
