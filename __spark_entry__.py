@@ -552,6 +552,7 @@ _SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
 _DOMAIN_QUOTA = 10
 # Skewed target mixture: first 10 sources get 4x the share of the rest.
 _MIX_WEIGHTS = {f"src{i}": (0.08 if i < 10 else 0.02) for i in range(20)}
+_UPSAMPLE_ROWS = 1000
 
 
 def _q_pack_layout(spark, sf):
@@ -663,6 +664,51 @@ u AS (
            / {denom!r} AS u
   FROM documents)
 SELECT u.doc_id, u.source FROM u JOIN p USING (source) WHERE u.u < p.p"""
+
+
+def _q_domain_upsample(spark, sf):
+    """Epoch-aware mixture upsampling (operators/sampling.
+    mixture_upsample): repeat under-weighted domains to hit target
+    shares at a target corpus size, epoch column per repeat; corpus
+    path is scan + broadcast join + bounded explode."""
+    from lightrag_spark.operators.sampling import mixture_upsample
+
+    docs = _documents(spark, sf)
+    return mixture_upsample(
+        docs, _MIX_WEIGHTS, _UPSAMPLE_ROWS, key_col="source", id_col="doc_id"
+    ).select("doc_id", "source", "epoch")
+
+
+def _upsample_sql() -> str:
+    """DuckDB twin of mixture_upsample: same weight table, same IEEE
+    order for m = w * target / n, floor/fraction split, and
+    generate_series explode (empty when a doc owes zero copies)."""
+    from lightrag_spark.operators.sampling import HASH_HEX_CHARS
+
+    total = sum(_MIX_WEIGHTS.values())
+    vals = ", ".join(
+        f"('{k}', {float(v) / total!r})" for k, v in sorted(_MIX_WEIGHTS.items())
+    )
+    denom = float(16**HASH_HEX_CHARS)
+    return f"""
+WITH w(source, w) AS (VALUES {vals}),
+n AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+kf AS (
+  SELECT n.source, floor(w.w * {float(_UPSAMPLE_ROWS)!r} / n.n)::BIGINT AS k,
+         w.w * {float(_UPSAMPLE_ROWS)!r} / n.n
+           - floor(w.w * {float(_UPSAMPLE_ROWS)!r} / n.n) AS f
+  FROM n JOIN w USING (source)),
+u AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('mixture:' || doc_id::VARCHAR), 1, {HASH_HEX_CHARS}))::BIGINT
+           / {denom!r} AS u
+  FROM documents),
+c AS (
+  SELECT u.doc_id, u.source,
+         kf.k + (CASE WHEN u.u < kf.f THEN 1 ELSE 0 END) AS n_copies
+  FROM u JOIN kf USING (source))
+SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS epoch
+FROM c WHERE n_copies > 0"""
 
 
 def _q_batch_seeds(spark, sf):
@@ -1331,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_splits": _q_data_splits,
         "data_domain_quota": _q_domain_quota,
         "data_domain_mixture": _q_domain_mixture,
+        "data_domain_upsample": _q_domain_upsample,
         "corpus_curated": _q_corpus_curated,
         "text_gopher_quality": _q_gopher_quality,
         "eval_slice": _q_eval_slice,
@@ -2213,6 +2260,7 @@ GROUP BY l_returnflag, l_linestatus""",
         "data_splits": _data_splits_sql(),
         "data_domain_quota": _domain_quota_sql(),
         "data_domain_mixture": _mixture_sql(),
+        "data_domain_upsample": _upsample_sql(),
         "corpus_curated": _corpus_curated_sql(),
         "text_gopher_quality": _gopher_quality_sql(),
         "eval_slice": _eval_slice_sql(),

@@ -135,6 +135,7 @@ def main():
         "data_pack_layout",
         "data_domain_quota",
         "data_domain_mixture",
+        "data_domain_upsample",
     )
 
     def _time(name):

@@ -197,6 +197,72 @@ def mixture_resample(
     )
 
 
+def mixture_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    target_rows: int,
+    key_col: str,
+    id_col: str,
+    salt: str = "mixture",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Epoch-aware mixture construction WITH repetition — the
+    training-recipe counterpart of :func:`mixture_resample`: hit a
+    target corpus size ``target_rows`` at target domain shares by
+    repeating under-weighted domains (how LLM data recipes give a small
+    high-quality domain several epochs per mix).  Each domain owes
+    ``m_d = w_d * target_rows`` rows from its ``n_d``: every doc gets
+    ``floor(m_d/n_d)`` full copies (epochs ``0..k-1``) and the
+    fractional remainder epoch ``k`` goes to the hash-stable fraction
+    ``m_d/n_d - k`` of docs — expected output is exactly ``m_d`` per
+    domain, membership and epoch assignment are pure functions of the
+    key (stable across partitioning/cluster size), and ``epoch_col``
+    lets the dataloader vary shuffling/augmentation per repeat.
+
+    Plan shape: per-domain count aggregate (#domains rows) broadcast
+    back; the corpus sees one scan + one broadcast join + an explode of
+    a per-row bounded sequence — output-proportional work, no
+    corpus-sized shuffle.  Domains absent from ``weights`` are dropped.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    if target_rows < 1:
+        raise ValueError(f"target_rows {target_rows} must be >= 1")
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(k, float(v) / total) for k, v in sorted(weights.items())],
+        schema=f"{key_col} string, _w double",
+    )
+    n_df = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # per-doc copy budget m/n, split into full epochs + fractional tail;
+    # both engines compute _w * target / _n in this exact IEEE order.
+    kf = (
+        n_df.join(w_df, key_col, "inner")
+        .withColumn("_m", F.col("_w") * F.lit(float(target_rows)) / F.col("_n"))
+        .select(
+            key_col,
+            F.floor(F.col("_m")).cast("long").alias("_k"),
+            (F.col("_m") - F.floor(F.col("_m"))).alias("_f"),
+        )
+    )
+    u = hash_uniform(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(kf), key_col, "inner")
+        .withColumn(
+            "_ncopies", F.col("_k") + (u < F.col("_f")).cast("long")
+        )
+        .filter(F.col("_ncopies") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_ncopies") - 1)),
+        )
+        .drop("_k", "_f", "_ncopies")
+    )
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],

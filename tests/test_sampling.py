@@ -182,3 +182,49 @@ def test_mixture_resample_validates_args(docs):
         mixture_resample(docs, {}, key_col="source", id_col="doc_id")
     with pytest.raises(ValueError):
         mixture_resample(docs, {"src0": 0.0}, key_col="source", id_col="doc_id")
+
+
+def test_mixture_upsample_epochs_and_invariance(docs):
+    """Every doc in a repeated domain carries full epochs 0..k-1 plus a
+    hash-stable fractional epoch k; totals land on the per-domain budget
+    in expectation; assignment is partition-invariant."""
+    from lightrag_spark.operators.sampling import mixture_upsample
+
+    weights = {f"src{i}": (0.08 if i < 10 else 0.02) for i in range(20)}
+    out = mixture_upsample(
+        docs, weights, 1000, key_col="source", id_col="doc_id"
+    ).cache()
+    rows = out.collect()
+    # n=25 per source; big sources owe 80 rows (k=3, f=0.2), small owe 20
+    # (k=0, f=0.8).  Every big-source doc must carry epochs {0,1,2} at
+    # least; epoch 3 only for the fractional subset.
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault((r.source, r.doc_id), set()).add(r.epoch)
+    for (src, _), epochs in by_doc.items():
+        if int(src[3:]) < 10:
+            assert {0, 1, 2} <= epochs and epochs <= {0, 1, 2, 3}
+        else:
+            assert epochs == {0}
+    per = {r.source: r.n for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for i in range(10):
+        assert 75 <= per[f"src{i}"] <= 105  # 75 full + Binomial(25, .2)
+    for i in range(10, 20):
+        assert 10 <= per.get(f"src{i}", 0) <= 25  # Binomial(25, .8)
+    again = sorted(
+        (r.source, r.doc_id, r.epoch)
+        for r in mixture_upsample(
+            docs.repartition(13), weights, 1000, key_col="source", id_col="doc_id"
+        ).collect()
+    )
+    assert again == sorted((r.source, r.doc_id, r.epoch) for r in rows)
+    out.unpersist()
+
+
+def test_mixture_upsample_validates_args(docs):
+    from lightrag_spark.operators.sampling import mixture_upsample
+
+    with pytest.raises(ValueError):
+        mixture_upsample(docs, {"src0": 1.0}, 0, key_col="source", id_col="doc_id")
+    with pytest.raises(ValueError):
+        mixture_upsample(docs, {}, 10, key_col="source", id_col="doc_id")
