@@ -33,6 +33,9 @@ def main():
                     help="flag contaminated docs instead of dropping them")
     ap.add_argument("--quality", action="store_true",
                     help="drop documents failing the Gopher quality thresholds")
+    ap.add_argument("--domain-quota", type=int, default=None, metavar="K",
+                    help="keep at most K curated docs per url host "
+                         "(longest-text-first; salted two-phase top-k)")
     ap.add_argument("--pii", action="store_true",
                     help="redact PII from the curated text (typed placeholders)")
     ap.add_argument("--pack", type=int, default=None, metavar="BLOCK",
@@ -94,6 +97,35 @@ def main():
         .orderBy("pid")
         .collect()
     ]
+    quota_dropped = None
+    if args.domain_quota:
+        # anti-SEO-farm cap: at most K survivors per registrable host,
+        # longest text first — runs BEFORE pii/pack so those stages only
+        # touch rows that will ship
+        from lightrag_spark.operators.sampling import domain_quota_sample
+
+        with_host = curated.withColumn(
+            "domain",
+            F.coalesce(F.parse_url(F.col("file_path"), F.lit("HOST")), F.lit("")),
+        )
+        capped = domain_quota_sample(
+            with_host,
+            max_per_key=args.domain_quota,
+            key_col="domain",
+            order_cols=[F.length("text").desc()],
+            id_col="doc_id",
+        ).drop("domain_rank")
+        capped.write.mode("overwrite").partitionBy("split").parquet(
+            f"{args.out}/curated_docs_quota"
+        )
+        kept = spark.read.parquet(f"{args.out}/curated_docs_quota")
+        quota_dropped = sum(split_counts.values()) - kept.count()
+        curated = kept
+        split_counts = {
+            row["split"]: row["n"]
+            for row in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+
     pii_total = None
     if args.pii:
         # scrub AFTER curation (drop first, rewrite survivors only) — one
@@ -134,6 +166,8 @@ def main():
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
     }
+    if quota_dropped is not None:
+        metrics["domain_quota_dropped"] = quota_dropped
     if pii_total is not None:
         metrics["pii_redactions"] = int(pii_total or 0)
     if pack_blocks is not None:
