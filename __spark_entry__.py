@@ -1339,6 +1339,121 @@ def _q_kg_summary(spark, sf):
     )
 
 
+def _md5_even(col):
+    """First md5 hex digit even — the deterministic coin both engines share
+    (DuckDB: ('0x' || substr(md5(x),1,1))::BIGINT % 2 = 0)."""
+    return F.conv(F.substring(F.md5(col), 1, 1), 16, 10).cast("long") % 2 == 0
+
+
+def _dirty_kg(r):
+    """Deterministic 'alias dialect' over the built KG.
+
+    The gate corpus has a CLOSED ~30-word vocabulary, so no natural
+    surface variants exist for the linker to find (probed: max name-pair
+    trigram Jaccard < 0.4).  The linking gate therefore synthesizes the
+    variation a web corpus would carry — the same move as the mock-LLM
+    extraction rule: entities whose md5 leads with an even hex digit gain
+    a pluralized twin surface (nm || 's', degree 0, one mention), and each
+    such entity's edges move HALF their co-occurrence count (floor) to the
+    twin surface.  Rewriting the dirty graph through the alias map must
+    merge the split rows back additively — real work for both the linker
+    and the applier; the DuckDB twin replays every formula bit-identically.
+    (Simple-mode weight == relation_count, so the split re-derives weight
+    from the count halves.)"""
+    nodes = r.kg_nodes.select(
+        "entity_name",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("mention_count").cast("long").alias("mention_count"),
+    )
+    twins = (
+        nodes.filter(_md5_even(F.col("entity_name")))
+        .select(F.concat("entity_name", F.lit("s")).alias("entity_name"))
+        .join(nodes.select("entity_name"), "entity_name", "left_anti")
+        .select(
+            "entity_name",
+            F.lit(0).cast("long").alias("degree"),
+            F.lit(1).cast("long").alias("mention_count"),
+        )
+    )
+    dnodes = nodes.unionByName(twins)
+    e = r.kg_edges.select(
+        "src", "tgt", F.col("relation_count").cast("long").alias("relation_count")
+    )
+    ehalf = (
+        e.join(
+            twins.select(F.col("entity_name").alias("_twin")),
+            F.concat(F.col("src"), F.lit("s")) == F.col("_twin"),
+            "left",
+        )
+        .withColumn(
+            "_half",
+            F.when(
+                _md5_even(F.col("src"))
+                & (F.col("relation_count") >= 2)
+                & F.col("_twin").isNotNull(),
+                F.floor(F.col("relation_count") / 2).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .drop("_twin")
+    )
+    kept = ehalf.select(
+        "src",
+        "tgt",
+        (F.col("relation_count") - F.col("_half")).cast("double").alias("weight"),
+        (F.col("relation_count") - F.col("_half")).alias("relation_count"),
+    )
+    moved = ehalf.filter(F.col("_half") > 0).select(
+        F.concat(F.col("src"), F.lit("s")).alias("src"),
+        "tgt",
+        F.col("_half").cast("double").alias("weight"),
+        F.col("_half").alias("relation_count"),
+    )
+    # Materialize once: linking consumes the STORED node/edge tables in
+    # production (runner.py writes them before any linking pass), and the
+    # iterative CC + stats joins would otherwise re-run the salted merge
+    # per action.
+    return (
+        dnodes.localCheckpoint(eager=True),
+        kept.unionByName(moved).localCheckpoint(eager=True),
+    )
+
+
+def _q_kg_entity_links(spark, sf):
+    """Entity linking (operators/linking.py): alias resolution over the
+    (deterministically dirtied) KG — char-3-gram MinHash LSH candidates,
+    exact shingle-Jaccard verify, connected-components closure, canonical
+    = (degree, mention_count, name) max.  North-rule stage: 'entity
+    linking' between extraction and canonicalization (the reference's own
+    linking is name normalization, utils.py:4697-4700; this operator
+    resolves the surface variants normalization leaves apart)."""
+    from lightrag_spark.operators.linking import link_entities
+
+    r = _build(spark, sf)
+    dnodes, _ = _dirty_kg(r)
+    return link_entities(dnodes)
+
+
+def _q_kg_linked_edges(spark, sf):
+    """Graph rewrite through the alias map (operators/linking.py:
+    apply_entity_links): edges re-point to canonical endpoints, re-key
+    undirected, self-loops dropped, duplicates merged additively —
+    merge.py's weight/count semantics after linking.  Input is the dirty
+    graph of _dirty_kg; the rewrite merges the alias-split edge rows
+    back."""
+    from lightrag_spark.operators.linking import apply_entity_links, link_entities
+
+    r = _build(spark, sf)
+    dnodes, dedges = _dirty_kg(r)
+    links = link_entities(dnodes)
+    _, e = apply_entity_links(dnodes, dedges, links)
+    return e.select(
+        "src",
+        "tgt",
+        F.col("weight").cast("double").alias("weight"),
+        F.col("relation_count").cast("long").alias("relation_count"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_chunks": _q_kg_chunks,
@@ -1398,6 +1513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_pack_layout": _q_pack_layout,
         "data_pack_blocks": _q_pack_blocks,
         "text_pii_redact": _q_pii_redact,
+        "kg_entity_links": _q_kg_entity_links,
+        "kg_linked_edges": _q_kg_linked_edges,
     }
 
 
@@ -1537,6 +1654,82 @@ j AS (
          round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
                / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
   FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)"""
+
+# Entity-linking oracle chain (operators/linking.py twins): distinct
+# entity names -> char-3-gram shingles -> 8-fn minhash -> 4x2 LSH bands
+# (absolute megabucket guard) -> exact Jaccard verify -> recursive-CTE
+# closure -> (degree, mention_count, name)-ranked canonical.  Appended
+# after _KG_CTE (with RECURSIVE) by kg_entity_links / kg_linked_edges.
+from lightrag_spark.operators import linking as lk  # noqa: E402
+
+_NAME_MH_COLS = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
+    for i in range(lk.NAME_MINHASH_K)
+)
+_NAME_BAND_STRUCTS = ", ".join(
+    "STRUCT_PACK(band_idx := {b}::BIGINT, bucket := md5({cat}))".format(
+        b=b,
+        cat=" || '|' || ".join(
+            f"mh{b * lk.NAME_LSH_ROWS + r}" for r in range(lk.NAME_LSH_ROWS)
+        ),
+    )
+    for b in range(lk.NAME_LSH_BANDS)
+)
+
+_NAME_LINK_CTE = f"""
+, bstats AS (
+  SELECT mc.nm, coalesce(d.degree, 0)::BIGINT AS deg, mc.men
+  FROM (SELECT entity_name AS nm, count(*)::BIGINT AS men
+        FROM mentions GROUP BY 1) mc
+  LEFT JOIN node_degree d ON mc.nm = d.e),
+twins AS (
+  SELECT nm || 's' AS nm, 0::BIGINT AS deg, 1::BIGINT AS men
+  FROM bstats
+  WHERE ('0x' || substr(md5(nm),1,1))::BIGINT % 2 = 0
+    AND nm || 's' NOT IN (SELECT nm FROM bstats)),
+dnodes AS (SELECT * FROM bstats UNION ALL SELECT * FROM twins),
+names AS (SELECT nm FROM dnodes),
+nsh AS (
+  SELECT nm, CASE WHEN len(nm) >= {lk.NAME_SHINGLE_N}
+       THEN list_distinct(list_transform(
+            generate_series(1, len(nm)-{lk.NAME_SHINGLE_N - 1}),
+            i -> substr(nm, i, {lk.NAME_SHINGLE_N})))
+       ELSE [nm] END AS sh
+  FROM names),
+nsigs AS (SELECT nm, {_NAME_MH_COLS} FROM nsh),
+nbands AS (SELECT nm, unnest([{_NAME_BAND_STRUCTS}], recursive := true) FROM nsigs),
+nbsz AS (SELECT band_idx, bucket, count(*) AS _n FROM nbands GROUP BY 1, 2),
+npb AS (
+  SELECT b.* FROM nbands b
+  JOIN nbsz s ON b.band_idx = s.band_idx AND b.bucket = s.bucket
+  WHERE s._n <= {lk.NAME_MAX_BUCKET}),
+ncand AS (
+  SELECT DISTINCT a.nm AS nm_a, b.nm AS nm_b
+  FROM npb a JOIN npb b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.nm < b.nm),
+npairs AS (
+  SELECT c.nm_a, c.nm_b
+  FROM ncand c JOIN nsh sa ON sa.nm = c.nm_a JOIN nsh sb ON sb.nm = c.nm_b
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {lk.NAME_LINK_THRESHOLD}),
+nund AS (
+  SELECT nm_a AS a, nm_b AS b FROM npairs
+  UNION
+  SELECT nm_b AS a, nm_a AS b FROM npairs),
+nreach AS (
+  SELECT a AS node, a AS lbl FROM nund
+  UNION
+  SELECT e.b AS node, r.lbl FROM nreach r JOIN nund e ON e.a = r.node),
+ncomp AS (SELECT node, min(lbl) AS component FROM nreach GROUP BY node),
+nstats AS (SELECT nm AS node, men, deg FROM dnodes),
+ncanon AS (
+  SELECT component, node AS canonical_name FROM (
+    SELECT c.component, c.node,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY s.deg DESC, s.men DESC, c.node) AS rn
+    FROM ncomp c JOIN nstats s ON c.node = s.node) t
+  WHERE rn = 1),
+nsizes AS (SELECT component, count(*)::BIGINT AS component_size FROM ncomp GROUP BY 1)"""
 
 _SIMHASH_BIT_SUMS = ", ".join(
     f"sum(((hv >> {b}) & 1)*2 - 1) AS s{b}" for b in range(dp.SIMHASH_BITS)
@@ -1913,6 +2106,42 @@ SELECT w.entity_name, min(w.depth)::BIGINT AS depth, n.degree
 FROM walk w JOIN nodes n USING (entity_name)
 GROUP BY w.entity_name, n.degree""",
         "text_pii_redact": _pii_sql(),
+        "kg_entity_links": _KG_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _NAME_LINK_CTE
+        + """
+SELECT c.node AS entity_name, k.canonical_name, z.component_size
+FROM ncomp c
+JOIN ncanon k ON c.component = k.component
+JOIN nsizes z ON c.component = z.component""",
+        "kg_linked_edges": _KG_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _NAME_LINK_CTE
+        + """,
+amap AS (
+  SELECT c.node AS k, kk.canonical_name AS cn
+  FROM ncomp c JOIN ncanon kk ON c.component = kk.component),
+ehalf AS (
+  SELECT e.src, e.tgt, e.relation_count,
+         CASE WHEN ('0x' || substr(md5(e.src),1,1))::BIGINT % 2 = 0
+                   AND e.relation_count >= 2
+                   AND e.src || 's' IN (SELECT nm FROM twins)
+              THEN e.relation_count // 2 ELSE 0 END AS half
+  FROM edges e),
+dedges AS (
+  SELECT src, tgt, (relation_count - half)::DOUBLE AS weight,
+         (relation_count - half)::BIGINT AS relation_count FROM ehalf
+  UNION ALL
+  SELECT src || 's' AS src, tgt, half::DOUBLE AS weight,
+         half::BIGINT AS relation_count FROM ehalf WHERE half > 0),
+re AS (
+  SELECT least(coalesce(ma.cn, e.src), coalesce(mb.cn, e.tgt)) AS src,
+         greatest(coalesce(ma.cn, e.src), coalesce(mb.cn, e.tgt)) AS tgt,
+         e.weight, e.relation_count
+  FROM dedges e
+  LEFT JOIN amap ma ON e.src = ma.k
+  LEFT JOIN amap mb ON e.tgt = mb.k)
+SELECT src, tgt, sum(weight)::DOUBLE AS weight,
+       sum(relation_count)::BIGINT AS relation_count
+FROM re WHERE src <> tgt GROUP BY 1, 2""",
         "data_pack_layout": """
 WITH t AS (
   SELECT doc_id,

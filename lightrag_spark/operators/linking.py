@@ -1,0 +1,245 @@
+"""Entity linking — alias resolution over the canonicalized KG.
+
+The reference's entity linking IS name normalization: mentions that
+normalize to the same string become one node
+(``reference/lightrag/utils.py:4697-4700`` via the merge key,
+``operate.py:2226+``).  That leaves surface variants apart — "acme corp"
+vs "acme corporation", "color" vs "colour" — which at web scale
+(10^8+ distinct names from 10^12 docs) is the dominant source of split
+entities.  The north rule names entity linking as a first-class stage;
+this module supplies it as a deterministic, oracle-replayable operator
+ABOVE the reference's semantics (the reference graph is the input, the
+linked graph the output — running with an empty link map is the
+reference behavior unchanged).
+
+Pipeline (all JVM-side expressions, no Python in the flow):
+
+1. candidate generation — character 3-gram shingles of each DISTINCT
+   entity name, MinHash (the md5-portable formula of
+   ``datapipe.minhash_signature_cols``), LSH banding.  Names are short
+   (≤~60 chars → ≤~58 shingles), so the interpreted higher-order-function
+   cost that pushed document shingling to an Arrow kernel is immaterial
+   here; the expression form keeps the DuckDB twin bit-identical for free.
+2. megabucket guard — buckets larger than ``max_bucket`` are dropped
+   (common-trigram bands would otherwise quadratically explode the
+   candidate join at 10^8 names; the same N²-bucket law as
+   ``ann.prune_megabuckets``).  A fixed absolute cap keeps the oracle
+   twin a one-line join instead of a median estimate: name-similarity
+   buckets are tiny by construction (a bucket = names sharing 2 of 8
+   minhashes), so a size-64 bucket is pathology, not signal.
+3. verify — exact character-shingle Jaccard on bucket-cohabiting pairs,
+   keep >= ``threshold``.
+4. closure — :func:`~lightrag_spark.operators.graphs.connected_components`
+   (min-label propagation, checkpointed rounds).
+5. canonical pick — per component the highest-degree node wins
+   (tie: mention_count desc, then lexicographic min), mirroring the
+   reference's keep-the-hub instinct in ``amerge_entities``
+   (``utils_graph.py:572+``) where the target entity absorbs sources.
+
+Scale shape at 10^12 docs: every stage is bounded by DISTINCT NAME
+cardinality (~10^8), not corpus size — one groupBy to get names, 4 band
+shuffles of 8-byte buckets, a bucket-local self-join bounded by
+``max_bucket``², and a CC whose components are alias clusters (diameter
+2-3).  Nothing touches the chunks or documents tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from lightrag_spark.operators.datapipe import minhash_signature_cols
+from lightrag_spark.operators.graphs import connected_components
+
+NAME_SHINGLE_N = 3       # character n-gram width
+NAME_MINHASH_K = 8       # minhash functions over name shingles
+NAME_LSH_BANDS = 4       # bands (x NAME_LSH_ROWS = NAME_MINHASH_K)
+NAME_LSH_ROWS = 2        # rows per band
+NAME_LINK_THRESHOLD = 0.6   # exact char-shingle Jaccard to accept a link
+NAME_MAX_BUCKET = 64     # absolute megabucket guard on band buckets
+
+
+def name_shingles_col(name: Column, n: int = NAME_SHINGLE_N) -> Column:
+    """Distinct character n-grams of a name; whole name when shorter.
+
+    The short-name fallback keeps 1-2 char names linkable only on exact
+    equality (they already merged at normalization), instead of the
+    empty-set rows the document shingler drops.
+    """
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.length(name) - n),
+            lambda i: F.substring(name, F.lit(1) + i, n),
+        )
+    )
+    return F.when(F.length(name) >= n, grams).otherwise(F.array(name))
+
+
+def name_link_pairs(
+    names: DataFrame,
+    name_col: str = "entity_name",
+    threshold: float = NAME_LINK_THRESHOLD,
+    max_bucket: int = NAME_MAX_BUCKET,
+) -> DataFrame:
+    """(nm_a, nm_b, jaccard) — accepted alias-candidate pairs, nm_a < nm_b.
+
+    LSH-bucketed candidates verified by exact shingle Jaccard — never an
+    all-pairs join (the brute-force twin lives only in the DuckDB oracle
+    at gate scale).
+    """
+    sh = (
+        names.select(F.col(name_col).alias("nm"))
+        .distinct()
+        .withColumn("sh", name_shingles_col(F.col("nm")))
+    )
+    sigs = sh.select(
+        "nm", F.array(*minhash_signature_cols(F.col("sh"), k=NAME_MINHASH_K)).alias("sig")
+    )
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col("sig")[b * NAME_LSH_ROWS + r] for r in range(NAME_LSH_ROWS)],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(NAME_LSH_BANDS)
+    ]
+    banded = sigs.select("nm", F.explode(F.array(*bands)).alias("bb")).select(
+        "nm", F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket")
+    )
+    sizes = banded.groupBy("band_idx", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    pruned = banded.join(
+        sizes.filter(F.col("_n") <= max_bucket), ["band_idx", "bucket"]
+    ).drop("_n")
+    cand = (
+        pruned.alias("a")
+        .join(
+            pruned.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.nm") < F.col("b.nm")),
+        )
+        .select(F.col("a.nm").alias("nm_a"), F.col("b.nm").alias("nm_b"))
+        .distinct()
+    )
+    return (
+        cand.join(sh.select(F.col("nm").alias("nm_a"), F.col("sh").alias("sh_a")), "nm_a")
+        .join(sh.select(F.col("nm").alias("nm_b"), F.col("sh").alias("sh_b")), "nm_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("nm_a", "nm_b", "jaccard")
+    )
+
+
+def link_entities(
+    nodes: DataFrame,
+    name_col: str = "entity_name",
+    degree_col: str = "degree",
+    mention_col: str = "mention_count",
+    threshold: float = NAME_LINK_THRESHOLD,
+    max_bucket: int = NAME_MAX_BUCKET,
+) -> DataFrame:
+    """(entity_name, canonical_name, component_size) — the alias map.
+
+    Only entities belonging to a link component (size >= 2) appear; the
+    canonical itself maps to itself.  Everything absent from the map is
+    its own canonical — exactly the contract
+    :func:`duplicate_components` uses for docs, so the applier's
+    left-join-coalesce default is correct by the same argument.
+    """
+    pairs = name_link_pairs(
+        nodes, name_col=name_col, threshold=threshold, max_bucket=max_bucket
+    )
+    comp = connected_components(pairs, src="nm_a", dst="nm_b")
+    stats = nodes.select(
+        F.col(name_col).alias("node"),
+        F.col(degree_col).cast("long").alias("_deg"),
+        F.col(mention_col).cast("long").alias("_men"),
+    )
+    ranked = comp.join(stats, "node", "left").fillna(0, subset=["_deg", "_men"])
+    w = Window.partitionBy("component").orderBy(
+        F.desc("_deg"), F.desc("_men"), F.asc("node")
+    )
+    canon = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("component", F.col("node").alias("canonical_name"))
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        comp.join(canon, "component")
+        .join(sizes, "component")
+        .select(
+            F.col("node").alias("entity_name"),
+            "canonical_name",
+            F.col("component_size").cast("long").alias("component_size"),
+        )
+    )
+
+
+def apply_entity_links(
+    nodes: DataFrame, edges: DataFrame, links: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Rewrite the graph through the alias map -> (linked_nodes, linked_edges).
+
+    Edges re-point to canonical endpoints, re-key undirected
+    (least/greatest — the merge.py orientation rule), drop self-loops
+    (both endpoints linked to one entity: the relation is now internal),
+    and merge duplicates by summing weight/relation_count — the same
+    additive semantics ``merge_relation_edges`` gives co-occurrence
+    counts.  Nodes aggregate mention_count and linked-name count per
+    canonical; degree is RECOMPUTED from the rewritten edges (the old
+    degrees count alias-split edges twice).
+
+    The links frame is alias-cluster-sized (small share of distinct
+    names); Spark broadcasts it under AQE, so both rewrites stay
+    scan-shaped with no corpus shuffle beyond the final merge groupBy.
+    """
+    amap = links.select(
+        F.col("entity_name").alias("_k"), F.col("canonical_name").alias("_c")
+    )
+    e = (
+        edges.join(amap.withColumnRenamed("_k", "src"), "src", "left")
+        .withColumn("_src", F.coalesce("_c", F.col("src")))
+        .drop("_c")
+        .join(amap.withColumnRenamed("_k", "tgt"), "tgt", "left")
+        .withColumn("_tgt", F.coalesce("_c", F.col("tgt")))
+        .drop("_c")
+        .select(
+            F.least("_src", "_tgt").alias("src"),
+            F.greatest("_src", "_tgt").alias("tgt"),
+            "weight",
+            "relation_count",
+        )
+        .filter(F.col("src") != F.col("tgt"))
+        .groupBy("src", "tgt")
+        .agg(
+            F.sum("weight").cast("double").alias("weight"),
+            F.sum("relation_count").cast("long").alias("relation_count"),
+        )
+    )
+    deg = (
+        e.select(F.col("src").alias("entity_name"))
+        .union(e.select(F.col("tgt").alias("entity_name")))
+        .groupBy("entity_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    n = (
+        nodes.join(amap.withColumnRenamed("_k", "entity_name"), "entity_name", "left")
+        .withColumn("_canon", F.coalesce("_c", F.col("entity_name")))
+        .groupBy(F.col("_canon").alias("entity_name"))
+        .agg(
+            F.sum("mention_count").cast("long").alias("mention_count"),
+            F.count(F.lit(1)).cast("long").alias("linked_names"),
+        )
+        .join(deg, "entity_name", "left")
+        .fillna(0, subset=["degree"])
+    )
+    return n, e
