@@ -1418,6 +1418,17 @@ def _dirty_kg(r):
     )
 
 
+_SCRUB_MIN_DF = 5
+
+
+def _q_scrub_spans(spark, sf):
+    """Repeated-span scrub (datapipe.scrub_boilerplate_spans): tokens
+    covered by any occurrence of a corpus-frequent 3-gram (df >= 5) are
+    removed; survivors rejoin in order.  The cleaning TRANSFORM the
+    text_boilerplate report motivates (RefinedWeb-style)."""
+    return dp.scrub_boilerplate_spans(_documents(spark, sf), min_df=_SCRUB_MIN_DF)
+
+
 def _q_kg_entity_links(spark, sf):
     """Entity linking (operators/linking.py): alias resolution over the
     (deterministically dirtied) KG — char-3-gram MinHash LSH candidates,
@@ -1515,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _q_pii_redact,
         "kg_entity_links": _q_kg_entity_links,
         "kg_linked_edges": _q_kg_linked_edges,
+        "text_scrub_spans": _q_scrub_spans,
     }
 
 
@@ -2113,6 +2125,35 @@ SELECT c.node AS entity_name, k.canonical_name, z.component_size
 FROM ncomp c
 JOIN ncanon k ON c.component = k.component
 JOIN nsizes z ON c.component = z.component""",
+        "text_scrub_spans": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+psh AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+{dp.SHINGLE_N}], ' ') AS s
+  FROM toks, unnest(generate_series(0, len(t)-{dp.SHINGLE_N})) AS u(i)
+  WHERE len(t) >= {dp.SHINGLE_N}),
+bset AS (
+  SELECT s FROM (
+    SELECT s, count(DISTINCT doc_id) AS df FROM psh GROUP BY s) d
+  WHERE df >= {_SCRUB_MIN_DF}),
+cov AS (
+  SELECT DISTINCT h.doc_id, p
+  FROM psh h JOIN bset b ON h.s = b.s,
+       unnest(generate_series(h.pos, h.pos + {dp.SHINGLE_N - 1})) AS q(p)),
+covagg AS (SELECT doc_id, count(*)::BIGINT AS removed FROM cov GROUP BY doc_id),
+toksp AS (
+  SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+kept AS (
+  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+  FROM toksp tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.pos = c.p
+  WHERE c.p IS NULL GROUP BY tp.doc_id)
+SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       len(t.t)::BIGINT AS total_tokens,
+       coalesce(a.removed, 0)::BIGINT AS removed_tokens
+FROM toks t
+LEFT JOIN kept k ON t.doc_id = k.doc_id
+LEFT JOIN covagg a ON t.doc_id = a.doc_id""",
         "kg_linked_edges": _KG_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
         + _NAME_LINK_CTE
         + """,

@@ -842,6 +842,70 @@ def boilerplate_shingles(
     )
 
 
+def scrub_boilerplate_spans(
+    docs: DataFrame,
+    min_df: int = 5,
+    n: int = SHINGLE_N,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, clean_text, total_tokens, removed_tokens) — remove token
+    spans covered by corpus-frequent n-grams (the cleaning pass the
+    :func:`boilerplate_shingles` REPORT motivates; RefinedWeb/CCNet-style
+    repeated-span removal, applied at the token level because web
+    boilerplate — nav chrome, cookie banners, footer templates — repeats
+    verbatim across documents).
+
+    Rule: an n-gram occurring in >= ``min_df`` DISTINCT documents is
+    boilerplate; every token position covered by any occurrence of a
+    boilerplate n-gram is dropped; survivors re-join with single spaces
+    in original order.  Fully deterministic — the DuckDB twin replays it
+    position-for-position (``queries[text_scrub_spans]``).
+
+    Shape at corpus scale: one positioned-shingle explode (scan-side), one
+    map-side-combined df aggregate (the same shuffle the boilerplate
+    report pays), a join against the df-heavy HEAD (tiny by construction —
+    df >= K collapses the tail, so Spark broadcasts it), one
+    covered-positions groupBy bounded by HIT rows, and a broadcast-ish
+    join back to the doc table.  No collect, no Python.  On a real corpus
+    set ``min_df`` as a document FRACTION of corpus size (e.g. 0.1% of
+    docs) rather than this gate-scale absolute.
+    """
+    toks = docs.select(F.col(id_col), tokens_col(text).alias("t"))
+    pos_sh = toks.select(
+        id_col,
+        F.posexplode(shingles_col(F.col("t"), n=n, distinct=False)).alias("pos", "s"),
+    )
+    bset = (
+        pos_sh.groupBy("s")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("s")
+    )
+    cov = (
+        pos_sh.join(bset, "s")
+        .groupBy(id_col)
+        .agg(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.sequence("pos", F.col("pos") + (n - 1))))
+            ).alias("cov")
+        )
+    )
+    no_cov = F.array().cast("array<int>")
+    return toks.join(cov, id_col, "left").select(
+        id_col,
+        F.concat_ws(
+            " ",
+            F.filter(
+                "t",
+                lambda x, i: ~F.array_contains(F.coalesce(F.col("cov"), no_cov), i),
+            ),
+        ).alias("clean_text"),
+        F.size("t").cast("long").alias("total_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("removed_tokens"),
+    )
+
+
 # Gopher-style document-quality thresholds (Rae et al., "Scaling Language
 # Models: Methods, Analysis & Insights from Training Gopher", 2021, §A1.1
 # — public rule set, constants inlined here so the oracle can replay them).
