@@ -1418,6 +1418,55 @@ def _dirty_kg(r):
     )
 
 
+_PR_ITER = 6
+_PR_SCALE = 10**12
+
+
+def _q_kg_pagerank(spark, sf):
+    """Fixed-point integer PageRank (operators/graphs.py:
+    pagerank_fixedpoint) over the built KG — entity importance beyond
+    degree (SURVEY §2.10: the reference's only centrality).  Integer
+    arithmetic makes every iteration bit-exact across engines; the
+    oracle replays the recursion as 6 unrolled CTEs."""
+    from lightrag_spark.operators.graphs import pagerank_fixedpoint
+
+    r = _build(spark, sf)
+    e = r.kg_edges.select("src", "tgt").localCheckpoint(eager=True)
+    return pagerank_fixedpoint(
+        e, dst="tgt", iterations=_PR_ITER, scale=_PR_SCALE
+    ).select(
+        "node", "rank_fp", F.col("rank").cast("double").alias("pagerank")
+    )
+
+
+def _pagerank_sql(iterations: int = _PR_ITER, scale: int = _PR_SCALE,
+                  num: int = 85, den: int = 100) -> str:
+    """Unrolled-iteration PageRank oracle chain over the edges CTE."""
+    parts = [f"""
+, und AS (
+  SELECT src AS u, tgt AS v FROM edges
+  UNION
+  SELECT tgt AS u, src AS v FROM edges),
+udeg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY u),
+nn AS (SELECT count(*)::BIGINT AS n FROM udeg),
+pr0 AS (SELECT u, ({scale} // (SELECT n FROM nn))::BIGINT AS r FROM udeg)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+pr{k} AS (
+  SELECT dg.u,
+         ((({den - num}) * ({scale} // (SELECT n FROM nn))) // {den}
+          + ({num} * coalesce(c.s, 0)) // {den})::BIGINT AS r
+  FROM udeg dg LEFT JOIN (
+    SELECT e.v, sum(p.r // d2.d) AS s
+    FROM pr{k - 1} p JOIN udeg d2 ON p.u = d2.u JOIN und e ON e.u = p.u
+    GROUP BY e.v) c ON dg.u = c.v)""")
+    parts.append(
+        f"\nSELECT u AS node, r AS rank_fp, r / {float(scale)} AS pagerank"
+        f" FROM pr{iterations}"
+    )
+    return "".join(parts)
+
+
 _SCRUB_MIN_DF = 5
 
 
@@ -1527,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_links": _q_kg_entity_links,
         "kg_linked_edges": _q_kg_linked_edges,
         "text_scrub_spans": _q_scrub_spans,
+        "kg_pagerank": _q_kg_pagerank,
     }
 
 
@@ -2118,6 +2168,7 @@ SELECT w.entity_name, min(w.depth)::BIGINT AS depth, n.degree
 FROM walk w JOIN nodes n USING (entity_name)
 GROUP BY w.entity_name, n.degree""",
         "text_pii_redact": _pii_sql(),
+        "kg_pagerank": _KG_CTE + _pagerank_sql(),
         "kg_entity_links": _KG_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
         + _NAME_LINK_CTE
         + """

@@ -133,3 +133,89 @@ def duplicate_components(
             "component_size",
         )
     )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """(node, rank_fp, rank) — PageRank over the undirected KG in
+    FIXED-POINT integer arithmetic (ranks are BIGINTs scaled by
+    ``scale``), entity-importance ranking for retrieval seeds beyond the
+    reference's degree heads (SURVEY §2.10: the reference has no graph
+    analytics; degree is its only centrality).
+
+    Why integers: float PageRank sums contributions in shuffle order, so
+    two runs — or Spark vs the DuckDB oracle — disagree in the last bits.
+    Integer addition is order-independent and integer division is
+    identical in both engines for non-negative values (Spark ``DIV``
+    truncates toward zero, DuckDB ``//`` floors — equal on our
+    non-negatives), so every iteration is bit-exact and the oracle can
+    replay the recursion as K unrolled CTEs.  The floor-division mass
+    leak (< 1 unit per node per round at scale=1e12) is identical in
+    both engines by the same argument.
+
+    update: r'(v) = ((den-num)*(scale//N)) // den
+                    + (num * SUM_{u~v} (r(u) // deg(u))) // den
+
+    Nodes = edge endpoints (degree >= 1 by construction; isolated nodes
+    are the callers' concern, as in connected_components).  Each round is
+    one join + one map-side-combinable sum keyed by neighbor — the same
+    shuffle shape as one CC round — and is localCheckpointed to truncate
+    lineage (the module-docstring lesson).  N is a driver-side scalar
+    count (bounded, like the KMeans codebooks).  Overflow headroom:
+    num * SUM contrib <= num * scale ~ 8.5e13 << 2^63.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
+    if n == 0:
+        return deg.select(
+            F.col("u").alias("node"),
+            F.lit(0).cast("long").alias("rank_fp"),
+            F.lit(0.0).alias("rank"),
+        )
+    r0 = scale // n
+    teleport = ((damping_den - damping_num) * r0) // damping_den
+    ranks = deg.select("u", F.lit(r0).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(deg, "u")
+            .select(F.col("u"), F.expr("r DIV d").alias("c"))
+            .join(und, "u")
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.select("u")
+            .join(contrib.withColumnRenamed("v", "u"), "u", "left")
+            .select(
+                "u",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_num} * coalesce(s, 0)) DIV {damping_den}")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("u").alias("node"),
+        F.col("r").alias("rank_fp"),
+        (F.col("r") / F.lit(float(scale))).alias("rank"),
+    )
