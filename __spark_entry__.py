@@ -1467,6 +1467,18 @@ pr{k} AS (
     return "".join(parts)
 
 
+def _q_kg_edge_lift(spark, sf):
+    """Chunk-level co-occurrence lift (operators/graphs.py:
+    cooccurrence_lift): PMI-style edge weighting that corrects the
+    reference's raw-count weights for hub-entity frequency.  Counts are
+    exact integers; lift is (double*double)/(double*double) in fixed
+    order — bit-identical across engines."""
+    from lightrag_spark.operators.graphs import cooccurrence_lift
+
+    r = _build(spark, sf)
+    return cooccurrence_lift(r.mentions)
+
+
 _SCRUB_MIN_DF = 5
 
 
@@ -1577,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked_edges": _q_kg_linked_edges,
         "text_scrub_spans": _q_scrub_spans,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_edge_lift": _q_kg_edge_lift,
     }
 
 
@@ -2169,6 +2182,19 @@ FROM walk w JOIN nodes n USING (entity_name)
 GROUP BY w.entity_name, n.degree""",
         "text_pii_redact": _pii_sql(),
         "kg_pagerank": _KG_CTE + _pagerank_sql(),
+        "kg_edge_lift": _KG_CTE + """
+, ec AS (SELECT entity_name AS e, count(*)::BIGINT AS n_c FROM mentions GROUP BY 1),
+nch AS (SELECT count(DISTINCT chunk_id)::BIGINT AS n FROM mentions),
+pc AS (
+  SELECT a.entity_name AS src, b.entity_name AS tgt, count(*)::BIGINT AS cooc_chunks
+  FROM mentions a JOIN mentions b
+    ON a.chunk_id = b.chunk_id AND a.entity_name < b.entity_name
+  GROUP BY 1, 2)
+SELECT p.src, p.tgt, p.cooc_chunks, sa.n_c AS src_chunks, sb.n_c AS tgt_chunks,
+       (SELECT n FROM nch) AS n_chunks,
+       (p.cooc_chunks::DOUBLE * (SELECT n FROM nch)::DOUBLE)
+       / (sa.n_c::DOUBLE * sb.n_c::DOUBLE) AS lift
+FROM pc p JOIN ec sa ON p.src = sa.e JOIN ec sb ON p.tgt = sb.e""",
         "kg_entity_links": _KG_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
         + _NAME_LINK_CTE
         + """

@@ -117,6 +117,9 @@ def main():
         "batch_query_rerank",
         "kg_summary",
         "kg_delete_doc",
+        "kg_entity_links",
+        "kg_pagerank",
+        "kg_edge_lift",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -136,6 +139,7 @@ def main():
         "data_domain_quota",
         "data_domain_mixture",
         "data_domain_upsample",
+        "text_scrub_spans",
     )
 
     def _time(name):

@@ -219,3 +219,70 @@ def pagerank_fixedpoint(
         F.col("r").alias("rank_fp"),
         (F.col("r") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def cooccurrence_lift(
+    mentions: DataFrame,
+    chunk_col: str = "chunk_id",
+    entity_col: str = "entity_name",
+    min_cooc: int = 1,
+) -> DataFrame:
+    """(src, tgt, cooc_chunks, src_chunks, tgt_chunks, n_chunks, lift) —
+    chunk-level co-occurrence statistics with PMI-style lift for every
+    entity pair that shares a chunk.
+
+    The reference weights edges by raw extraction count
+    (``merge_edges_then_upsert`` sums weight, operate.py:2765+), which at
+    web scale makes hub entities ("united_states") dominate every ranking
+    simply by frequency.  lift = P(a,b) / (P(a)P(b)) over the chunk
+    universe corrects for that: >1 means the pair co-occurs more than
+    frequency predicts.  PMI = log(lift) is monotone in it, so rankings
+    can stay in exact arithmetic; the log never needs to be taken inside
+    the engine (libm last-ulp drift is the one thing the oracle could
+    not replay).
+
+    Determinism contract: counts are exact integers; lift is computed as
+    (double * double) / (double * double) in a fixed operation order —
+    bit-identical across engines at any scale (and overflow-free where
+    BIGINT products like c_ab * N would not be).
+
+    Shape at corpus scale: one distinct over (chunk, entity) — map-side
+    combinable; a per-chunk self-join whose fan-out is bounded by
+    entities-per-chunk² (chunk token budget caps it); one pair groupBy.
+    AQE handles the skewed hub-entity chunks.  No collect.
+    """
+    ents = mentions.select(
+        F.col(chunk_col).alias("c"), F.col(entity_col).alias("e")
+    ).distinct()
+    pair_counts = (
+        ents.alias("a")
+        .join(
+            ents.alias("b"),
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.e") < F.col("b.e")),
+        )
+        .groupBy(F.col("a.e").alias("src"), F.col("b.e").alias("tgt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc_chunks"))
+        .filter(F.col("cooc_chunks") >= min_cooc)
+    )
+    ent_counts = ents.groupBy("e").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    n_chunks = ents.select("c").distinct().count()
+    return (
+        pair_counts.join(ent_counts.withColumnRenamed("e", "src"), "src")
+        .withColumnRenamed("n_c", "src_chunks")
+        .join(ent_counts.withColumnRenamed("e", "tgt"), "tgt")
+        .withColumnRenamed("n_c", "tgt_chunks")
+        .select(
+            "src",
+            "tgt",
+            "cooc_chunks",
+            "src_chunks",
+            "tgt_chunks",
+            F.lit(n_chunks).cast("long").alias("n_chunks"),
+            (
+                (F.col("cooc_chunks").cast("double") * F.lit(float(n_chunks)))
+                / (F.col("src_chunks").cast("double") * F.col("tgt_chunks").cast("double"))
+            ).alias("lift"),
+        )
+    )
