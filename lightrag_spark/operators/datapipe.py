@@ -876,9 +876,19 @@ def scrub_boilerplate_spans(
         id_col,
         F.posexplode(shingles_col(F.col("t"), n=n, distinct=False)).alias("pos", "s"),
     )
+    # df counts ride the Arrow distinct-shingle kernel: per-doc-distinct
+    # rows make count(*) the document frequency with a plain one-phase
+    # aggregate (the posexplode side would need a 2-phase countDistinct),
+    # and the kernel is the measured-faster path for corpus-wide shingling.
+    if n == SHINGLE_N:
+        df_rows = shingle_rows(docs, text, id_col)
+    else:
+        df_rows = toks.select(
+            id_col, F.explode(shingles_col(F.col("t"), n=n)).alias("shingle")
+        )
     bset = (
-        pos_sh.groupBy("s")
-        .agg(F.countDistinct(id_col).alias("df"))
+        df_rows.groupBy(F.col("shingle").alias("s"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
         .select("s")
     )
