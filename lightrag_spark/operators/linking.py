@@ -75,41 +75,100 @@ def name_shingles_col(name: Column, n: int = NAME_SHINGLE_N) -> Column:
     return F.when(F.length(name) >= n, grams).otherwise(F.array(name))
 
 
+def name_band_rows(
+    names: DataFrame,
+    name_col: str = "entity_name",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """(nm, band_idx, bucket, sh) — one row per LSH band per DISTINCT name,
+    carrying the shingle set so the verify stage never recomputes it.
+
+    Two physical strategies for the same formula (the minhash_band_rows
+    pattern): ``use_arrow=True`` computes shingles, all minhash md5
+    minima, and band buckets in ONE Arrow pass with hashlib — Catalyst
+    interprets (does not codegen) the higher-order md5 folds, and at
+    200k+ names the interpreted path dominated the linking probe.
+    ``use_arrow=False`` is the pure-expression form the DuckDB oracle
+    replays; the two are asserted bit-identical in tests (md5 hex strings
+    and their lexicographic minima compare the same everywhere).
+    """
+    distinct = names.select(F.col(name_col).alias("nm")).distinct()
+    if not use_arrow:
+        sh = distinct.withColumn("sh", name_shingles_col(F.col("nm")))
+        sigs = sh.select(
+            "nm", "sh",
+            F.array(*minhash_signature_cols(F.col("sh"), k=NAME_MINHASH_K)).alias("sig"),
+        )
+        bands = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col("sig")[b * NAME_LSH_ROWS + r] for r in range(NAME_LSH_ROWS)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(NAME_LSH_BANDS)
+        ]
+        return sigs.select("nm", "sh", F.explode(F.array(*bands)).alias("bb")).select(
+            "nm",
+            F.col("bb.band_idx").cast("int").alias("band_idx"),
+            F.col("bb.bucket").alias("bucket"),
+            "sh",
+        )
+
+    n_part = int(names.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = distinct.repartition(n_part)
+    n, k, n_bands, rows = NAME_SHINGLE_N, NAME_MINHASH_K, NAME_LSH_BANDS, NAME_LSH_ROWS
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        prefixes = [f"{i}:".encode() for i in range(k)]
+        for pdf in batches:
+            nms, bands_out, buckets, sh_out = [], [], [], []
+            for nm in pdf.iloc[:, 0]:
+                # same fallback as name_shingles_col: whole name when short
+                if len(nm) >= n:
+                    sh = list(dict.fromkeys(nm[i : i + n] for i in range(len(nm) - n + 1)))
+                else:
+                    sh = [nm]
+                enc = [s.encode() for s in sh]
+                mh = [min(hashlib.md5(p + e).hexdigest() for e in enc) for p in prefixes]
+                for b in range(n_bands):
+                    nms.append(nm)
+                    bands_out.append(b)
+                    buckets.append(
+                        hashlib.md5("|".join(mh[b * rows : (b + 1) * rows]).encode()).hexdigest()
+                    )
+                    sh_out.append(sh)
+            out = pd.DataFrame({"nm": nms, "band_idx": bands_out, "bucket": buckets})
+            # explicit object dtype: empty batches otherwise infer float64
+            out["sh"] = pd.Series(sh_out, dtype="object")
+            yield out
+
+    return src.mapInPandas(kernel, "nm string, band_idx int, bucket string, sh array<string>")
+
+
 def name_link_pairs(
     names: DataFrame,
     name_col: str = "entity_name",
     threshold: float = NAME_LINK_THRESHOLD,
     max_bucket: int = NAME_MAX_BUCKET,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(nm_a, nm_b, jaccard) — accepted alias-candidate pairs, nm_a < nm_b.
 
     LSH-bucketed candidates verified by exact shingle Jaccard — never an
     all-pairs join (the brute-force twin lives only in the DuckDB oracle
-    at gate scale).
+    at gate scale).  Shingle sets ride the band rows through the
+    self-join, so verification adds no extra join against a recomputed
+    shingle table.
     """
-    sh = (
-        names.select(F.col(name_col).alias("nm"))
-        .distinct()
-        .withColumn("sh", name_shingles_col(F.col("nm")))
-    )
-    sigs = sh.select(
-        "nm", F.array(*minhash_signature_cols(F.col("sh"), k=NAME_MINHASH_K)).alias("sig")
-    )
-    bands = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col("sig")[b * NAME_LSH_ROWS + r] for r in range(NAME_LSH_ROWS)],
-                )
-            ).alias("bucket"),
-        )
-        for b in range(NAME_LSH_BANDS)
-    ]
-    banded = sigs.select("nm", F.explode(F.array(*bands)).alias("bb")).select(
-        "nm", F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = name_band_rows(names, name_col=name_col, use_arrow=use_arrow)
     sizes = banded.groupBy("band_idx", "bucket").agg(F.count(F.lit(1)).alias("_n"))
     pruned = banded.join(
         sizes.filter(F.col("_n") <= max_bucket), ["band_idx", "bucket"]
@@ -122,13 +181,16 @@ def name_link_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.nm") < F.col("b.nm")),
         )
-        .select(F.col("a.nm").alias("nm_a"), F.col("b.nm").alias("nm_b"))
-        .distinct()
+        .select(
+            F.col("a.nm").alias("nm_a"),
+            F.col("b.nm").alias("nm_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["nm_a", "nm_b"])
     )
     return (
-        cand.join(sh.select(F.col("nm").alias("nm_a"), F.col("sh").alias("sh_a")), "nm_a")
-        .join(sh.select(F.col("nm").alias("nm_b"), F.col("sh").alias("sh_b")), "nm_b")
-        .withColumn(
+        cand.withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
             / F.size(F.array_union("sh_a", "sh_b")),
@@ -145,6 +207,7 @@ def link_entities(
     mention_col: str = "mention_count",
     threshold: float = NAME_LINK_THRESHOLD,
     max_bucket: int = NAME_MAX_BUCKET,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(entity_name, canonical_name, component_size) — the alias map.
 
@@ -155,9 +218,62 @@ def link_entities(
     left-join-coalesce default is correct by the same argument.
     """
     pairs = name_link_pairs(
-        nodes, name_col=name_col, threshold=threshold, max_bucket=max_bucket
+        nodes, name_col=name_col, threshold=threshold, max_bucket=max_bucket,
+        use_arrow=use_arrow,
     )
-    comp = connected_components(pairs, src="nm_a", dst="nm_b")
+    return links_from_pairs(
+        pairs, nodes,
+        name_col=name_col, degree_col=degree_col, mention_col=mention_col,
+    )
+
+
+def link_entities_by_embedding(
+    nodes: DataFrame,
+    threshold: float = 0.9,
+    name_col: str = "entity_name",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    degree_col: str = "degree",
+    mention_col: str = "mention_count",
+) -> DataFrame:
+    """Semantic alias map — the second linking modality.
+
+    Surface-form linking (:func:`link_entities`) cannot see aliases that
+    share no characters — acronyms ("WHO" / "world health organization"),
+    translations, nicknames.  Those DO sit together in embedding space,
+    so this modality buckets entity-description embeddings with the ANN
+    machinery (:func:`~lightrag_spark.operators.ann.embedding_near_pairs`
+    — LSH band candidates, exact cosine verify, never all-pairs) and
+    closes/canonicalizes identically to the surface path.  Same output
+    contract; union the two maps' PAIRS before closure when both
+    modalities run (a shared member merges the clusters transitively).
+    """
+    from lightrag_spark.operators.ann import embedding_near_pairs
+
+    pairs = embedding_near_pairs(
+        nodes.select(F.col(name_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        threshold=threshold,
+        dim=dim,
+    ).select(F.col("vec_a").alias("nm_a"), F.col("vec_b").alias("nm_b"))
+    return links_from_pairs(
+        pairs, nodes,
+        name_col=name_col, degree_col=degree_col, mention_col=mention_col,
+    )
+
+
+def links_from_pairs(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    src: str = "nm_a",
+    dst: str = "nm_b",
+    name_col: str = "entity_name",
+    degree_col: str = "degree",
+    mention_col: str = "mention_count",
+) -> DataFrame:
+    """Accepted alias pairs -> (entity_name, canonical_name,
+    component_size): connected-components closure + hub-canonical pick —
+    the shared back half of every linking modality."""
+    comp = connected_components(pairs, src=src, dst=dst)
     stats = nodes.select(
         F.col(name_col).alias("node"),
         F.col(degree_col).cast("long").alias("_deg"),

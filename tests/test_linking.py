@@ -107,3 +107,43 @@ def test_empty_links_is_identity_rewrite(spark):
 
 def test_default_threshold_constant_sane():
     assert 0 < NAME_LINK_THRESHOLD < 1
+
+
+def test_link_entities_by_embedding(spark):
+    from lightrag_spark.operators.linking import link_entities_by_embedding
+
+    # "who" and "world health org" share no trigrams but identical-ish
+    # embeddings; "unrelated" points the other way.
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e1b = [0.98] + [0.199] + [0.0] * (dim - 2)
+    e2 = [0.0] * (dim - 1) + [1.0]
+    nodes = spark.createDataFrame(
+        [
+            ("who", 2, 5, e1),
+            ("world health org", 9, 3, e1b),
+            ("unrelated", 4, 4, e2),
+        ],
+        "entity_name string, degree long, mention_count long, embedding array<float>",
+    )
+    links = link_entities_by_embedding(nodes, threshold=0.9, dim=dim)
+    got = {r["entity_name"]: r for r in links.collect()}
+    assert set(got) == {"who", "world health org"}
+    assert all(r["canonical_name"] == "world health org" for r in got.values())
+
+
+def test_name_band_rows_arrow_matches_expression(spark):
+    from lightrag_spark.operators.linking import name_band_rows
+
+    hostile = [
+        ("plain name",), ("ab",), ("x",), ("  padded  ",),
+        ("naïve café",), ("統一実体",), ("tab\tinside",),
+        ("dup dup dup dup",), ("a b c d e f g",),
+    ]
+    names = spark.createDataFrame(hostile, "entity_name string")
+    a = name_band_rows(names, use_arrow=True).collect()
+    e = name_band_rows(names, use_arrow=False).collect()
+    key = lambda r: (r["nm"], r["band_idx"])
+    da = {key(r): (r["bucket"], list(r["sh"])) for r in a}
+    de = {key(r): (r["bucket"], list(r["sh"])) for r in e}
+    assert da == de
