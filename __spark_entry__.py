@@ -1526,6 +1526,48 @@ def _q_kg_linked_edges(spark, sf):
     )
 
 
+_EMB_TWIN_EVERY = 5
+
+
+def _q_kg_links_embedding(spark, sf):
+    """Embedding-modality entity linking (operators/linking.py:
+    link_entities_by_embedding): the alias map surface-form linking can't
+    see — acronym/translation variants share no characters but sit
+    together in embedding space.  The gate plants deterministic twin
+    vectors (every 5th embedding blended with its successor — one IEEE
+    double add per element, replayed bit-identically in SQL), buckets
+    with the ANN LSH machinery (same pruned-band contract as
+    dedup_embedding_near), verifies exact cosine >= 0.5 at 4dp, then
+    closes/canonicalizes through the shared links_from_pairs back half."""
+    from lightrag_spark.operators.linking import link_entities_by_embedding
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").cast("string").alias("entity_name"),
+        F.col("label").cast("long").alias("degree"),
+        (F.col("vec_id") % 7 + 1).cast("long").alias("mention_count"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("_nx")
+    )
+    twins = (
+        emb.filter(F.col("vec_id") % _EMB_TWIN_EVERY == 0)
+        .join(nxt, "vec_id")
+        .select(
+            F.concat(F.col("vec_id").cast("string"), F.lit("t")).alias("entity_name"),
+            F.lit(0).cast("long").alias("degree"),
+            F.lit(1).cast("long").alias("mention_count"),
+            F.zip_with(
+                "embedding", "_nx", lambda x, y: x.cast("double") + y.cast("double")
+            ).alias("embedding"),
+        )
+    )
+    return link_entities_by_embedding(
+        base.unionByName(twins), threshold=0.5, dim=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_chunks": _q_kg_chunks,
@@ -1590,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_spans": _q_scrub_spans,
         "kg_pagerank": _q_kg_pagerank,
         "kg_edge_lift": _q_kg_edge_lift,
+        "kg_links_embedding": _q_kg_links_embedding,
     }
 
 
@@ -2546,6 +2589,64 @@ s AS (
                / (sqrt(list_dot_product(va.dv, va.dv)) * sqrt(list_dot_product(vb.dv, vb.dv))), 4) AS sim
   FROM cand c JOIN v va ON va.vec_id = c.vec_a JOIN v vb ON vb.vec_id = c.vec_b)
 SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.5""",
+        # Embedding-modality entity linking: the ann pruned-band CTE over a
+        # deterministically dirtied vector set (every 5th embedding gains a
+        # 't'-suffixed twin = element-wise double add with its successor —
+        # one IEEE op, bit-identical across engines), exact cosine verify
+        # at 4dp, recursive-CTE closure, (deg, men, name)-ranked canonical.
+        "kg_links_embedding": ann.duckdb_pruned_bands_cte(64, base="demb").replace(
+            "WITH ",
+            f"""WITH RECURSIVE demb AS (
+  SELECT vec_id::VARCHAR AS vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT a.vec_id::VARCHAR || 't', 0::INTEGER,
+         list_transform(generate_series(1, len(a.embedding)),
+                        i -> a.embedding[i]::DOUBLE + b.embedding[i]::DOUBLE)
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % {_EMB_TWIN_EVERY} = 0),
+""",
+            1,
+        )
+        + f"""
+, ecand AS (
+  SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
+  FROM pruned a JOIN pruned b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+epairs AS (
+  SELECT c.x, c.y
+  FROM ecand c JOIN v va ON va.vec_id = c.x JOIN v vb ON vb.vec_id = c.y
+  WHERE round(list_dot_product(va.dv, vb.dv)
+              / (sqrt(list_dot_product(va.dv, va.dv))
+                 * sqrt(list_dot_product(vb.dv, vb.dv))), 4) >= 0.5),
+eund AS (SELECT x AS a, y AS b FROM epairs UNION SELECT y, x FROM epairs),
+ereach AS (
+  SELECT a AS node, a AS lbl FROM eund
+  UNION
+  SELECT e.b AS node, r.lbl FROM ereach r JOIN eund e ON e.a = r.node),
+ecomp AS (SELECT node, min(lbl) AS component FROM ereach GROUP BY node),
+estats AS (
+  SELECT vec_id::VARCHAR AS node, label::BIGINT AS deg,
+         (vec_id % 7 + 1)::BIGINT AS men
+  FROM embeddings
+  UNION ALL
+  SELECT a.vec_id::VARCHAR || 't', 0::BIGINT, 1::BIGINT
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % {_EMB_TWIN_EVERY} = 0),
+ecanon AS (
+  SELECT component, node AS canonical_name FROM (
+    SELECT c.component, c.node,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY s.deg DESC, s.men DESC, c.node) AS rn
+    FROM ecomp c JOIN estats s ON c.node = s.node) t
+  WHERE rn = 1),
+esizes AS (SELECT component, count(*)::BIGINT AS component_size
+           FROM ecomp GROUP BY component)
+SELECT c.node AS entity_name, k.canonical_name, z.component_size
+FROM ecomp c
+JOIN ecanon k ON c.component = k.component
+JOIN esizes z ON c.component = z.component""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tx
            FROM documents)

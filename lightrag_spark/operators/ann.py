@@ -771,8 +771,9 @@ def duckdb_band_sql(vec_expr: str, band: int, dim: int) -> str:
     return " || ".join(bits)
 
 
-def duckdb_bands_cte(dim: int = 64) -> str:
-    """CTE producing (vec_id, label, dv, band_idx, bucket) from `embeddings`."""
+def duckdb_bands_cte(dim: int = 64, base: str = "embeddings") -> str:
+    """CTE producing (vec_id, label, dv, band_idx, bucket) from ``base``
+    (any table/CTE with vec_id, label, embedding columns)."""
     structs = ", ".join(
         f"STRUCT_PACK(band_idx := {b}::BIGINT, bucket := {duckdb_band_sql('dv', b, dim)})"
         for b in range(ANN_BANDS)
@@ -780,18 +781,18 @@ def duckdb_bands_cte(dim: int = 64) -> str:
     return f"""
 WITH v AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS dv
-  FROM embeddings),
+  FROM {base}),
 bands AS (
   SELECT vec_id, label, dv, unnest([{structs}], recursive := true) FROM v)
 """
 
 
-def duckdb_pruned_bands_cte(dim: int = 64) -> str:
+def duckdb_pruned_bands_cte(dim: int = 64, base: str = "embeddings") -> str:
     """duckdb_bands_cte + the megabucket guard replayed in SQL: `pruned`
     holds the band rows surviving the identical max(FLOOR, floor(median*MULT))
     threshold prune_megabuckets applies Spark-side, so the oracle checks the
     guard itself, not just the unguarded formula."""
-    return duckdb_bands_cte(dim) + f""",
+    return duckdb_bands_cte(dim, base=base) + f""",
 sizes AS (
   SELECT band_idx, bucket, count(*) AS _n FROM bands GROUP BY 1, 2),
 thr AS (
