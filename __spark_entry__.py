@@ -1526,6 +1526,17 @@ def _q_kg_linked_edges(spark, sf):
     )
 
 
+_SEGDUP_W = 5
+
+
+def _q_segment_dedup(spark, sf):
+    """Segment-level exact dedup (datapipe.segment_dedup): Lee-et-al-style
+    repeated-span REMOVAL with first-occurrence-keeps semantics — the
+    dedup complement to text_scrub_spans' remove-all cleaning.  Width 5
+    at gate scale (synthetic docs are short); 50 is the paper default."""
+    return dp.segment_dedup(_documents(spark, sf), width=_SEGDUP_W)
+
+
 _EMB_TWIN_EVERY = 5
 
 
@@ -1633,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_edge_lift": _q_kg_edge_lift,
         "kg_links_embedding": _q_kg_links_embedding,
+        "text_segment_dedup": _q_segment_dedup,
     }
 
 
@@ -2647,6 +2659,24 @@ SELECT c.node AS entity_name, k.canonical_name, z.component_size
 FROM ecomp c
 JOIN ecanon k ON c.component = k.component
 JOIN esizes z ON c.component = z.component""",
+        "text_segment_dedup": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+segs AS (
+  SELECT doc_id, u.i AS seg_idx,
+         array_to_string(t[u.i*{_SEGDUP_W}+1 : u.i*{_SEGDUP_W}+{_SEGDUP_W}], ' ') AS seg
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(t)/{_SEGDUP_W}.0) AS BIGINT) - 1)) u(i)),
+fl AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+  FROM segs)
+SELECT doc_id,
+       coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '')
+         AS clean_text,
+       count(*)::BIGINT AS n_segments,
+       (count(*) FILTER (WHERE rn > 1))::BIGINT AS removed_segments
+FROM fl GROUP BY doc_id""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tx
            FROM documents)

@@ -916,6 +916,66 @@ def scrub_boilerplate_spans(
     )
 
 
+def segment_dedup(
+    docs: DataFrame,
+    width: int = 50,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, clean_text, n_segments, removed_segments) — corpus-wide
+    exact dedup at fixed token-segment granularity (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    ~50-token spans are removed corpus-wide; CCNet removes repeated
+    paragraphs the same way — here the segment IS the paragraph unit
+    because web text arrives pre-flattened).
+
+    Rule: split each document into consecutive ``width``-token segments;
+    of all occurrences of an identical segment ANYWHERE in the corpus
+    (across documents or repeated within one), only the globally first by
+    ``(doc_id, seg_idx)`` survives; later occurrences are dropped and the
+    survivors re-join with single spaces in original order.  Unlike
+    :func:`scrub_boilerplate_spans` (which removes every occurrence of a
+    frequent n-gram, first included), this KEEPS one canonical copy —
+    the dedup semantics, not the cleaning semantics.
+
+    Shape at corpus scale: one scan-side segment explode, ONE shuffle
+    (row_number over the md5 segment key — high-cardinality, uniformly
+    distributed, so no skew; the hash bounds shuffle key bytes regardless
+    of segment length), a membership-only per-doc dup-index aggregate
+    (bounded by duplicate rows, not corpus rows), and an index-filtered
+    in-order rebuild on the segment ARRAY — no collect_list reassembly of
+    text, no Python.  50-token default per the paper; the gate uses a
+    narrower width because its synthetic docs are short.
+    """
+    toks = docs.select(F.col(id_col), tokens_col(text).alias("t"))
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size("t") / F.lit(width)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(F.col("t"), i * width + 1, width), " "),
+    )
+    segs = toks.select(id_col, seg_arr.alias("segs"))
+    occ = segs.select(id_col, F.posexplode("segs").alias("seg_idx", "seg"))
+    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy(id_col, "seg_idx")
+    dup_idx = (
+        occ.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("seg_idx").alias("dup"))
+    )
+    no_dup = F.array().cast("array<int>")
+    return segs.join(dup_idx, id_col, "left").select(
+        id_col,
+        F.concat_ws(
+            " ",
+            F.filter(
+                "segs",
+                lambda s, i: ~F.array_contains(F.coalesce(F.col("dup"), no_dup), i),
+            ),
+        ).alias("clean_text"),
+        F.size("segs").cast("long").alias("n_segments"),
+        F.coalesce(F.size("dup"), F.lit(0)).cast("long").alias("removed_segments"),
+    )
+
+
 # Gopher-style document-quality thresholds (Rae et al., "Scaling Language
 # Models: Methods, Analysis & Insights from Training Gopher", 2021, §A1.1
 # — public rule set, constants inlined here so the oracle can replay them).
