@@ -1537,6 +1537,14 @@ def _q_segment_dedup(spark, sf):
     return dp.segment_dedup(_documents(spark, sf), width=_SEGDUP_W)
 
 
+def _q_unigram_logprob(spark, sf):
+    """Corpus-trained unigram LM scoring (datapipe.unigram_logprob): the
+    CCNet perplexity-bucketing family without an external model —
+    avg per-token log-probability under the corpus's own unigram
+    distribution, sorted-fold IEEE-identical to the DuckDB twin."""
+    return dp.unigram_logprob(_documents(spark, sf))
+
+
 _EMB_TWIN_EVERY = 5
 
 
@@ -1645,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_lift": _q_kg_edge_lift,
         "kg_links_embedding": _q_kg_links_embedding,
         "text_segment_dedup": _q_segment_dedup,
+        "text_unigram_logprob": _q_unigram_logprob,
     }
 
 
@@ -2677,6 +2686,27 @@ SELECT doc_id,
        count(*)::BIGINT AS n_segments,
        (count(*) FILTER (WHERE rn > 1))::BIGINT AS removed_segments
 FROM fl GROUP BY doc_id""",
+        # Unigram-LM scoring: exact integer counts; the per-doc score is a
+        # SEEDED SEQUENTIAL FOLD over w-sorted (tf, c) pairs so the IEEE
+        # addition order matches Spark's F.aggregate exactly.
+        "text_unigram_logprob": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+tok AS (SELECT doc_id, u.w FROM toks, unnest(t) AS u(w)),
+cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c)::BIGINT AS n FROM cnt),
+tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, w),
+agg AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+         list(struct_pack(tf := tf.tf, c := cnt.c) ORDER BY tf.w) AS l
+  FROM tf JOIN cnt ON tf.w = cnt.w GROUP BY tf.doc_id),
+aggn AS (SELECT a.*, t.n FROM agg a, tot t)
+SELECT doc_id, n_tokens,
+       round(list_reduce(
+               list_prepend(0.0, list_transform(
+                 l, s -> s.tf::DOUBLE * ln(s.c::DOUBLE / n::DOUBLE))),
+               (a, x) -> a + x) / n_tokens, 4) AS avg_logprob
+FROM aggn""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tx
            FROM documents)

@@ -976,6 +976,59 @@ def segment_dedup(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — language-model quality proxy:
+    mean unigram log-probability of each document under the corpus's own
+    unigram distribution (the CCNet recipe scores docs with a KenLM and
+    buckets by perplexity; a unigram LM trained on the corpus itself is
+    the deterministic, external-model-free member of that family —
+    avg_logprob IS negative per-token log-perplexity, so thresholding it
+    reproduces head/middle/tail selection).
+
+    Determinism across engines: counts are exact integers; each doc's
+    score folds tf_w * ln(c_w / C) over its DISTINCT tokens in sorted-w
+    order with a 0.0 seed — the identical IEEE sequence DuckDB replays
+    via list_reduce(list_prepend(0.0, ...)) — then divides by n_tokens
+    and rounds to 4dp (ulp-level libm differences sit ~8 orders below
+    the rounding grain).
+
+    Shape at corpus scale: one map-side-combined vocabulary count, one
+    (doc, token) tf aggregate, a token-keyed join (Zipf-hot keys carry
+    one row per containing doc against a 1-row build side — AQE skew
+    split applies; broadcast the vocabulary head if the full vocab is
+    bounded), and a per-doc fold whose list is the doc's own distinct
+    tokens — no global sort, no Python, no collect.
+    """
+    toks = docs.select(F.col(id_col), tokens_col(text).alias("t"))
+    tok = toks.select(id_col, F.explode("t").alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").cast("long").alias("n"))
+    tf = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    per = (
+        tf.join(cnt, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sort_array(F.collect_list(F.struct("w", "tf", "c"))).alias("l"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    fold = F.aggregate(
+        "l",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["tf"].cast("double")
+        * F.log(s["c"].cast("double") / F.col("n").cast("double")),
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        F.round(fold / F.col("n_tokens"), 4).alias("avg_logprob"),
+    )
+
+
 # Gopher-style document-quality thresholds (Rae et al., "Scaling Language
 # Models: Methods, Analysis & Insights from Training Gopher", 2021, §A1.1
 # — public rule set, constants inlined here so the oracle can replay them).
