@@ -1537,6 +1537,17 @@ def _q_segment_dedup(spark, sf):
     return dp.segment_dedup(_documents(spark, sf), width=_SEGDUP_W)
 
 
+def _q_kg_triangles(spark, sf):
+    """Exact triangle counts + local clustering coefficient over the KG
+    (operators/graphs.py: triangle_counts, degree-ordered orientation —
+    Suri-Vassilvitskii last-reducer fix).  Distinguishes hub entities
+    (high degree, sparse egonet) from topical clusters (dense egonet)."""
+    from lightrag_spark.operators.graphs import triangle_counts
+
+    r = _build(spark, sf)
+    return triangle_counts(r.kg_edges.select("src", "tgt"))
+
+
 def _q_unigram_logprob(spark, sf):
     """Corpus-trained unigram LM scoring (datapipe.unigram_logprob): the
     CCNet perplexity-bucketing family without an external model —
@@ -1654,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links_embedding": _q_kg_links_embedding,
         "text_segment_dedup": _q_segment_dedup,
         "text_unigram_logprob": _q_unigram_logprob,
+        "kg_triangles": _q_kg_triangles,
     }
 
 
@@ -2707,6 +2719,37 @@ SELECT doc_id, n_tokens,
                  l, s -> s.tf::DOUBLE * ln(s.c::DOUBLE / n::DOUBLE))),
                (a, x) -> a + x) / n_tokens, 4) AS avg_logprob
 FROM aggn""",
+        # Triangle counting: identical degree-ordered orientation — each
+        # triangle enumerated once at its (degree, name)-lowest apex.
+        "kg_triangles": _KG_CTE
+        + """
+, tdeg AS (SELECT e AS node, degree AS d FROM node_degree),
+tor AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.tgt)
+              THEN e.src ELSE e.tgt END AS lo,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.tgt)
+              THEN e.tgt ELSE e.src END AS hi,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.tgt)
+              THEN db.d ELSE da.d END AS dhi
+  FROM edges e JOIN tdeg da ON e.src = da.node JOIN tdeg db ON e.tgt = db.node),
+twed AS (
+  SELECT x.lo AS n0, x.hi AS n1, y.hi AS n2
+  FROM tor x JOIN tor y
+    ON x.lo = y.lo AND (x.dhi < y.dhi OR (x.dhi = y.dhi AND x.hi < y.hi))),
+ttri AS (SELECT n0, n1, n2 FROM twed w JOIN tor z ON w.n1 = z.lo AND w.n2 = z.hi),
+tcnt AS (
+  SELECT node, count(*)::BIGINT AS triangles FROM (
+    SELECT n0 AS node FROM ttri
+    UNION ALL SELECT n1 FROM ttri
+    UNION ALL SELECT n2 FROM ttri) u
+  GROUP BY node)
+SELECT d.node AS node, d.d AS degree,
+       coalesce(t.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN d.d >= 2
+            THEN round((coalesce(t.triangles, 0) * 2)::DOUBLE
+                       / (d.d * (d.d - 1))::DOUBLE, 4)
+            ELSE 0.0 END AS clustering
+FROM tdeg d LEFT JOIN tcnt t ON d.node = t.node""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tx
            FROM documents)

@@ -120,6 +120,7 @@ def main():
         "kg_entity_links",
         "kg_pagerank",
         "kg_edge_lift",
+        "kg_triangles",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -140,6 +141,9 @@ def main():
         "data_domain_mixture",
         "data_domain_upsample",
         "text_scrub_spans",
+        "text_segment_dedup",
+        "text_unigram_logprob",
+        "kg_links_embedding",
     )
 
     def _time(name):

@@ -286,3 +286,78 @@ def cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", tgt: str = "tgt"
+) -> DataFrame:
+    """(node, degree, triangles, clustering) — exact per-node triangle
+    count and local clustering coefficient over an undirected edge set
+    (KG community structure beyond degree/PageRank: a high-degree entity
+    with near-zero clustering is a hub/disambiguation page; a dense
+    egonet is a real topical cluster).
+
+    Degree-ordered orientation (the canonical distributed algorithm —
+    cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11): each edge points from its (degree, name)-
+    smaller endpoint to the larger, so every wedge is generated at its
+    lowest-degree apex and each triangle is enumerated exactly once.
+    Out-degree after orientation is O(sqrt(m)) regardless of how skewed
+    the raw degree distribution is — the hub that would explode a naive
+    wedge join generates NO wedges (all its edges point outward-in),
+    which is precisely the last-reducer fix.  All joins are equi-joins
+    on node keys; counts are exact integers; the coefficient is one
+    integer-to-double division rounded to 4dp (IEEE-identical in the
+    DuckDB twin, ``queries[kg_triangles]``).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), F.col("d").cast("long").alias("degree")
+    )
+    g = e.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = g.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dhi"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    hi_order = (F.col("x.dhi") < F.col("y.dhi")) | (
+        (F.col("x.dhi") == F.col("y.dhi")) & (F.col("x.hi") < F.col("y.hi"))
+    )
+    wedges = x.join(y, (F.col("x.lo") == F.col("y.lo")) & hi_order).select(
+        F.col("x.lo").alias("n0"),
+        F.col("x.hi").alias("n1"),
+        F.col("y.hi").alias("n2"),
+    )
+    closing = oriented.select(F.col("lo").alias("n1"), F.col("hi").alias("n2"))
+    tri = wedges.join(closing, ["n1", "n2"])
+    per = (
+        tri.select(F.explode(F.array("n0", "n1", "n2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return deg.join(per, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                (F.coalesce("t", F.lit(0)) * 2).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
