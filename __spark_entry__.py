@@ -1537,6 +1537,33 @@ def _q_segment_dedup(spark, sf):
     return dp.segment_dedup(_documents(spark, sf), width=_SEGDUP_W)
 
 
+_ASOF_TOL_S = 3600
+
+
+def _q_events_asof(spark, sf):
+    """Backward as-of join (datapipe.asof_join): every non-error event
+    gains the same user's most recent error at-or-before it, within a
+    1-hour tolerance — the attribution join Spark lacks natively.  The
+    served plan is the linear union-and-carry window; the oracle twin is
+    the quadratic inequality-join encoding (gate-scale only)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = dp.asof_join(
+        ev.filter(F.col("event_type") != "error"),
+        ev.filter(F.col("event_type") == "error"),
+        tolerance_s=_ASOF_TOL_S,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "value",
+        "ref_event_id",
+        F.unix_micros(F.col("ref_ts").cast("timestamp")).alias("ref_ts_us"),
+        "ref_value",
+    )
+
+
 def _q_kg_triangles(spark, sf):
     """Exact triangle counts + local clustering coefficient over the KG
     (operators/graphs.py: triangle_counts, degree-ordered orientation —
@@ -1666,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_segment_dedup": _q_segment_dedup,
         "text_unigram_logprob": _q_unigram_logprob,
         "kg_triangles": _q_kg_triangles,
+        "events_asof_join": _q_events_asof,
     }
 
 
@@ -2750,6 +2778,29 @@ SELECT d.node AS node, d.d AS degree,
                        / (d.d * (d.d - 1))::DOUBLE, 4)
             ELSE 0.0 END AS clustering
 FROM tdeg d LEFT JOIN tcnt t ON d.node = t.node""",
+        # As-of join twin: the quadratic inequality-join + row_number
+        # encoding (the served Spark plan is the linear union-and-carry
+        # window; this form exists only at oracle scale).  Ties on r.ts
+        # break to the greatest event_id, matching the window order.
+        "events_asof_join": f"""
+WITH l AS (SELECT * FROM events WHERE event_type <> 'error'),
+r AS (SELECT * FROM events WHERE event_type = 'error'),
+j AS (
+  SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
+         r.event_id AS ref_event_id, r.ts AS ref_ts, r.value AS ref_value,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts),
+tolr AS (
+  SELECT *, (ref_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(ref_ts) <= {_ASOF_TOL_S}::BIGINT * 1000000)
+            AS in_tol
+  FROM j WHERE rn = 1)
+SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us, event_type, value,
+       CASE WHEN in_tol THEN ref_event_id END AS ref_event_id,
+       CASE WHEN in_tol THEN epoch_us(ref_ts)::BIGINT END AS ref_ts_us,
+       CASE WHEN in_tol THEN ref_value END AS ref_value
+FROM tolr""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tx
            FROM documents)

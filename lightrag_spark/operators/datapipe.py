@@ -1433,6 +1433,78 @@ def fingerprints(
 # ---------------------------------------------------------------------------
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order: str = "event_id",
+    ref_cols: tuple = ("event_id", "ts", "value"),
+    tolerance_s: float | None = None,
+    prefix: str = "ref_",
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row gains the ``right`` row of
+    the same ``key`` with the greatest ``ts`` <= the left row's ``ts``
+    (ties on ts: the greatest ``order`` wins; equal timestamps DO match —
+    pandas merge_asof backward-inclusive semantics), or nulls if none /
+    none within ``tolerance_s`` seconds.
+
+    Spark has no native as-of join; the naive encoding — an inequality
+    join on (key, r.ts <= l.ts) + row_number — materializes every
+    (left, earlier-right) pair per key, quadratic in per-key row count
+    (that encoding survives only as the DuckDB oracle twin,
+    ``queries[events_asof_join]``).  The scalable form is the
+    union-and-carry pattern: tag both inputs, ONE shuffle on ``key``
+    sorted by (ts, side, order) with right rows ordered before left rows
+    at equal ts, and carry the last non-null right payload forward with
+    last(ignorenulls) over an unbounded-preceding ROWS frame.  Linear in
+    rows per key, no pair materialization — the same single-window shape
+    as :func:`sessionize_events`.
+
+    Tolerance compares exact integer microseconds (``unix_micros``), not
+    truncated seconds — a ref 3600.5 s old fails a 3600 s tolerance in
+    both engines.
+    """
+    rp = right.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.col(order).alias("_ord"),
+        F.lit(1).alias("_is_r"),
+        F.struct(
+            F.col(ts).alias("_rts"), *[F.col(c) for c in ref_cols]
+        ).alias("_ref"),
+    )
+    lp = left.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.col(order).alias("_ord"),
+        F.lit(0).alias("_is_r"),
+        F.struct(*left.columns).alias("_row"),
+    )
+    u = lp.unionByName(rp, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.desc("_is_r"), F.asc("_ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = u.withColumn("_pick", F.last("_ref", ignorenulls=True).over(w)).filter(
+        F.col("_is_r") == 0
+    )
+    if tolerance_s is not None:
+        tol_us = int(round(tolerance_s * 1_000_000))
+        in_tol = (
+            F.unix_micros(F.col("_ts").cast("timestamp"))
+            - F.unix_micros(F.col("_pick")["_rts"].cast("timestamp"))
+        ) <= tol_us
+        picked = picked.withColumn(
+            "_pick", F.when(in_tol, F.col("_pick"))
+        )
+    return picked.select(
+        *[F.col("_row")[c].alias(c) for c in left.columns],
+        *[F.col("_pick")[c].alias(f"{prefix}{c}") for c in ref_cols],
+    )
+
+
 def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """(user_id, session_idx, n_events) — gap-based sessionization via lag +
     running sum, the standard shuffle-once window pattern."""
