@@ -1537,6 +1537,48 @@ def _q_segment_dedup(spark, sf):
     return dp.segment_dedup(_documents(spark, sf), width=_SEGDUP_W)
 
 
+_LPA_ITER = 4
+
+
+def _q_kg_communities(spark, sf):
+    """Deterministic synchronous label propagation (operators/graphs.py:
+    label_propagation): community detection that splits connected
+    components along dense-subgraph boundaries — most-frequent-neighbor
+    label, lexicographic-min ties, fixed round count so the oracle can
+    unroll the recursion."""
+    from lightrag_spark.operators.graphs import label_propagation
+
+    r = _build(spark, sf)
+    e = r.kg_edges.select("src", "tgt").localCheckpoint(eager=True)
+    return label_propagation(e, iterations=_LPA_ITER)
+
+
+def _lpa_sql(iterations: int = _LPA_ITER) -> str:
+    """Unrolled-iteration LPA oracle chain over the edges CTE."""
+    parts = ["""
+, lund AS (
+  SELECT src AS u, tgt AS v FROM edges WHERE src <> tgt
+  UNION
+  SELECT tgt AS u, src AS v FROM edges WHERE src <> tgt),
+lp0 AS (SELECT DISTINCT u AS node, u AS lbl FROM lund)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+lp{k} AS (
+  SELECT node, lbl FROM (
+    SELECT e.u AS node, l.lbl, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM lund e JOIN lp{k - 1} l ON e.v = l.node
+    GROUP BY e.u, l.lbl) t
+  WHERE rn = 1)""")
+    parts.append(f""",
+lsz AS (SELECT lbl, count(*)::BIGINT AS community_size
+        FROM lp{iterations} GROUP BY lbl)
+SELECT p.node, p.lbl AS community, s.community_size
+FROM lp{iterations} p JOIN lsz s ON p.lbl = s.lbl""")
+    return "".join(parts)
+
+
 _ASOF_TOL_S = 3600
 
 
@@ -1694,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _q_unigram_logprob,
         "kg_triangles": _q_kg_triangles,
         "events_asof_join": _q_events_asof,
+        "kg_communities": _q_kg_communities,
     }
 
 
@@ -2801,6 +2844,7 @@ SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us, event_type, value,
        CASE WHEN in_tol THEN epoch_us(ref_ts)::BIGINT END AS ref_ts_us,
        CASE WHEN in_tol THEN ref_value END AS ref_value
 FROM tolr""",
+        "kg_communities": _KG_CTE + _lpa_sql(),
         "text_token_stats": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tx
            FROM documents)

@@ -34,6 +34,7 @@ oracle stays exactly expressible.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -360,4 +361,56 @@ def triangle_counts(
         )
         .otherwise(F.lit(0.0))
         .alias("clustering"),
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    tgt: str = "tgt",
+    iterations: int = 4,
+) -> DataFrame:
+    """(node, community, community_size) — community detection by
+    synchronous label propagation (Raghavan et al. 2007) over the
+    undirected graph, made fully deterministic: every node
+    simultaneously adopts the label most frequent among its neighbors,
+    ties broken by lexicographic minimum, for a FIXED number of rounds
+    (classic LPA's stop-at-convergence is nondeterministic under
+    oscillation; a fixed round count is deterministic everywhere and the
+    DuckDB twin replays it as unrolled CTEs, ``queries[kg_communities]``).
+    Unlike :func:`connected_components` (one community per connected
+    component), LPA splits components along dense-subgraph boundaries —
+    the KG analogue of topical clusters.
+
+    Each round is one join (labels onto neighbor lists) + one
+    map-side-combinable (node, label) count + a top-1 window on the node
+    (Catalyst inserts WindowGroupLimit, so the shuffle carries only
+    per-(node,label) partials, never raw neighbor rows), and is
+    localCheckpointed to truncate lineage — same per-round shape and
+    cost as one CC round.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(tgt).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .union(edges.select(F.col(tgt).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(iterations):
+        labels = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("community_size"))
+    return labels.join(sizes, "lbl").select(
+        "node", F.col("lbl").alias("community"), "community_size"
     )
