@@ -1579,6 +1579,13 @@ FROM lp{iterations} p JOIN lsz s ON p.lbl = s.lbl""")
     return "".join(parts)
 
 
+def _q_events_rollup(spark, sf):
+    """Hypertable-style multi-granularity rollup (datapipe.events_rollup):
+    type x day x hour continuous aggregate in ONE Expand + one shuffle;
+    exact integer-cents sums so every level hash-matches the twin."""
+    return dp.events_rollup(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 _ASOF_TOL_S = 3600
 
 
@@ -1737,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "events_asof_join": _q_events_asof,
         "kg_communities": _q_kg_communities,
+        "events_rollup": _q_events_rollup,
     }
 
 
@@ -2845,6 +2853,14 @@ SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us, event_type, value,
        CASE WHEN in_tol THEN ref_value END AS ref_value
 FROM tolr""",
         "kg_communities": _KG_CTE + _lpa_sql(),
+        "events_rollup": """
+SELECT event_type,
+       epoch_us(date_trunc('day', ts))::BIGINT AS day_us,
+       epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events
+GROUP BY ROLLUP(event_type, day_us, hour_us)""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tx
            FROM documents)

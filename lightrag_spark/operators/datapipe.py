@@ -1505,6 +1505,33 @@ def asof_join(
     )
 
 
+def events_rollup(events: DataFrame) -> DataFrame:
+    """(event_type, day_us, hour_us, n_events, sum_cents) — hypertable-
+    style continuous-aggregate rollup: ONE pass emits every granularity
+    level (type x day x hour, type x day, type, grand total; finer levels
+    null-filled), the materialized cube a time-series store keeps hot.
+
+    Catalyst expands ROLLUP into a single Expand + one hash aggregate —
+    4 levels cost one shuffle, not four queries (and the Expand happens
+    AFTER map-side partial aggregation, so shuffled rows are bounded by
+    group cardinality, not input rows).  Sums are exact integer cents
+    (value*100 rounded — double sums are shuffle-order-dependent and can
+    never hash-match an oracle); the identical ROLLUP is one clause in
+    DuckDB (``queries[events_rollup]``).
+    """
+    ts = F.col("ts").cast("timestamp")
+    base = events.select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", ts)).alias("day_us"),
+        F.unix_micros(F.date_trunc("hour", ts)).alias("hour_us"),
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
+    )
+    return base.rollup("event_type", "day_us", "hour_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("_cents").cast("long").alias("sum_cents"),
+    )
+
+
 def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """(user_id, session_idx, n_events) — gap-based sessionization via lag +
     running sum, the standard shuffle-once window pattern."""
