@@ -1579,6 +1579,16 @@ FROM lp{iterations} p JOIN lsz s ON p.lbl = s.lbl""")
     return "".join(parts)
 
 
+_TFIDF_K = 3
+
+
+def _q_tfidf_terms(spark, sf):
+    """Per-doc tf-idf top-k keyword extraction (datapipe.tfidf_top_terms):
+    rank over the ROUNDED score so the window boundary is
+    engine-independent."""
+    return dp.tfidf_top_terms(_documents(spark, sf), k=_TFIDF_K)
+
+
 def _q_events_rollup(spark, sf):
     """Hypertable-style multi-granularity rollup (datapipe.events_rollup):
     type x day x hour continuous aggregate in ONE Expand + one shuffle;
@@ -1745,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof,
         "kg_communities": _q_kg_communities,
         "events_rollup": _q_events_rollup,
+        "text_tfidf_terms": _q_tfidf_terms,
     }
 
 
@@ -2861,6 +2872,24 @@ SELECT event_type,
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
 FROM events
 GROUP BY ROLLUP(event_type, day_us, hour_us)""",
+        "text_tfidf_terms": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+tok AS (SELECT doc_id, u.term FROM toks, unnest(t) AS u(term)),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         round(tf.tf::DOUBLE * ln((SELECT n FROM nn)::DOUBLE / dfq.df::DOUBLE), 4)
+           AS score
+  FROM tf JOIN dfq ON tf.term = dfq.term),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM sc)
+SELECT doc_id, term, tf, df, score, rank::BIGINT AS rank
+FROM rk WHERE rank <= {_TFIDF_K}""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tx
            FROM documents)

@@ -1505,6 +1505,42 @@ def asof_join(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf, df, score, rank) — top-k keyphrase terms per
+    document by tf-idf (tf * ln(N/df)), the standard keyword-extraction /
+    topic-tagging primitive for corpus exploration and sparse retrieval.
+
+    Determinism: tf/df/N are exact integers; the score is one double
+    division + one ln + one multiply rounded to 4dp, and the top-k window
+    orders by the ROUNDED score (then term) so rank boundaries are
+    engine-independent.  Shape at scale: two map-side-combined aggregates,
+    a term-keyed join (Zipf-hot terms: AQE skew split, or pre-filter
+    stopwords whose idf ~ 0 contributes nothing), and a per-doc top-k
+    window — WindowGroupLimit prunes to k rows per doc map-side.  N is a
+    driver scalar count (the cooccurrence_lift precedent).
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens_col(text)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.count()
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n)) / F.col("df").cast("double")),
+            4,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def events_rollup(events: DataFrame) -> DataFrame:
     """(event_type, day_us, hour_us, n_events, sum_cents) — hypertable-
     style continuous-aggregate rollup: ONE pass emits every granularity
