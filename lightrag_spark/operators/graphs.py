@@ -315,10 +315,14 @@ def triangle_counts(
         edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
-        F.col("a").alias("node"), F.col("d").cast("long").alias("degree")
+    deg = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.col("a").alias("node"), F.col("d").cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
     )
     g = e.join(
         deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a"
@@ -326,11 +330,14 @@ def triangle_counts(
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # oriented is read three times (both wedge sides + the closing probe);
+    # checkpoint so the join/degree subtree runs once, not per consumer —
+    # the pagerank/LPA per-round pattern.
     oriented = g.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dhi"),
-    )
+    ).localCheckpoint(eager=True)
     x, y = oriented.alias("x"), oriented.alias("y")
     hi_order = (F.col("x.dhi") < F.col("y.dhi")) | (
         (F.col("x.dhi") == F.col("y.dhi")) & (F.col("x.hi") < F.col("y.hi"))
