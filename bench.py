@@ -121,6 +121,7 @@ def main():
         "kg_pagerank",
         "kg_edge_lift",
         "kg_triangles",
+        "kg_communities",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -144,6 +145,9 @@ def main():
         "text_segment_dedup",
         "text_unigram_logprob",
         "kg_links_embedding",
+        "events_asof_join",
+        "events_rollup",
+        "text_tfidf_terms",
     )
 
     def _time(name):
