@@ -1553,8 +1553,10 @@ def _q_kg_communities(spark, sf):
     return label_propagation(e, iterations=_LPA_ITER)
 
 
-def _lpa_sql(iterations: int = _LPA_ITER) -> str:
-    """Unrolled-iteration LPA oracle chain over the edges CTE."""
+def _lpa_cte(iterations: int = _LPA_ITER) -> str:
+    """Unrolled-iteration LPA CTE chain over the edges CTE (labels land
+    in lp{iterations}); shared by kg_communities and the community
+    summaries."""
     parts = ["""
 , lund AS (
   SELECT src AS u, tgt AS v FROM edges WHERE src <> tgt
@@ -1571,12 +1573,16 @@ lp{k} AS (
     FROM lund e JOIN lp{k - 1} l ON e.v = l.node
     GROUP BY e.u, l.lbl) t
   WHERE rn = 1)""")
-    parts.append(f""",
+    return "".join(parts)
+
+
+def _lpa_sql(iterations: int = _LPA_ITER) -> str:
+    """LPA CTE chain + the kg_communities final select."""
+    return _lpa_cte(iterations) + f""",
 lsz AS (SELECT lbl, count(*)::BIGINT AS community_size
         FROM lp{iterations} GROUP BY lbl)
 SELECT p.node, p.lbl AS community, s.community_size
-FROM lp{iterations} p JOIN lsz s ON p.lbl = s.lbl""")
-    return "".join(parts)
+FROM lp{iterations} p JOIN lsz s ON p.lbl = s.lbl"""
 
 
 _TFIDF_K = 3
@@ -1594,6 +1600,57 @@ def _q_events_rollup(spark, sf):
     type x day x hour continuous aggregate in ONE Expand + one shuffle;
     exact integer-cents sums so every level hash-matches the twin."""
     return dp.events_rollup(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _q_kg_community_summaries(spark, sf):
+    """GraphRAG-style community reports over the LightRAG KG: LPA
+    communities (graphs.label_propagation) + the reference's map-reduce
+    description finalizer (operators/summary.py) over per-member
+    fragments — the composition GraphRAG calls 'community summaries',
+    here with the deterministic mock summarizer so both branches (join
+    vs force-merge) are DuckDB-replayable."""
+    from lightrag_spark.operators.graphs import label_propagation
+    from lightrag_spark.operators.summary import finalize_descriptions
+
+    r = _build(spark, sf)
+    comms = label_propagation(
+        r.kg_edges.select("src", "tgt"), iterations=_LPA_ITER
+    )
+    ment = (
+        r.mentions.select("entity_name", "chunk_id")
+        .distinct()
+        .groupBy("entity_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    )
+    frags = (
+        comms.join(ment, comms.node == ment.entity_name)
+        .groupBy("community")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            "node",
+                            F.lit(" appears in "),
+                            F.col("n_chunks").cast("string"),
+                            F.lit(" chunks"),
+                        )
+                    )
+                ),
+                1,
+                _SUMMARY_MAX_FRAGS,
+            ).alias("descriptions"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+    )
+    out = finalize_descriptions(frags, "community", "Community", "whitespace")
+    return out.select(
+        "community",
+        "n_members",
+        F.size("descriptions").cast("long").alias("n_frags"),
+        "description",
+        "llm_was_used",
+    )
 
 
 _ASOF_TOL_S = 3600
@@ -1756,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "events_rollup": _q_events_rollup,
         "text_tfidf_terms": _q_tfidf_terms,
+        "kg_community_summaries": _q_kg_community_summaries,
     }
 
 
@@ -2864,6 +2922,35 @@ SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us, event_type, value,
        CASE WHEN in_tol THEN ref_value END AS ref_value
 FROM tolr""",
         "kg_communities": _KG_CTE + _lpa_sql(),
+        # Community summaries: LPA labels + per-member fragments + the
+        # kg_summary finalizer CASE (single-pass regime at gate scale:
+        # capped fragments are far under the context size).
+        "kg_community_summaries": _KG_CTE + _lpa_cte() + f""",
+entc AS (
+  SELECT entity_name, count(DISTINCT chunk_id)::BIGINT AS n_chunks
+  FROM mentions GROUP BY entity_name),
+cfrag AS (
+  SELECT l.lbl AS community,
+         (list_sort(list(l.node || ' appears in ' || e.n_chunks::VARCHAR
+                         || ' chunks')))[1:{_SUMMARY_MAX_FRAGS}] AS frags,
+         count(*)::BIGINT AS n_members
+  FROM lp{_LPA_ITER} l JOIN entc e ON l.node = e.entity_name
+  GROUP BY l.lbl),
+ctok AS (
+  SELECT community, n_members, frags, len(frags) AS n,
+         list_sum(list_transform(frags,
+           f -> len(regexp_split_to_array(trim(f), '\\s+')))) AS total
+  FROM cfrag)
+SELECT community, n_members, n::BIGINT AS n_frags,
+  CASE WHEN n = 1 THEN frags[1]
+       WHEN n < {FORCE_LLM_SUMMARY_ON_MERGE} AND total < {SUMMARY_MAX_TOKENS}
+         THEN array_to_string(frags, '<SEP>')
+       ELSE 'Community summary of ' || community || ': ' || frags[1]
+            || ' [+' || (n - 1)::VARCHAR || ' merged fragments]'
+  END AS description,
+  NOT (n = 1 OR (n < {FORCE_LLM_SUMMARY_ON_MERGE} AND total < {SUMMARY_MAX_TOKENS}))
+    AS llm_was_used
+FROM ctok""",
         "events_rollup": """
 SELECT event_type,
        epoch_us(date_trunc('day', ts))::BIGINT AS day_us,
