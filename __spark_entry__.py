@@ -1653,6 +1653,32 @@ def _q_kg_community_summaries(spark, sf):
     )
 
 
+_IVJ_BIN_S = 3600
+
+
+def _q_events_interval_join(spark, sf):
+    """Binned containment join (datapipe.interval_join): each event
+    matched to its user's first-2-hours interval — the range join Spark
+    compiles to a per-key nested loop unless binned.  Served plan:
+    interval->bin explode + (key, bin) equi-join + residual filter; the
+    quadratic inequality join survives only as the oracle twin."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    iv = ev.groupBy("user_id").agg(F.min("ts").alias("start_ts")).select(
+        "user_id",
+        "start_ts",
+        (F.col("start_ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        F.col("user_id").alias("iv_id"),
+    )
+    out = dp.interval_join(ev, iv, iv_cols=("iv_id",), bin_s=_IVJ_BIN_S)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "iv_id",
+    )
+
+
 _ASOF_TOL_S = 3600
 
 
@@ -1814,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "text_tfidf_terms": _q_tfidf_terms,
         "kg_community_summaries": _q_kg_community_summaries,
+        "events_interval_join": _q_events_interval_join,
     }
 
 
@@ -2951,6 +2978,17 @@ SELECT community, n_members, n::BIGINT AS n_frags,
   NOT (n = 1 OR (n < {FORCE_LLM_SUMMARY_ON_MERGE} AND total < {SUMMARY_MAX_TOKENS}))
     AS llm_was_used
 FROM ctok""",
+        # Interval containment twin: the quadratic inequality join the
+        # served binned plan avoids.
+        "events_interval_join": """
+WITH iv AS (
+  SELECT user_id, min(ts) AS start_ts, min(ts) + INTERVAL 2 HOUR AS end_ts
+  FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id, epoch_us(e.ts)::BIGINT AS ts_us, e.event_type,
+       i.user_id AS iv_id
+FROM events e
+JOIN iv i ON e.user_id = i.user_id
+         AND e.ts >= i.start_ts AND e.ts <= i.end_ts""",
         "events_rollup": """
 SELECT event_type,
        epoch_us(date_trunc('day', ts))::BIGINT AS day_us,

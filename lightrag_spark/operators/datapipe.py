@@ -1541,6 +1541,66 @@ def tfidf_top_terms(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    iv_cols: tuple = ("iv_id",),
+    bin_s: int = 3600,
+) -> DataFrame:
+    """Containment (range) join: every ``points`` row gains the
+    ``intervals`` row(s) of the same ``key`` whose [start, end] contains
+    its ``ts`` (both ends inclusive) — session attribution, maintenance
+    windows, flight phases.
+
+    Spark compiles a raw (key, start <= ts <= end) predicate into a
+    per-key nested loop — quadratic per key (that encoding is only the
+    DuckDB oracle twin, ``queries[events_interval_join]``).  The scalable
+    form BINS time: each interval explodes into the ``bin_s``-sized
+    buckets it covers, each point maps to its single bucket, and the join
+    is a plain equi-join on (key, bin) + a residual containment filter.
+    Join fan-in per point is the intervals overlapping its one bucket,
+    and the explode is bounded by interval_duration / bin_s — pick
+    ``bin_s`` near the typical interval length so both stay O(1).
+    A point inside k overlapping intervals emits k rows (each via its
+    own bin row exactly once — no dedup shuffle needed).
+    """
+    p_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end).cast("timestamp"))
+    bin_us = int(bin_s) * 1_000_000
+    iv = intervals.select(
+        F.col(key).alias("_k"),
+        s_us.alias("_s"),
+        e_us.alias("_e"),
+        F.struct(*[F.col(c) for c in iv_cols]).alias("_iv"),
+    ).withColumn(
+        # integer DIV, not double division: epoch-us magnitudes round in
+        # double and can misbin exact boundary values
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"_s DIV {bin_us}"), F.expr(f"_e DIV {bin_us}")
+            )
+        ),
+    )
+    pt = points.select(
+        F.struct(*points.columns).alias("_row"),
+        F.col(key).alias("_k"),
+        p_us.alias("_t"),
+    ).withColumn("_bin", F.expr(f"_t DIV {bin_us}"))
+    joined = pt.join(iv, ["_k", "_bin"]).filter(
+        (F.col("_t") >= F.col("_s")) & (F.col("_t") <= F.col("_e"))
+    )
+    return joined.select(
+        *[F.col("_row")[c].alias(c) for c in points.columns],
+        *[F.col("_iv")[c].alias(c) for c in iv_cols],
+    )
+
+
 def events_rollup(events: DataFrame) -> DataFrame:
     """(event_type, day_us, hour_us, n_events, sum_cents) — hypertable-
     style continuous-aggregate rollup: ONE pass emits every granularity
