@@ -1653,6 +1653,13 @@ def _q_kg_community_summaries(spark, sf):
     )
 
 
+def _q_events_quantiles(spark, sf):
+    """Exact per-type value quantiles by rank selection
+    (datapipe.group_quantiles) — the deterministic alternative to
+    approx_percentile sketches."""
+    return dp.group_quantiles(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 _IVJ_BIN_S = 3600
 
 
@@ -1841,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_terms": _q_tfidf_terms,
         "kg_community_summaries": _q_kg_community_summaries,
         "events_interval_join": _q_events_interval_join,
+        "events_quantiles": _q_events_quantiles,
     }
 
 
@@ -2989,6 +2997,17 @@ SELECT e.event_id, e.user_id, epoch_us(e.ts)::BIGINT AS ts_us, e.event_type,
 FROM events e
 JOIN iv i ON e.user_id = i.user_id
          AND e.ts >= i.start_ts AND e.ts <= i.end_ts""",
+        "events_quantiles": """
+WITH ranked AS (
+  SELECT event_type AS g, value AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+  FROM events),
+cnts AS (SELECT g, count(*)::BIGINT AS n FROM ranked GROUP BY g),
+targets AS (
+  SELECT g, n, u.q, greatest(1, CAST(ceil(u.q * n) AS BIGINT)) AS rn
+  FROM cnts, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q))
+SELECT t.g AS event_type, t.q, t.n, r.v AS value_at
+FROM targets t JOIN ranked r ON t.g = r.g AND t.rn = r.rn""",
         "events_rollup": """
 SELECT event_type,
        epoch_us(date_trunc('day', ts))::BIGINT AS day_us,

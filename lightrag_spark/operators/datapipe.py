@@ -1601,6 +1601,43 @@ def interval_join(
     )
 
 
+def group_quantiles(
+    df: DataFrame,
+    group: str = "event_type",
+    value: str = "value",
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(group, q, n, value_at) — EXACT per-group quantiles by rank
+    selection: the q-quantile is the value at ascending rank
+    max(1, ceil(q*n)).  Spark's approx_percentile is sketch-based and
+    neither engine-portable nor run-stable; exact rank selection is
+    deterministic and the DuckDB twin replays it verbatim
+    (``queries[events_quantiles]``).
+
+    Equal values may permute among themselves under row_number, but the
+    SELECTED value at any rank is invariant to that permutation, so the
+    output is deterministic without a tie-break column.  Shape at scale:
+    one per-group sort (range-partition friendly; groups are the unit of
+    skew — a single monster group serializes its own sort, the inherent
+    cost of an exact quantile) + a broadcast of per-group counts.
+    ceil(q * n) is the same IEEE multiply in both engines.
+    """
+    ranked = df.select(F.col(group).alias("g"), F.col(value).alias("v")).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("v"))
+    )
+    counts = ranked.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    targets = counts.select(
+        "g",
+        "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn(
+        "rn", F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n")))
+    )
+    return targets.join(ranked, ["g", "rn"]).select(
+        F.col("g").alias(group), "q", "n", F.col("v").alias("value_at")
+    )
+
+
 def events_rollup(events: DataFrame) -> DataFrame:
     """(event_type, day_us, hour_us, n_events, sum_cents) — hypertable-
     style continuous-aggregate rollup: ONE pass emits every granularity
