@@ -1653,6 +1653,16 @@ def _q_kg_community_summaries(spark, sf):
     )
 
 
+def _q_dsir_weights(spark, sf):
+    """DSIR importance weights (datapipe.dsir_logratio): hashed-bigram
+    log-likelihood ratio of each doc under the target (lang='en') vs raw
+    feature models — the data-selection scorer behind importance
+    resampling."""
+    return dp.dsir_logratio(
+        _documents(spark, sf), target=F.col("lang") == F.lit("en")
+    )
+
+
 def _q_events_quantiles(spark, sf):
     """Exact per-type value quantiles by rank selection
     (datapipe.group_quantiles) — the deterministic alternative to
@@ -1849,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_community_summaries": _q_kg_community_summaries,
         "events_interval_join": _q_events_interval_join,
         "events_quantiles": _q_events_quantiles,
+        "data_dsir_weights": _q_dsir_weights,
     }
 
 
@@ -3008,6 +3019,38 @@ targets AS (
   FROM cnts, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q))
 SELECT t.g AS event_type, t.q, t.n, r.v AS value_at
 FROM targets t JOIN ranked r ON t.g = r.g AND t.rn = r.rn""",
+        # DSIR twin: identical md5 bucket hash, exact counts, seeded
+        # bucket-sorted fold (the unigram_logprob pattern).
+        "data_dsir_weights": f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(t[u.i] || ' ' || t[u.i+1]), 1, 8))::BIGINT
+           % {dp.DSIR_BUCKETS} AS b
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+bcnt AS (
+  SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS ct,
+            sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS cr
+  FROM bg GROUP BY b),
+tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM bcnt),
+tf AS (SELECT doc_id, is_target, b, count(*)::BIGINT AS tf
+       FROM bg GROUP BY 1, 2, 3),
+agg AS (
+  SELECT tf.doc_id, tf.is_target, sum(tf.tf)::BIGINT AS n_bigrams,
+         list(struct_pack(b := tf.b, tf := tf.tf, ct := bcnt.ct, cr := bcnt.cr)
+              ORDER BY tf.b) AS l
+  FROM tf JOIN bcnt ON tf.b = bcnt.b GROUP BY 1, 2),
+aggn AS (SELECT a.*, t.tt, t.tr FROM agg a, tot t)
+SELECT doc_id, is_target, n_bigrams,
+  round(list_reduce(list_prepend(0.0, list_transform(l,
+    s -> s.tf::DOUBLE * ln(((s.ct + 1)::DOUBLE / (tt + {dp.DSIR_BUCKETS})::DOUBLE)
+                           / ((s.cr + 1)::DOUBLE / (tr + {dp.DSIR_BUCKETS})::DOUBLE)))),
+    (a, x) -> a + x) / n_bigrams, 4) AS avg_logratio
+FROM aggn""",
         "events_rollup": """
 SELECT event_type,
        epoch_us(date_trunc('day', ts))::BIGINT AS day_us,

@@ -1638,6 +1638,103 @@ def group_quantiles(
     )
 
 
+DSIR_BUCKETS = 4096
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = DSIR_BUCKETS,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, is_target, n_bigrams, avg_logratio) — DSIR importance
+    weights (Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023): score every document by the
+    log-likelihood ratio of its HASHED-BIGRAM profile under the target
+    vs raw unigram-of-features models; resampling raw docs by this
+    weight concentrates the corpus toward the target distribution.
+    ``target`` is a boolean Column splitting the corpus (e.g.
+    ``F.col('lang') == 'en'``); both feature models are Laplace-smoothed
+    ((c+1)/(N+B)) so unseen buckets are defined.
+
+    Determinism: bucket ids are md5-derived (the engine-shared coin —
+    conv(substr(md5,1,8),16,10) % B), all counts exact integers, and the
+    per-doc score folds tf * ln(((ct+1)/(T+B)) / ((cr+1)/(R+B))) over
+    bucket-sorted entries with a 0.0 seed — the identical IEEE sequence
+    the DuckDB twin replays (``queries[data_dsir_weights]``).
+
+    Shape at scale: one bigram explode, one bucket-count aggregate
+    (B-bounded — the hash IS the cardinality cap, the reason DSIR hashes
+    at all), one per-doc tf aggregate, a bucket-keyed join (uniform by
+    construction), a 1-row totals broadcast, and a per-doc fold.  Docs
+    with fewer than 2 tokens have no bigrams and are absent from the
+    output (their weight is undefined).
+    """
+    toks = docs.select(
+        F.col(id_col), target.alias("is_target"), tokens_col(text).alias("t")
+    )
+    bg = toks.select(
+        id_col,
+        "is_target",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat(
+                        F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long") % n_buckets,
+    )
+    bcnt = bg.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("long").alias("cr"),
+    )
+    totals = bcnt.agg(
+        F.sum("ct").cast("long").alias("tt"), F.sum("cr").cast("long").alias("tr")
+    )
+    tf = bg.groupBy(id_col, "is_target", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    per = (
+        tf.join(bcnt, "b")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sort_array(F.collect_list(F.struct("b", "tf", "ct", "cr"))).alias("l"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    fold = F.aggregate(
+        "l",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["tf"].cast("double")
+        * F.log(
+            (
+                (s["ct"] + 1).cast("double")
+                / (F.col("tt") + n_buckets).cast("double")
+            )
+            / (
+                (s["cr"] + 1).cast("double")
+                / (F.col("tr") + n_buckets).cast("double")
+            )
+        ),
+    )
+    return per.select(
+        id_col,
+        "is_target",
+        "n_bigrams",
+        F.round(fold / F.col("n_bigrams"), 4).alias("avg_logratio"),
+    )
+
+
 def events_rollup(events: DataFrame) -> DataFrame:
     """(event_type, day_us, hour_us, n_events, sum_cents) — hypertable-
     style continuous-aggregate rollup: ONE pass emits every granularity
