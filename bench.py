@@ -148,6 +148,9 @@ def main():
         "events_asof_join",
         "events_rollup",
         "text_tfidf_terms",
+        "events_interval_join",
+        "events_quantiles",
+        "data_dsir_weights",
     )
 
     def _time(name):
