@@ -1653,6 +1653,18 @@ def _q_kg_community_summaries(spark, sf):
     )
 
 
+def _q_kg_node_similarity(spark, sf):
+    """Link-prediction scoring (graphs.common_neighbor_similarity):
+    exact common-neighbor counts + neighbor-set Jaccard for every node
+    pair sharing a neighbor — unconnected high-scorers are missing-edge
+    candidates.  Unpruned at gate scale; the hub cap (max_apex_degree)
+    is pinned by pytest."""
+    from lightrag_spark.operators.graphs import common_neighbor_similarity
+
+    r = _build(spark, sf)
+    return common_neighbor_similarity(r.kg_edges.select("src", "tgt"))
+
+
 def _q_dsir_weights(spark, sf):
     """DSIR importance weights (datapipe.dsir_logratio): hashed-bigram
     log-likelihood ratio of each doc under the target (lang='en') vs raw
@@ -1860,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q_events_interval_join,
         "events_quantiles": _q_events_quantiles,
         "data_dsir_weights": _q_dsir_weights,
+        "kg_node_similarity": _q_kg_node_similarity,
     }
 
 
@@ -3051,6 +3064,23 @@ SELECT doc_id, is_target, n_bigrams,
                            / ((s.cr + 1)::DOUBLE / (tr + {dp.DSIR_BUCKETS})::DOUBLE)))),
     (a, x) -> a + x) / n_bigrams, 4) AS avg_logratio
 FROM aggn""",
+        # Common-neighbor similarity twin (unpruned form).
+        "kg_node_similarity": _KG_CTE + """
+, cund AS (
+  SELECT src AS a, tgt AS b FROM edges
+  UNION
+  SELECT tgt AS a, src AS b FROM edges),
+cdeg AS (SELECT a AS node, count(*)::BIGINT AS d FROM cund GROUP BY a),
+cpairs AS (
+  SELECT x.b AS pa, y.b AS pb, count(*)::BIGINT AS common_neighbors
+  FROM cund x JOIN cund y ON x.a = y.a AND x.b < y.b
+  GROUP BY 1, 2)
+SELECT p.pa AS src, p.pb AS tgt, p.common_neighbors,
+       round(p.common_neighbors::DOUBLE
+             / (da.d + db.d - p.common_neighbors)::DOUBLE, 4) AS jaccard
+FROM cpairs p
+JOIN cdeg da ON p.pa = da.node
+JOIN cdeg db ON p.pb = db.node""",
         "events_rollup": """
 SELECT event_type,
        epoch_us(date_trunc('day', ts))::BIGINT AS day_us,

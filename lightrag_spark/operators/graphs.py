@@ -421,3 +421,74 @@ def label_propagation(
     return labels.join(sizes, "lbl").select(
         "node", F.col("lbl").alias("community"), "community_size"
     )
+
+
+def common_neighbor_similarity(
+    edges: DataFrame,
+    src: str = "src",
+    tgt: str = "tgt",
+    max_apex_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """(src, tgt, common_neighbors, jaccard) — link-prediction scoring:
+    for every node pair sharing at least ``min_common`` neighbors, the
+    exact common-neighbor count and neighbor-set Jaccard
+    (common / (d_a + d_b - common)).  Pairs NOT currently connected with
+    a high score are the KG's missing-edge candidates (the relation the
+    extractor missed); pairs connected with near-zero score are edge-
+    error candidates.
+
+    Wedge generation is inherently sum(d^2) over apexes — a single hub
+    apex emits d^2/2 pairs while contributing almost no signal (sharing
+    a hub neighbor is uninformative, the same reason Adamic-Adar
+    down-weights by 1/log d).  ``max_apex_degree`` therefore drops
+    hub nodes from the graph BEFORE wedge generation (degrees and
+    Jaccard are then over the pruned graph — a documented semantic, not
+    an approximation of the unpruned one), bounding per-apex fan-out by
+    cap^2.  At gate scale the cap is off so the DuckDB twin
+    (``queries[kg_node_similarity]``) replays the exact unpruned form.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    if max_apex_degree is not None:
+        deg0 = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        kept = deg0.filter(F.col("d") <= max_apex_degree).select("a")
+        und = (
+            und.join(kept, "a")
+            .join(kept.select(F.col("a").alias("b")), "b")
+            .localCheckpoint(eager=True)
+        )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d")).select(
+        F.col("a").alias("node"), "d"
+    ).localCheckpoint(eager=True)
+    x = und.select(F.col("a").alias("u"), F.col("b").alias("n1"))
+    y = und.select(F.col("a").alias("u"), F.col("b").alias("n2"))
+    pairs = (
+        x.join(y, "u")
+        .filter(F.col("n1") < F.col("n2"))
+        .groupBy(F.col("n1").alias("pa"), F.col("n2").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    return (
+        pairs.join(deg.select(F.col("node").alias("pa"), F.col("d").alias("da")), "pa")
+        .join(deg.select(F.col("node").alias("pb"), F.col("d").alias("db")), "pb")
+        .select(
+            F.col("pa").alias("src"),
+            F.col("pb").alias("tgt"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )
