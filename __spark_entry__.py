@@ -1653,6 +1653,17 @@ def _q_kg_community_summaries(spark, sf):
     )
 
 
+def _q_hll_tokens(spark, sf):
+    """Engine-replayable HyperLogLog (datapipe.hll_distinct): distinct
+    tokens per source estimated by a 256-register md5 sketch whose
+    registers — not just the answer — are bit-identical in the twin."""
+    docs = _documents(spark, sf)
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    return dp.hll_distinct(tok, group="source", col="w")
+
+
 def _q_kg_node_similarity(spark, sf):
     """Link-prediction scoring (graphs.common_neighbor_similarity):
     exact common-neighbor counts + neighbor-set Jaccard for every node
@@ -1873,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": _q_events_quantiles,
         "data_dsir_weights": _q_dsir_weights,
         "kg_node_similarity": _q_kg_node_similarity,
+        "text_hll_tokens": _q_hll_tokens,
     }
 
 
@@ -3081,6 +3093,44 @@ SELECT p.pa AS src, p.pb AS tgt, p.common_neighbors,
 FROM cpairs p
 JOIN cdeg da ON p.pa = da.node
 JOIN cdeg db ON p.pb = db.node""",
+        # HLL twin: identical md5 register layout, sorted-fold exact
+        # dyadic sum, same inlined alpha literal.
+        "text_hll_tokens": f"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+tok AS (SELECT source AS g, md5(u.w) AS h FROM toks, unnest(t) AS u(w)),
+r AS (
+  SELECT g, ('0x' || substr(h, 1, 2))::BIGINT::INT AS bucket,
+         (len(regexp_extract(substr(h, 3, 30), '^(0*)', 1)) * 4
+          + CASE substr(substr(h, 3, 30),
+                        len(regexp_extract(substr(h, 3, 30), '^(0*)', 1)) + 1, 1)
+              WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+              WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+              ELSE 0 END + 1)::INT AS rho
+  FROM tok),
+regs AS (SELECT g, bucket, max(rho) AS reg FROM r GROUP BY g, bucket),
+per AS (
+  SELECT g, count(*)::BIGINT AS n_registers,
+         list(struct_pack(bucket := bucket, reg := reg) ORDER BY bucket) AS l
+  FROM regs GROUP BY g),
+est AS (
+  SELECT g, n_registers,
+         list_reduce(list_prepend(0.0, list_transform(
+           l, s -> power(2.0, -(s.reg::DOUBLE)))), (a, x) -> a + x)
+           + ({dp.HLL_M} - n_registers)::DOUBLE AS ssum,
+         ({dp.HLL_M} - n_registers)::DOUBLE AS v
+  FROM per),
+fin AS (
+  SELECT g, n_registers, v,
+         {dp.HLL_ALPHA!r}::DOUBLE * {float(dp.HLL_M)!r}::DOUBLE
+           * {float(dp.HLL_M)!r}::DOUBLE / ssum AS raw
+  FROM est)
+SELECT g AS source, n_registers,
+       round(CASE WHEN raw <= {2.5 * dp.HLL_M!r}::DOUBLE AND v > 0
+                  THEN {float(dp.HLL_M)!r}::DOUBLE
+                       * ln({float(dp.HLL_M)!r}::DOUBLE / v)
+                  ELSE raw END, 4) AS estimate
+FROM fin""",
         "events_rollup": """
 SELECT event_type,
        epoch_us(date_trunc('day', ts))::BIGINT AS day_us,

@@ -1638,6 +1638,78 @@ def group_quantiles(
     )
 
 
+HLL_M = 256
+# alpha_256 inlined as one literal so both engines use the identical
+# double (Flajolet et al. 2007 bias constant for m >= 128)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group: str,
+    col: str,
+    m: int = HLL_M,
+) -> DataFrame:
+    """(group, n_registers, estimate) — HyperLogLog distinct-count sketch
+    (Flajolet et al. 2007), the mergeable cardinality structure every
+    scale-out store keeps per partition.  Spark's own approx_count_distinct
+    is engine-private; this one is built from md5 so the sketch — not
+    just the answer — is REPLAYABLE in any engine: registers are
+    max-aggregates (order-independent), 2^-M terms are exact IEEE
+    dyadics, and the register fold runs in sorted-bucket order, so the
+    DuckDB twin (``queries[text_hll_tokens]``) matches to the 4dp round
+    bit-for-bit.
+
+    Layout: bucket = first 2 md5 hex digits (m=256); rho = 1 + leading
+    zero BITS of the remaining 30 hex digits (computed by string scan —
+    4 bits per leading '0' digit plus a CASE on the first nonzero digit —
+    no integer log2, which is not exactly portable).  Small-range
+    correction (linear counting when E <= 2.5m and empty buckets exist)
+    included; large-range correction omitted — irrelevant below 2^50.
+
+    Shape at scale: one map-side-combined (group, bucket) max — the
+    whole point of HLL: the shuffle carries at most m rows per group
+    regardless of input size — then a per-group fold over <= m register
+    entries.
+    """
+    h = F.md5(F.col(col).cast("string"))
+    suffix = F.substring(h, 3, 30)
+    z = F.length(F.regexp_extract(suffix, "^(0*)", 1))
+    c = F.substring(suffix, (z + 1).cast("int"), 1)
+    lz = (
+        F.when(c == "1", 3)
+        .when(c.isin("2", "3"), 2)
+        .when(c.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)  # 8-f, and "" (all-zero suffix -> z=30, rho=121)
+    )
+    rows = df.select(
+        F.col(group).alias("g"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+        (z * 4 + lz + 1).cast("int").alias("rho"),
+    )
+    regs = rows.groupBy("g", "bucket").agg(F.max("rho").alias("reg"))
+    per = regs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sort_array(F.collect_list(F.struct("bucket", "reg"))).alias("l"),
+    )
+    # sum of 2^-reg over present buckets (sorted fold; terms are exact
+    # dyadics) + 1.0 per empty bucket
+    ssum = F.aggregate(
+        "l",
+        F.lit(0.0),
+        lambda acc, s: acc + F.pow(F.lit(2.0), -s["reg"].cast("double")),
+    ) + (F.lit(m) - F.col("n_registers")).cast("double")
+    raw = F.lit(float(HLL_ALPHA)) * F.lit(float(m)) * F.lit(float(m)) / ssum
+    v = (F.lit(m) - F.col("n_registers")).cast("double")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when((raw <= 2.5 * m) & (v > 0), small).otherwise(raw)
+    return per.select(
+        F.col("g").alias(group),
+        "n_registers",
+        F.round(est, 4).alias("estimate"),
+    )
+
+
 DSIR_BUCKETS = 4096
 
 
