@@ -1653,6 +1653,20 @@ def _q_kg_community_summaries(spark, sf):
     )
 
 
+_CM_K = 20
+
+
+def _q_cm_heavy_hitters(spark, sf):
+    """Count-Min heavy hitters (datapipe.cm_heavy_hitters): top-20
+    tokens by pure-integer sketch estimate — hot-key detection with a
+    bit-exact twin."""
+    docs = _documents(spark, sf)
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    return dp.cm_heavy_hitters(tok, col="w", k=_CM_K)
+
+
 def _q_hll_tokens(spark, sf):
     """Engine-replayable HyperLogLog (datapipe.hll_distinct): distinct
     tokens per source estimated by a 256-register md5 sketch whose
@@ -1885,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_dsir_weights": _q_dsir_weights,
         "kg_node_similarity": _q_kg_node_similarity,
         "text_hll_tokens": _q_hll_tokens,
+        "text_cm_heavy_hitters": _q_cm_heavy_hitters,
     }
 
 
@@ -3131,6 +3146,30 @@ SELECT g AS source, n_registers,
                        * ln({float(dp.HLL_M)!r}::DOUBLE / v)
                   ELSE raw END, 4) AS estimate
 FROM fin""",
+        # Count-Min twin: identical md5 positions, integer counters, min
+        # estimates, (estimate desc, value) top-k.
+        "text_cm_heavy_hitters": f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+tok AS (SELECT u.w AS v FROM toks, unnest(t) AS u(w)),
+probes AS (
+  SELECT v, d.i,
+         ('0x' || substr(md5(d.i::VARCHAR || ':' || v), 1, 8))::BIGINT
+           % {dp.CM_WIDTH} AS bucket
+  FROM tok, unnest(generate_series(0, {dp.CM_DEPTH - 1})) AS d(i)),
+sketch AS (SELECT i, bucket, count(*)::BIGINT AS cnt
+           FROM probes GROUP BY i, bucket),
+cand AS (SELECT DISTINCT v, i, bucket FROM probes),
+est AS (
+  SELECT c.v, min(s.cnt) AS cm_estimate
+  FROM cand c JOIN sketch s ON c.i = s.i AND c.bucket = s.bucket
+  GROUP BY c.v),
+rk AS (
+  SELECT v, cm_estimate,
+         row_number() OVER (ORDER BY cm_estimate DESC, v) AS rank
+  FROM est)
+SELECT v AS value, cm_estimate, rank::BIGINT AS rank
+FROM rk WHERE rank <= {_CM_K}""",
         "events_rollup": """
 SELECT event_type,
        epoch_us(date_trunc('day', ts))::BIGINT AS day_us,

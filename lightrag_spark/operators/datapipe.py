@@ -1710,6 +1710,67 @@ def hll_distinct(
     )
 
 
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """(value, cm_estimate, rank) — top-k heavy hitters scored by a
+    Count-Min sketch (Cormode & Muthukrishnan 2005): depth x width
+    integer counters, point estimate = min over rows of the counter at
+    md5(row:value) % width.  CM overestimates (collisions only add), so
+    the top-k by estimate is a superset-safe heavy-hitter report — the
+    streaming-store primitive for hot-key detection (the same skew this
+    repo's salted merges defend against).
+
+    The sketch is pure integers (counter sums are order-independent,
+    min is order-independent), so Spark and the DuckDB twin
+    (``queries[text_cm_heavy_hitters]``) agree bit-for-bit — no float
+    anywhere.  Shape at scale: the counter table is depth*width rows
+    REGARDLESS of input size (the sketch's point); candidates are the
+    distinct values (gate-exact form — a production flow feeds only
+    sampled/suspected keys), each probing depth counters via an
+    equi-join; final global top-k is a WindowGroupLimit-pruned window
+    over k*partitions rows.
+    """
+    probes = df.select(F.col(col).cast("string").alias("v")).withColumn(
+        "i", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), "v")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    sketch = probes.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cand = probes.select("v", "i", "bucket").distinct()
+    est = (
+        cand.join(sketch, ["i", "bucket"])
+        .groupBy("v")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    w = Window.orderBy(F.desc("cm_estimate"), F.asc("v"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("v").alias("value"),
+            "cm_estimate",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 DSIR_BUCKETS = 4096
 
 
