@@ -151,6 +151,9 @@ def main():
         "events_interval_join",
         "events_quantiles",
         "data_dsir_weights",
+        "kg_node_similarity",
+        "text_hll_tokens",
+        "text_cm_heavy_hitters",
     )
 
     def _time(name):
