@@ -1653,6 +1653,17 @@ def _q_kg_community_summaries(spark, sf):
     )
 
 
+def _q_blocklist_scrub(spark, sf):
+    """Bloom-prefiltered exact anti-join (datapipe.bloom_anti_join):
+    scrub documents whose content hash sits in a blocklist (every 50th
+    doc) — definite negatives pass scan-side, only bloom-positive
+    candidates pay the join; the result is byte-identical to the plain
+    anti-join the oracle runs."""
+    docs = _documents(spark, sf).select("doc_id", F.md5("text").alias("h"))
+    block = docs.filter(F.col("doc_id") % 50 == 0).select("h")
+    return dp.bloom_anti_join(docs, block, key="h")
+
+
 _CM_K = 20
 
 
@@ -1900,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_similarity": _q_kg_node_similarity,
         "text_hll_tokens": _q_hll_tokens,
         "text_cm_heavy_hitters": _q_cm_heavy_hitters,
+        "doc_blocklist_scrub": _q_blocklist_scrub,
     }
 
 
@@ -3170,6 +3182,14 @@ rk AS (
   FROM est)
 SELECT v AS value, cm_estimate, rank::BIGINT AS rank
 FROM rk WHERE rank <= {_CM_K}""",
+        # Bloom-prefilter twin: the PLAIN anti-join — the bloom is a
+        # plan accelerator, not a semantic; results must be identical.
+        "doc_blocklist_scrub": """
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+b AS (SELECT DISTINCT h FROM d WHERE doc_id % 50 = 0)
+SELECT d.doc_id, d.h
+FROM d LEFT JOIN b ON d.h = b.h
+WHERE b.h IS NULL""",
         "events_rollup": """
 SELECT event_type,
        epoch_us(date_trunc('day', ts))::BIGINT AS day_us,

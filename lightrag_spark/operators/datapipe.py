@@ -1771,6 +1771,80 @@ def cm_heavy_hitters(
     )
 
 
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def bloom_anti_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Rows of ``big`` whose ``key`` does NOT appear in ``small`` — an
+    exact anti-join (blocklist scrub, decontamination by id) whose plan
+    is accelerated by a broadcast Bloom filter: rows the filter proves
+    absent (any of k md5-derived bits unset) pass scan-side WITHOUT ever
+    reaching the join; only bloom-positive candidates — true members
+    plus the ~(1-e^-kn/m)^k false-positive sliver — pay the exact
+    left-anti join that removes real members and false positives alike.
+    The RESULT is therefore byte-identical to the plain anti-join (the
+    DuckDB twin, ``queries[doc_blocklist_scrub]``, IS the plain
+    anti-join); only the shuffled row count changes.
+
+    The bit array is built driver-side from the small side's k*|small|
+    distinct positions (bounded by contract — blocklists/benchmark sets,
+    the KMeans-codebook precedent) and shipped as a literal array of
+    m/64 longs inside the plan — no shuffle at all for the definite
+    negatives, which at 100 TB is ~all rows.
+    """
+    small_keys = small.select(F.col(key).cast("string").alias("_sk")).distinct()
+
+    def pos_col(val, i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), val)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    pos = set()
+    for i in range(k):
+        for r in small_keys.select(pos_col(F.col("_sk"), i).alias("p")).distinct().collect():
+            pos.add(int(r["p"]))
+    words = [0] * (m_bits // 64)
+    for p in pos:
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed 64-bit for the long literal
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bits = F.array(*[F.lit(w).cast("long") for w in words])
+
+    kv = F.col(key).cast("string")
+    hit = None
+    for i in range(k):
+        p = pos_col(kv, i)
+        b = (
+            F.getbit(
+                F.element_at(bits, (p / 64).cast("int") + 1), (p % 64).cast("int")
+            )
+            == 1
+        )
+        hit = b if hit is None else (hit & b)
+    tagged = big.withColumn("_cand", hit)
+    clean = tagged.filter(~F.col("_cand")).drop("_cand")
+    maybe = (
+        tagged.filter(F.col("_cand"))
+        .drop("_cand")
+        .join(small_keys, kv == F.col("_sk"), "left_anti")
+    )
+    return clean.unionByName(maybe)
+
+
 DSIR_BUCKETS = 4096
 
 
