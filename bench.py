@@ -154,6 +154,7 @@ def main():
         "kg_node_similarity",
         "text_hll_tokens",
         "text_cm_heavy_hitters",
+        "doc_blocklist_scrub",
     )
 
     def _time(name):
