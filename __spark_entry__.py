@@ -1664,6 +1664,45 @@ def _q_blocklist_scrub(spark, sf):
     return dp.bloom_anti_join(docs, block, key="h")
 
 
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _q_events_funnel(spark, sf):
+    """Strict sequential funnel (datapipe.funnel_counts): earliest
+    at-or-after progression through signup -> view -> click -> purchase;
+    per-step distinct-user counts, monotone down the funnel."""
+    return dp.funnel_counts(
+        spark.read.parquet(f"{sf}/events.parquet"), steps=_FUNNEL_STEPS
+    )
+
+
+def _q_events_retention(spark, sf):
+    """Retention triangle (datapipe.retention_cohorts): first-signup-day
+    cohorts x integer day offsets, exact distinct-user counts."""
+    return dp.retention_cohorts(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _funnel_sql(steps: tuple = _FUNNEL_STEPS) -> str:
+    parts = [
+        f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = '{steps[0]}' GROUP BY user_id)"""
+    ]
+    for i in range(1, len(steps)):
+        parts.append(f""",
+s{i + 1} AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s{i} p ON e.user_id = p.user_id AND e.ts >= p.t
+  WHERE e.event_type = '{steps[i]}' GROUP BY e.user_id)""")
+    selects = [
+        f"SELECT '{s}' AS step, {i + 1}::BIGINT AS step_idx,"
+        f" (SELECT count(*) FROM s{i + 1})::BIGINT AS n_users"
+        for i, s in enumerate(steps)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
 _CM_K = 20
 
 
@@ -1912,6 +1951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hll_tokens": _q_hll_tokens,
         "text_cm_heavy_hitters": _q_cm_heavy_hitters,
         "doc_blocklist_scrub": _q_blocklist_scrub,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
     }
 
 
@@ -3190,6 +3231,22 @@ b AS (SELECT DISTINCT h FROM d WHERE doc_id % 50 = 0)
 SELECT d.doc_id, d.h
 FROM d LEFT JOIN b ON d.h = b.h
 WHERE b.h IS NULL""",
+        "events_funnel": _funnel_sql(),
+        # Retention: integer-microsecond day arithmetic; DuckDB // floors
+        # and Spark DIV truncates — equal on these non-negatives (the
+        # pagerank argument).
+        "events_retention": """
+WITH f AS (
+  SELECT user_id, min(epoch_us(date_trunc('day', ts)))::BIGINT AS cohort
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts))::BIGINT AS d
+      FROM events)
+SELECT f.cohort AS cohort_day_us,
+       ((a.d - f.cohort) // 86400000000)::BIGINT AS day_offset,
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+WHERE a.d >= f.cohort
+GROUP BY 1, 2""",
         "events_rollup": """
 SELECT event_type,
        epoch_us(date_trunc('day', ts))::BIGINT AS day_us,

@@ -155,6 +155,8 @@ def main():
         "text_hll_tokens",
         "text_cm_heavy_hitters",
         "doc_blocklist_scrub",
+        "events_funnel",
+        "events_retention",
     )
 
     def _time(name):

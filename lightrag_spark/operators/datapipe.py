@@ -1969,6 +1969,89 @@ def events_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple = ("signup", "view", "click", "purchase"),
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step, step_idx, n_users) — strict sequential funnel: a user
+    completes step i at the EARLIEST occurrence of that event type at or
+    after their step-(i-1) completion time (ties allowed — same-instant
+    progression counts, matching the SQL twin's >=).  Counts are
+    monotonically non-increasing down the funnel.
+
+    One filtered min-aggregate + one key equi-join per step (the step
+    list is small and fixed — the loop unrolls into a static plan, and
+    the per-step frontier is checkpointed so step k does not replay
+    steps 1..k-1); all values are exact timestamp minima and integer
+    counts — no floats anywhere (``queries[events_funnel]``).
+    """
+    prev = None
+    outs = []
+    for idx, s in enumerate(steps):
+        ev = events.filter(F.col(type_col) == s).select(
+            F.col(key).alias("k"), F.col(ts).alias("t")
+        )
+        if prev is None:
+            cur = ev.groupBy("k").agg(F.min("t").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.select("k", F.col("t").alias("pt")), "k")
+                .filter(F.col("t") >= F.col("pt"))
+                .groupBy("k")
+                .agg(F.min("t").alias("t"))
+            )
+        prev = cur.localCheckpoint(eager=True)
+        outs.append(
+            prev.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(s).alias("step"),
+                F.lit(idx + 1).cast("long").alias("step_idx"),
+                "n_users",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def retention_cohorts(
+    events: DataFrame,
+    anchor_type: str = "signup",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(cohort_day_us, day_offset, n_users) — classic retention triangle:
+    users are cohorted by the day of their FIRST ``anchor_type`` event;
+    for every later activity day, the count of distinct cohort members
+    active at that day offset.  Day arithmetic is integer microseconds
+    with integer DIV (never double division — the interval_join lesson);
+    counts are exact distincts (``queries[events_retention]``).
+
+    Shape: one anchor min-aggregate, one per-(user, day) distinct, a
+    user-keyed join, and one count-distinct aggregate — all map-side
+    combinable, no windows, no floats.
+    """
+    day_us = F.unix_micros(F.date_trunc("day", F.col(ts).cast("timestamp")))
+    first = (
+        events.filter(F.col(type_col) == anchor_type)
+        .select(F.col(key).alias("k"), day_us.alias("d"))
+        .groupBy("k")
+        .agg(F.min("d").alias("cohort"))
+    )
+    act = events.select(F.col(key).alias("k"), day_us.alias("d")).distinct()
+    j = act.join(first, "k").filter(F.col("d") >= F.col("cohort"))
+    day_len = 86_400_000_000
+    return (
+        j.withColumn("day_offset", F.expr(f"(d - cohort) DIV {day_len}"))
+        .groupBy(F.col("cohort").alias("cohort_day_us"), "day_offset")
+        .agg(F.countDistinct("k").cast("long").alias("n_users"))
+    )
+
+
 def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """(user_id, session_idx, n_events) — gap-based sessionization via lag +
     running sum, the standard shuffle-once window pattern."""
