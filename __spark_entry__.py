@@ -1664,6 +1664,23 @@ def _q_blocklist_scrub(spark, sf):
     return dp.bloom_anti_join(docs, block, key="h")
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_events_pivot(spark, sf):
+    """Per-user event-type count matrix (datapipe.events_pivot): static
+    explicit-values pivot == the twin's conditional aggregation."""
+    return dp.events_pivot(
+        spark.read.parquet(f"{sf}/events.parquet"), types=_PIVOT_TYPES
+    )
+
+
+def _q_events_anomalies(spark, sf):
+    """Hourly volume z-scores (datapipe.events_hourly_anomalies): exact
+    integer moments, one fixed-order float chain at 4dp."""
+    return dp.events_hourly_anomalies(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 _FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
 
@@ -1953,6 +1970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_blocklist_scrub": _q_blocklist_scrub,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_pivot": _q_events_pivot,
+        "events_anomalies": _q_events_anomalies,
     }
 
 
@@ -3247,6 +3266,32 @@ SELECT f.cohort AS cohort_day_us,
 FROM a JOIN f ON a.user_id = f.user_id
 WHERE a.d >= f.cohort
 GROUP BY 1, 2""",
+        "events_pivot": f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}')::BIGINT AS n_{t}" for t in _PIVOT_TYPES)}
+FROM events GROUP BY user_id""",
+        "events_anomalies": """
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, count(*)::BIGINT AS k, sum(n)::BIGINT AS s,
+         sum(n * n)::BIGINT AS s2
+  FROM hourly GROUP BY event_type),
+j AS (
+  SELECT h.event_type, h.hour_us, h.n,
+         st.s::DOUBLE / st.k::DOUBLE AS mean,
+         st.s2::DOUBLE / st.k::DOUBLE
+           - (st.s::DOUBLE / st.k::DOUBLE) * (st.s::DOUBLE / st.k::DOUBLE)
+           AS var,
+         st.k
+  FROM hourly h JOIN st ON h.event_type = st.event_type)
+SELECT event_type, hour_us, n,
+       CASE WHEN k > 1 AND sqrt(var) > 0
+            THEN round((n::DOUBLE - mean) / sqrt(var), 4)
+            ELSE 0.0 END AS zscore
+FROM j""",
         "events_rollup": """
 SELECT event_type,
        epoch_us(date_trunc('day', ts))::BIGINT AS day_us,

@@ -157,6 +157,8 @@ def main():
         "doc_blocklist_scrub",
         "events_funnel",
         "events_retention",
+        "events_pivot",
+        "events_anomalies",
     )
 
     def _time(name):

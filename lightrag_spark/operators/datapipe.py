@@ -2052,6 +2052,57 @@ def retention_cohorts(
     )
 
 
+def events_pivot(
+    events: DataFrame,
+    types: tuple = ("click", "error", "purchase", "signup", "view"),
+    key: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, n_<type>...) — per-user event-type count matrix via
+    pivot.  The explicit ``types`` list matters at scale: without it
+    Spark runs an extra distinct-values job AND the column set becomes
+    data-dependent (schema drift between runs); with it the pivot is one
+    map-side-combinable aggregate with a static schema, identical to the
+    conditional-aggregation form the twin uses
+    (``queries[events_pivot]``)."""
+    out = events.groupBy(key).pivot(type_col, list(types)).count()
+    for t in types:
+        out = out.withColumn(
+            f"n_{t}", F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("long")
+        ).drop(t)
+    return out
+
+
+def events_hourly_anomalies(events: DataFrame) -> DataFrame:
+    """(event_type, hour_us, n, zscore) — volume-anomaly scoring: each
+    (type, hour) bucket's count z-scored against that type's own hourly
+    distribution.  Moments are EXACT integer sums (k, S, S2) so the only
+    float work is the final mean/variance/z chain in one fixed operation
+    order, 4dp-rounded — engine-identical (``queries[events_anomalies]``).
+    Degenerate types (one bucket or zero variance) score 0.0 rather than
+    dividing by zero."""
+    hour_us = F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+    hourly = (
+        events.select("event_type", hour_us.alias("hour_us"))
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    j = hourly.join(stats, "event_type")
+    mean = F.col("s").cast("double") / F.col("k").cast("double")
+    var = F.col("s2").cast("double") / F.col("k").cast("double") - mean * mean
+    std = F.sqrt(var)
+    z = F.when(
+        (F.col("k") > 1) & (std > 0),
+        F.round((F.col("n").cast("double") - mean) / std, 4),
+    ).otherwise(F.lit(0.0))
+    return j.select("event_type", "hour_us", "n", z.alias("zscore"))
+
+
 def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """(user_id, session_idx, n_events) — gap-based sessionization via lag +
     running sum, the standard shuffle-once window pattern."""
