@@ -122,6 +122,7 @@ def main():
         "kg_edge_lift",
         "kg_triangles",
         "kg_communities",
+        "kg_node_similarity",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -151,7 +152,6 @@ def main():
         "events_interval_join",
         "events_quantiles",
         "data_dsir_weights",
-        "kg_node_similarity",
         "text_hll_tokens",
         "text_cm_heavy_hitters",
         "doc_blocklist_scrub",
