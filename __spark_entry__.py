@@ -1440,14 +1440,18 @@ def _q_kg_pagerank(spark, sf):
 
 
 def _pagerank_sql(iterations: int = _PR_ITER, scale: int = _PR_SCALE,
-                  num: int = 85, den: int = 100) -> str:
-    """Unrolled-iteration PageRank oracle chain over the edges CTE."""
+                  num: int = 85, den: int = 100,
+                  weighted: bool = False) -> str:
+    """Unrolled-iteration PageRank oracle chain over the edges CTE.
+    ``weighted``: mass leaves u proportionally to relation_count —
+    per-edge (r*w) // W_u with W_u = sum of u's edge weights."""
+    w_expr = "relation_count::BIGINT" if weighted else "1::BIGINT"
     parts = [f"""
 , und AS (
-  SELECT src AS u, tgt AS v FROM edges
+  SELECT src AS u, tgt AS v, {w_expr} AS w FROM edges
   UNION
-  SELECT tgt AS u, src AS v FROM edges),
-udeg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY u),
+  SELECT tgt AS u, src AS v, {w_expr} AS w FROM edges),
+udeg AS (SELECT u, sum(w)::BIGINT AS d FROM und GROUP BY u),
 nn AS (SELECT count(*)::BIGINT AS n FROM udeg),
 pr0 AS (SELECT u, ({scale} // (SELECT n FROM nn))::BIGINT AS r FROM udeg)"""]
     for k in range(1, iterations + 1):
@@ -1457,7 +1461,7 @@ pr{k} AS (
          ((({den - num}) * ({scale} // (SELECT n FROM nn))) // {den}
           + ({num} * coalesce(c.s, 0)) // {den})::BIGINT AS r
   FROM udeg dg LEFT JOIN (
-    SELECT e.v, sum(p.r // d2.d) AS s
+    SELECT e.v, sum((p.r * e.w) // d2.d) AS s
     FROM pr{k - 1} p JOIN udeg d2 ON p.u = d2.u JOIN und e ON e.u = p.u
     GROUP BY e.v) c ON dg.u = c.v)""")
     parts.append(
@@ -1465,6 +1469,23 @@ pr{k} AS (
         f" FROM pr{iterations}"
     )
     return "".join(parts)
+
+
+def _q_kg_pagerank_weighted(spark, sf):
+    """Weighted fixed-point PageRank: mass flows proportionally to the
+    reference's relation_count edge weights — (r*w) DIV W_u per edge,
+    still bit-exact integers (graphs.pagerank_fixedpoint weight=...)."""
+    from lightrag_spark.operators.graphs import pagerank_fixedpoint
+
+    r = _build(spark, sf)
+    e = r.kg_edges.select(
+        "src", "tgt", F.col("relation_count").cast("long").alias("rc")
+    ).localCheckpoint(eager=True)
+    return pagerank_fixedpoint(
+        e, dst="tgt", iterations=_PR_ITER, scale=_PR_SCALE, weight="rc"
+    ).select(
+        "node", "rank_fp", F.col("rank").cast("double").alias("pagerank")
+    )
 
 
 def _q_kg_edge_lift(spark, sf):
@@ -1972,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "events_pivot": _q_events_pivot,
         "events_anomalies": _q_events_anomalies,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
     }
 
 
@@ -2564,6 +2586,7 @@ FROM walk w JOIN nodes n USING (entity_name)
 GROUP BY w.entity_name, n.degree""",
         "text_pii_redact": _pii_sql(),
         "kg_pagerank": _KG_CTE + _pagerank_sql(),
+        "kg_pagerank_weighted": _KG_CTE + _pagerank_sql(weighted=True),
         "kg_edge_lift": _KG_CTE + """
 , ec AS (SELECT entity_name AS e, count(*)::BIGINT AS n_c FROM mentions GROUP BY 1),
 nch AS (SELECT count(DISTINCT chunk_id)::BIGINT AS n FROM mentions),

@@ -123,6 +123,7 @@ def main():
         "kg_triangles",
         "kg_communities",
         "kg_node_similarity",
+        "kg_pagerank_weighted",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",

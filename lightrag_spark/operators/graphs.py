@@ -144,6 +144,7 @@ def pagerank_fixedpoint(
     scale: int = 10**12,
     damping_num: int = 85,
     damping_den: int = 100,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, rank_fp, rank) — PageRank over the undirected KG in
     FIXED-POINT integer arithmetic (ranks are BIGINTs scaled by
@@ -174,15 +175,23 @@ def pagerank_fixedpoint(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    # ``weight``: optional positive integer edge-weight column (the
+    # reference's relation_count).  Mass leaves u proportionally to edge
+    # weight — per-edge contribution (r*w) DIV W_u, still pure integers
+    # (w=1 reduces to r DIV d exactly, so the unweighted oracle is
+    # unchanged).  Overflow bound: max_w * scale must stay < 2^63.
+    wcol = (F.col(weight).cast("long") if weight else F.lit(1).cast("long")).alias(
+        "w"
+    )
     und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), wcol)
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), wcol))
         .distinct()
         .localCheckpoint(eager=True)
     )
     deg = (
         und.groupBy("u")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .agg(F.sum("w").cast("long").alias("d"))
         .localCheckpoint(eager=True)
     )
     n = deg.count()
@@ -198,8 +207,8 @@ def pagerank_fixedpoint(
     for _ in range(iterations):
         contrib = (
             ranks.join(deg, "u")
-            .select(F.col("u"), F.expr("r DIV d").alias("c"))
             .join(und, "u")
+            .select(F.col("v"), F.expr("(r * w) DIV d").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("s"))
         )
