@@ -1488,6 +1488,21 @@ def _q_kg_pagerank_weighted(spark, sf):
     )
 
 
+_NEG_K = 2
+
+
+def _q_kg_negative_samples(spark, sf):
+    """TransE-style corrupted triples (graphs.kg_negative_samples):
+    md5-picked negative tails, reproducible across runs and engines;
+    endpoint collisions filtered, not resampled."""
+    from lightrag_spark.operators.graphs import kg_negative_samples
+
+    r = _build(spark, sf)
+    return kg_negative_samples(
+        r.kg_edges.select("src", "tgt"), r.kg_nodes, k=_NEG_K
+    )
+
+
 def _q_kg_edge_lift(spark, sf):
     """Chunk-level co-occurrence lift (operators/graphs.py:
     cooccurrence_lift): PMI-style edge weighting that corrects the
@@ -1994,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "events_anomalies": _q_events_anomalies,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
+        "kg_negative_samples": _q_kg_negative_samples,
     }
 
 
@@ -2587,6 +2603,24 @@ GROUP BY w.entity_name, n.degree""",
         "text_pii_redact": _pii_sql(),
         "kg_pagerank": _KG_CTE + _pagerank_sql(),
         "kg_pagerank_weighted": _KG_CTE + _pagerank_sql(weighted=True),
+        # Negative-sampling twin: identical dictionary order (row_number
+        # over entity name), identical md5 index pick, same collision
+        # filter.  chr(31) is the \\x1f concat separator.
+        "kg_negative_samples": _KG_CTE + f"""
+, ndict AS (
+  SELECT e AS neg_tgt,
+         (row_number() OVER (ORDER BY e) - 1)::BIGINT AS _idx
+  FROM (SELECT DISTINCT entity_name AS e FROM mentions)),
+nn2 AS (SELECT count(*)::BIGINT AS n FROM ndict),
+samp AS (
+  SELECT e.src, e.tgt, u.i AS sample_idx,
+         ('0x' || substr(md5(e.src || chr(31) || e.tgt || chr(31)
+                             || u.i::VARCHAR), 1, 8))::BIGINT
+           % (SELECT n FROM nn2) AS _idx
+  FROM edges e, unnest(generate_series(0, {_NEG_K - 1})) AS u(i))
+SELECT s.src, s.tgt, d.neg_tgt, s.sample_idx::BIGINT AS sample_idx
+FROM samp s JOIN ndict d ON s._idx = d._idx
+WHERE d.neg_tgt <> s.src AND d.neg_tgt <> s.tgt""",
         "kg_edge_lift": _KG_CTE + """
 , ec AS (SELECT entity_name AS e, count(*)::BIGINT AS n_c FROM mentions GROUP BY 1),
 nch AS (SELECT count(DISTINCT chunk_id)::BIGINT AS n FROM mentions),

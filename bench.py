@@ -124,6 +124,7 @@ def main():
         "kg_communities",
         "kg_node_similarity",
         "kg_pagerank_weighted",
+        "kg_negative_samples",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",

@@ -501,3 +501,60 @@ def common_neighbor_similarity(
             ).alias("jaccard"),
         )
     )
+
+
+def kg_negative_samples(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    tgt: str = "tgt",
+    name_col: str = "entity_name",
+) -> DataFrame:
+    """(src, tgt, neg_tgt, sample_idx) — deterministic negative sampling
+    for KG-embedding training (TransE/DistMult corrupted triples): every
+    positive edge yields up to ``k`` negatives whose tail is replaced by
+    an md5-picked entity.  Hash-derived picks make the training set
+    reproducible across runs AND engines (the DuckDB twin,
+    ``queries[kg_negative_samples]``, draws the identical entities);
+    picks that collide with either endpoint of the positive edge are
+    FILTERED, not resampled (resampling loops are data-dependent; the
+    expected loss is k/N per edge and the schedule stays deterministic —
+    documented contract).
+
+    Shape: the entity dictionary gets a global row_number — a
+    single-partition window, acceptable because the node table is the
+    bounded dimension (entities, not documents; the KMeans-codebook
+    argument) — then the pick is a plain equi-join on the hashed index.
+    """
+    w = Window.orderBy(name_col)
+    dictionary = nodes.select(name_col).distinct().select(
+        F.col(name_col).alias("neg_tgt"),
+        (F.row_number().over(w) - 1).cast("long").alias("_idx"),
+    )
+    n = dictionary.count()
+    if n == 0:
+        raise ValueError("empty node dictionary")
+    samples = edges.select(src, tgt).withColumn(
+        "sample_idx", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    ).withColumn(
+        "_idx",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("\x1f", F.col(src), F.col(tgt),
+                                F.col("sample_idx").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n,
+    )
+    return (
+        samples.join(F.broadcast(dictionary), "_idx")
+        .filter((F.col("neg_tgt") != F.col(src)) & (F.col("neg_tgt") != F.col(tgt)))
+        .select(src, tgt, "neg_tgt", F.col("sample_idx").cast("long").alias("sample_idx"))
+    )
