@@ -10,8 +10,17 @@ from lightrag_spark.sources.bucketed import save_kg_bucketed
 
 @pytest.fixture()
 def bucketed_pair(spark, tmp_path_factory):
-    spark.sql("DROP TABLE IF EXISTS kgtest_nodes_b")
-    spark.sql("DROP TABLE IF EXISTS kgtest_mentions_b")
+    import shutil
+
+    for t in ("kgtest_nodes_b", "kgtest_mentions_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a FRESH in-memory catalog does not know tables a previous
+        # session wrote, but their warehouse directories persist on disk
+        # and block re-creation (LOCATION_ALREADY_EXISTS) — clear both
+        loc = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
     nodes = spark.createDataFrame(
         [(f"e{i}", i % 5) for i in range(200)], "entity_name string, degree long"
     )
