@@ -1621,6 +1621,31 @@ SELECT p.node, p.lbl AS community, s.community_size
 FROM lp{iterations} p JOIN lsz s ON p.lbl = s.lbl"""
 
 
+def _kcore_sql(iterations: int) -> str:
+    """Unrolled h-index k-core rounds over the edges CTE (the LPA
+    pattern): kc0 = degree, kc{k} = per-node h-index of neighbor values
+    in kc{k-1} — max(least(val, rn)) over neighbors ranked by descending
+    value, integers throughout."""
+    parts = ["""
+, kund AS (
+  SELECT src AS u, tgt AS v FROM edges WHERE src <> tgt
+  UNION
+  SELECT tgt AS u, src AS v FROM edges WHERE src <> tgt),
+kc0 AS (SELECT u AS node, count(*)::BIGINT AS val FROM kund GROUP BY u)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+kc{k} AS (
+  SELECT node, max(least(val, rn))::BIGINT AS val FROM (
+    SELECT e.u AS node, c.val,
+           row_number() OVER (PARTITION BY e.u ORDER BY c.val DESC) AS rn
+    FROM kund e JOIN kc{k - 1} c ON e.v = c.node) t
+  GROUP BY node)""")
+    parts.append(f"""
+SELECT k0.node, k0.val AS degree, kf.val AS coreness
+FROM kc0 k0 JOIN kc{iterations} kf ON k0.node = kf.node""")
+    return "".join(parts)
+
+
 _TFIDF_K = 3
 
 
@@ -1924,6 +1949,29 @@ def _q_kg_links_embedding(spark, sf):
     )
 
 
+_KCORE_ITER = 3
+
+
+def _q_kg_kcore(spark, sf):
+    """K-core decomposition (graphs.kcore_hindex): coreness by iterated
+    neighborhood h-index — fixed-K twin mode so the DuckDB gate replays
+    the identical unrolled rounds; pytest pins fixed-K == converged."""
+    from lightrag_spark.operators.graphs import kcore_hindex
+
+    r = _build(spark, sf)
+    return kcore_hindex(r.kg_edges.select("src", "tgt"), iterations=_KCORE_ITER)
+
+
+def _q_kg_adamic_adar(spark, sf):
+    """Adamic-Adar link prediction (graphs.adamic_adar): hub-discounted
+    common-neighbor scores, sorted-fold IEEE-identical to the twin.
+    Unpruned at gate scale; max_apex_degree is pinned by pytest."""
+    from lightrag_spark.operators.graphs import adamic_adar
+
+    r = _build(spark, sf)
+    return adamic_adar(r.kg_edges.select("src", "tgt"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_chunks": _q_kg_chunks,
@@ -2010,6 +2058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": _q_events_anomalies,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_negative_samples": _q_kg_negative_samples,
+        "kg_kcore": _q_kg_kcore,
+        "kg_adamic_adar": _q_kg_adamic_adar,
     }
 
 
@@ -2621,6 +2671,31 @@ samp AS (
 SELECT s.src, s.tgt, d.neg_tgt, s.sample_idx::BIGINT AS sample_idx
 FROM samp s JOIN ndict d ON s._idx = d._idx
 WHERE d.neg_tgt <> s.src AND d.neg_tgt <> s.tgt""",
+        # K-core twin: the identical K unrolled h-index rounds the Spark
+        # operator runs in fixed-iterations mode (integer-only — no float
+        # hazards anywhere in the chain).
+        "kg_kcore": _KG_CTE + _kcore_sql(_KCORE_ITER),
+        # Adamic-Adar twin: wedge apexes + degrees, per-pair ascending-z
+        # ordered list, seeded fold of 1/ln(d) — the sorted-fold IEEE
+        # pattern (unigram_logprob).
+        "kg_adamic_adar": _KG_CTE + """
+, aund AS (
+  SELECT src AS a, tgt AS b FROM edges WHERE src <> tgt
+  UNION
+  SELECT tgt AS a, src AS b FROM edges WHERE src <> tgt),
+adeg AS (SELECT a AS node, count(*)::BIGINT AS d FROM aund GROUP BY a),
+awed AS (
+  SELECT x.b AS pa, y.b AS pb, x.a AS z, g.d
+  FROM aund x JOIN aund y ON x.a = y.a AND x.b < y.b
+  JOIN adeg g ON x.a = g.node),
+apairs AS (
+  SELECT pa, pb, count(*)::BIGINT AS common_neighbors,
+         list(d ORDER BY z) AS ds
+  FROM awed GROUP BY pa, pb)
+SELECT pa AS src, pb AS tgt, common_neighbors,
+       round(list_reduce(list_prepend(0.0, list_transform(ds,
+         x -> 1.0 / ln(x::DOUBLE))), (a, b) -> a + b), 4) AS adamic_adar
+FROM apairs""",
         "kg_edge_lift": _KG_CTE + """
 , ec AS (SELECT entity_name AS e, count(*)::BIGINT AS n_c FROM mentions GROUP BY 1),
 nch AS (SELECT count(DISTINCT chunk_id)::BIGINT AS n FROM mentions),

@@ -558,3 +558,170 @@ def kg_negative_samples(
         .filter((F.col("neg_tgt") != F.col(src)) & (F.col("neg_tgt") != F.col(tgt)))
         .select(src, tgt, "neg_tgt", F.col("sample_idx").cast("long").alias("sample_idx"))
     )
+
+
+def kcore_hindex(
+    edges: DataFrame,
+    src: str = "src",
+    tgt: str = "tgt",
+    iterations: int | None = None,
+    max_iter: int = 64,
+    on_round=None,
+) -> DataFrame:
+    """(node, degree, coreness) — k-core decomposition by iterated
+    neighborhood h-index (Lu et al., "The H-index of a network node and
+    its relation to degree and coreness", Nat. Commun. 2016): start every
+    node at its degree, then repeatedly replace each node's value with the
+    h-index of its neighbors' values (the largest h such that >= h
+    neighbors hold value >= h).  The sequence is non-increasing and its
+    fixed point IS the coreness — the classic sequential peel
+    (Batagelj-Zaversnik) is inherently serial, while this form is one
+    join + one window + one aggregate per round, all codegen, no Python.
+
+    ``iterations=None`` runs to the observed fixed point (one extra
+    confirming round; fails LOUD past ``max_iter`` like
+    :func:`connected_components`).  ``iterations=K`` runs exactly K
+    rounds — the oracle-twin mode: the DuckDB gate replays the identical
+    K-round unrolled CTE chain, and pytest pins fixed-K == converged at
+    gate scale.  Values are integers throughout; no float hazards.
+
+    The per-round h-index is max(least(val, rn)) over neighbors ranked by
+    descending value — row_number ties among equal values are provably
+    irrelevant to that max, so the window needs no tiebreak column.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("val"))
+        .select(F.col("a").alias("node"), "val")
+        .localCheckpoint(eager=True)
+    )
+
+    def _round(cur: DataFrame) -> DataFrame:
+        nb = und.join(
+            cur.select(F.col("node").alias("b"), "val"), "b"
+        ).select("a", "val")
+        w = Window.partitionBy("a").orderBy(F.col("val").desc())
+        return (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("a")
+            .agg(F.max(F.least(F.col("val"), F.col("rn"))).cast("long").alias("val"))
+            .select(F.col("a").alias("node"), "val")
+        )
+
+    vals = deg
+    if iterations is not None:
+        if iterations < 0:
+            raise ValueError(f"iterations must be >= 0, got {iterations}")
+        for k in range(iterations):
+            vals = _round(vals).localCheckpoint(eager=True)
+            if on_round is not None:
+                on_round(k, None)
+    else:
+        if max_iter < 1:
+            raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+        changed = -1
+        for k in range(max_iter):
+            nxt = _round(vals).localCheckpoint(eager=True)
+            changed = (
+                nxt.join(vals.withColumnRenamed("val", "old"), "node")
+                .filter(F.col("val") != F.col("old"))
+                .count()
+            )
+            vals = nxt
+            if on_round is not None:
+                on_round(k, changed)
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"kcore_hindex did not converge in {max_iter} rounds "
+                f"({changed} values still changing) — raise max_iter"
+            )
+    return deg.withColumnRenamed("val", "degree").join(
+        vals.withColumnRenamed("val", "coreness"), "node"
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    tgt: str = "tgt",
+    max_apex_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """(src, tgt, common_neighbors, adamic_adar) — the hub-discounted
+    sibling of :func:`common_neighbor_similarity`: each shared neighbor z
+    contributes 1/ln(deg(z)) instead of 1 (Adamic & Adar, "Friends and
+    neighbors on the Web", 2003), so a pair sharing three specialist
+    entities outranks one sharing three hubs — the discount the raw
+    common-neighbor count can't express and the reason AA is the default
+    unsupervised link-prediction baseline (Liben-Nowell & Kleinberg).
+
+    Cross-engine determinism for the float sum: each pair's contributions
+    fold in ascending-apex-name order from a 0.0 seed (sort_array over
+    (z, deg) structs + F.aggregate here; list(... ORDER BY z) +
+    list_reduce(list_prepend(0.0, ...)) in the DuckDB twin), then round
+    to 4dp — the established sorted-fold IEEE-twin pattern
+    (unigram_logprob).  deg(z) >= 2 for every wedge apex by construction,
+    so ln never sees 1 and the term is finite.
+
+    ``max_apex_degree`` bounds the sum(d^2) wedge fan-out exactly as in
+    common_neighbor_similarity (drop hub apexes BEFORE wedge generation;
+    documented semantic change).  Off at gate scale so the oracle replays
+    the unpruned form.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    if max_apex_degree is not None:
+        deg0 = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        kept = deg0.filter(F.col("d") <= max_apex_degree).select("a")
+        und = (
+            und.join(kept, "a")
+            .join(kept.select(F.col("a").alias("b")), "b")
+            .localCheckpoint(eager=True)
+        )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x = und.select(F.col("a").alias("u"), F.col("b").alias("n1"))
+    y = und.select(F.col("a").alias("u"), F.col("b").alias("n2"))
+    wedges = (
+        x.join(y, "u")
+        .filter(F.col("n1") < F.col("n2"))
+        .join(deg.select(F.col("a").alias("u"), "d"), "u")
+    )
+    grouped = (
+        wedges.groupBy(F.col("n1").alias("pa"), F.col("n2").alias("pb"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("u").alias("z"), F.col("d")))
+            ).alias("zs"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    return grouped.select(
+        F.col("pa").alias("src"),
+        F.col("pb").alias("tgt"),
+        "common_neighbors",
+        F.round(
+            F.aggregate(
+                "zs",
+                F.lit(0.0),
+                lambda acc, s: acc + F.lit(1.0) / F.log(s["d"].cast("double")),
+            ),
+            4,
+        ).alias("adamic_adar"),
+    )
