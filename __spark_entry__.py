@@ -1951,6 +1951,27 @@ def _q_kg_links_embedding(spark, sf):
 
 _KCORE_ITER = 3
 
+# Unigram-LM scorer twin (shared by text_unigram_logprob and
+# text_ccnet_buckets): exact counts, per-doc sorted fold, 4dp round.
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+tok AS (SELECT doc_id, u.w FROM toks, unnest(t) AS u(w)),
+cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c)::BIGINT AS n FROM cnt),
+tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, w),
+agg AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+         list(struct_pack(tf := tf.tf, c := cnt.c) ORDER BY tf.w) AS l
+  FROM tf JOIN cnt ON tf.w = cnt.w GROUP BY tf.doc_id),
+aggn AS (SELECT a.*, t.n FROM agg a, tot t)
+SELECT doc_id, n_tokens,
+       round(list_reduce(
+               list_prepend(0.0, list_transform(
+                 l, s -> s.tf::DOUBLE * ln(s.c::DOUBLE / n::DOUBLE))),
+               (a, x) -> a + x) / n_tokens, 4) AS avg_logprob
+FROM aggn"""
+
 
 def _q_kg_kcore(spark, sf):
     """K-core decomposition (graphs.kcore_hindex): coreness by iterated
@@ -1970,6 +1991,22 @@ def _q_kg_adamic_adar(spark, sf):
 
     r = _build(spark, sf)
     return adamic_adar(r.kg_edges.select("src", "tgt"))
+
+
+def _q_ngram_repetition(spark, sf):
+    """Gopher n-gram repetition ladder (datapipe.ngram_repetition):
+    top-{3,4}-gram and duplicate-{5,10}-gram character coverage — the
+    repetition signals gopher_quality's top_bigram_char_frac ladder is
+    missing."""
+    return dp.ngram_repetition(_documents(spark, sf))
+
+
+def _q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail split (datapipe.ccnet_buckets): unigram-LM
+    rank cut into ntile-convention thirds; the Spark side computes the
+    global rank with the packing two-phase scan (no single-partition
+    window), the twin with a literal ntile(3)."""
+    return dp.ccnet_buckets(_documents(spark, sf))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2060,6 +2097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_kcore": _q_kg_kcore,
         "kg_adamic_adar": _q_kg_adamic_adar,
+        "text_ngram_repetition": _q_ngram_repetition,
+        "text_ccnet_buckets": _q_ccnet_buckets,
     }
 
 
@@ -3139,24 +3178,50 @@ FROM fl GROUP BY doc_id""",
         # Unigram-LM scoring: exact integer counts; the per-doc score is a
         # SEEDED SEQUENTIAL FOLD over w-sorted (tf, c) pairs so the IEEE
         # addition order matches Spark's F.aggregate exactly.
-        "text_unigram_logprob": """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-tok AS (SELECT doc_id, u.w FROM toks, unnest(t) AS u(w)),
-cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
-tot AS (SELECT sum(c)::BIGINT AS n FROM cnt),
-tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, w),
+        "text_unigram_logprob": _UNIGRAM_SQL,
+        # CCNet head/middle/tail twin: the same unigram scorer wrapped in
+        # a literal ntile(3) — an independent formulation of the cut the
+        # Spark side makes with the two-phase distributed rank.
+        "text_ccnet_buckets": f"""
+WITH scored AS ({_UNIGRAM_SQL}),
+tiled AS (
+  SELECT doc_id, n_tokens, avg_logprob,
+         ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS tile
+  FROM scored)
+SELECT doc_id, n_tokens, avg_logprob,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM tiled""",
+        # Gopher n-gram repetition ladder twin: integer coverages, one
+        # lateral gram explode for all four n values.
+        "text_ngram_repetition": f"""
+WITH base AS (
+  SELECT doc_id, len(trim(text))::BIGINT AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, n.n, array_to_string(t[u.i+1:u.i+n.n], ' ') AS gram
+  FROM base, unnest([{", ".join(str(n) for n in sorted(set(dp.NGRAM_TOP_NS) | set(dp.NGRAM_DUP_NS)))}]) AS n(n),
+       unnest(generate_series(0, len(t)-n.n)) AS u(i)
+  WHERE len(t) >= n.n),
+cnt AS (SELECT doc_id, n, gram, count(*)::BIGINT AS c
+        FROM grams GROUP BY doc_id, n, gram),
 agg AS (
-  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
-         list(struct_pack(tf := tf.tf, c := cnt.c) ORDER BY tf.w) AS l
-  FROM tf JOIN cnt ON tf.w = cnt.w GROUP BY tf.doc_id),
-aggn AS (SELECT a.*, t.n FROM agg a, tot t)
-SELECT doc_id, n_tokens,
-       round(list_reduce(
-               list_prepend(0.0, list_transform(
-                 l, s -> s.tf::DOUBLE * ln(s.c::DOUBLE / n::DOUBLE))),
-               (a, x) -> a + x) / n_tokens, 4) AS avg_logprob
-FROM aggn""",
+  SELECT doc_id, n,
+         (min(struct_pack(nc := -c, gram := gram,
+                          cov := c * len(gram)))).cov::BIGINT AS top_cov,
+         sum(CASE WHEN c > 1 THEN c * len(gram) ELSE 0 END)::BIGINT AS dup_cov
+  FROM cnt GROUP BY doc_id, n)
+SELECT b.doc_id, b.n_chars,
+  round(coalesce(max(CASE WHEN a.n = 3 THEN a.top_cov END), 0)::DOUBLE
+        / greatest(b.n_chars, 1)::DOUBLE, 4) AS top3_frac,
+  round(coalesce(max(CASE WHEN a.n = 4 THEN a.top_cov END), 0)::DOUBLE
+        / greatest(b.n_chars, 1)::DOUBLE, 4) AS top4_frac,
+  round(coalesce(max(CASE WHEN a.n = 5 THEN a.dup_cov END), 0)::DOUBLE
+        / greatest(b.n_chars, 1)::DOUBLE, 4) AS dup5_frac,
+  round(coalesce(max(CASE WHEN a.n = 10 THEN a.dup_cov END), 0)::DOUBLE
+        / greatest(b.n_chars, 1)::DOUBLE, 4) AS dup10_frac
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+GROUP BY b.doc_id, b.n_chars""",
         # Triangle counting: identical degree-ordered orientation — each
         # triangle enumerated once at its (degree, name)-lowest apex.
         "kg_triangles": _KG_CTE

@@ -2118,3 +2118,167 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         sessions.groupBy("user_id", "session_idx")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# Gopher repetition signals NOT covered by gopher_quality (which carries
+# top_bigram_char_frac): top-{3,4}-gram coverage and duplicate-{5,10}-gram
+# coverage (Rae et al. 2021 §A1.1 rows "top n-gram" n=3,4 and "dup n-gram"
+# n=5..10 — the two ends of that ladder; the interior rows are the same
+# computation at other n).
+NGRAM_TOP_NS = (3, 4)
+NGRAM_DUP_NS = (5, 10)
+
+
+def ngram_repetition(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_chars, top3_frac, top4_frac, dup5_frac, dup10_frac) —
+    the word-n-gram repetition ladder of the Gopher rules: for each n,
+    either the character coverage of the single most frequent n-gram
+    (top: count * len(gram) / n_chars, ties broken to the lexicographically
+    first gram) or of ALL n-grams occurring more than once
+    (dup: sum(count * len(gram)) / n_chars).  Coverage is the documented
+    overlap-unaware variant (each occurrence counts its full joined-with-
+    spaces length, as in the public RedPajama/Dolma implementations —
+    positional overlap dedup is a different, sequentially-biased metric).
+    Docs with fewer than n words score 0.0 for that n; fractions round
+    4dp.  Integer counts and lengths throughout — the only float is the
+    final division, so the DuckDB twin is trivially bit-identical.
+
+    Shape at corpus scale: ONE explode over (doc, n, gram) for all four
+    n values and ONE (doc_id, n, gram) count shuffle; the top-1 per
+    (doc, n) is a min-struct aggregate (no window, no sort), the dup sum
+    a conditional aggregate, and the four n rows pivot back with a
+    max-CASE groupBy — two shuffles end-to-end, no Python.
+    """
+    all_ns = sorted(set(NGRAM_TOP_NS) | set(NGRAM_DUP_NS))
+    base = docs.select(
+        F.col(id_col),
+        F.length(F.trim(F.col(text))).cast("long").alias("n_chars"),
+        tokens_col(text).alias("t"),
+    )
+
+    # NOT a default-arg capture: a two-parameter lambda would be handed
+    # (element, index) by F.transform — the documented footgun.
+    def _gram_fn(width: int):
+        return lambda i: F.array_join(F.slice("t", i + 1, width), " ")
+
+    per_n = []
+    for n in all_ns:
+        grams_arr = F.when(
+            F.size("t") >= n,
+            F.transform(F.sequence(F.lit(0), F.size("t") - n), _gram_fn(n)),
+        ).otherwise(F.array().cast("array<string>"))
+        per_n.append(
+            base.select(
+                id_col, F.lit(n).alias("n"), F.explode(grams_arr).alias("gram")
+            )
+        )
+    grams = per_n[0]
+    for g in per_n[1:]:
+        grams = grams.unionByName(g)
+    cnt = grams.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    cov = cnt.select(
+        id_col,
+        "n",
+        (F.col("c") * F.length("gram")).cast("long").alias("cov"),
+        F.col("c"),
+        F.col("gram"),
+    )
+    agg = cov.groupBy(id_col, "n").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("gram"), F.col("cov")))[
+            "cov"
+        ].alias("top_cov"),
+        F.sum(F.when(F.col("c") > 1, F.col("cov")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_cov"),
+    )
+
+    def _frac(n: int, col: str):
+        v = F.max(F.when(F.col("n") == n, F.col(col)))
+        return F.round(
+            F.coalesce(v, F.lit(0)).cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
+            4,
+        )
+
+    pivoted = (
+        base.select(id_col, "n_chars")
+        .join(agg, id_col, "left")
+        .groupBy(id_col, "n_chars")
+        .agg(
+            *[_frac(n, "top_cov").alias(f"top{n}_frac") for n in NGRAM_TOP_NS],
+            *[_frac(n, "dup_cov").alias(f"dup{n}_frac") for n in NGRAM_DUP_NS],
+        )
+    )
+    return pivoted
+
+
+CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob, bucket) — the CCNet head/middle/tail
+    split (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data", 2020): rank documents by LM score and
+    cut the corpus into equal thirds — head = best-scoring third, the
+    slice CCNet keeps for pretraining.  The scorer is
+    :func:`unigram_logprob` (the deterministic member of the perplexity
+    family); ranking is (avg_logprob DESC, doc_id) so ties are stable
+    across engines, and tier sizes follow the ntile convention (first
+    ``n mod 3`` tiers get the extra row) — the DuckDB twin literally uses
+    ntile(3), an independent formulation of the same cut.
+
+    Scale shape: the global rank does NOT use an unpartitioned window
+    (the single-task collapse the plan audits ban) — it is the
+    :mod:`packing` two-phase scan: range-partition by the rank order,
+    count per partition (one KB-scale collect), driver-side exclusive
+    prefix, broadcast the bases back, partition-local row_number.
+    """
+    scored = unigram_logprob(docs, text=text, id_col=id_col)
+    spark = scored.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    ranged = scored.repartitionByRange(
+        n_part, F.col("avg_logprob").desc(), F.col(id_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    from pyspark.storagelevel import StorageLevel
+
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    total = sum(counts.values())
+    bases, acc = {}, 0
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    base_df = spark.createDataFrame(
+        [(pid, b) for pid, b in bases.items()], "_pid int, _base long"
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col("avg_logprob").desc(), F.col(id_col))
+    # ntile(3) tier sizes: q = n // 3, r = n % 3; tier i (1-based) holds
+    # q + (1 if i <= r else 0) rows — cut points c1 = q + min(r,1),
+    # c2 = 2q + min(r,2).
+    q, r = total // 3, total % 3
+    c1 = q + (1 if r >= 1 else 0)
+    c2 = 2 * q + min(r, 2)
+    rank = (F.col("_base") + F.row_number().over(w)).alias("_rank")
+    out = (
+        ranged.join(F.broadcast(base_df), "_pid")
+        .select(id_col, "n_tokens", "avg_logprob", rank)
+        .withColumn(
+            "bucket",
+            F.when(F.col("_rank") <= c1, F.lit("head"))
+            .when(F.col("_rank") <= c2, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_rank")
+    )
+    return out
