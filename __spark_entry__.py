@@ -2001,6 +2001,20 @@ def _q_ngram_repetition(spark, sf):
     return dp.ngram_repetition(_documents(spark, sf))
 
 
+_KMA_K = 8
+
+
+def _q_kmeans_assign(spark, sf):
+    """Deterministic nearest-centroid assignment (ivf.assign_nearest_
+    centroid): the Lloyd/IVF assign step with first-k-by-id centroids —
+    the SQL-replayable member of the k-means family (the trained
+    quantizer is recall-gated by pytest)."""
+    from lightrag_spark.operators.ivf import assign_nearest_centroid
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return assign_nearest_centroid(emb, k=_KMA_K)
+
+
 def _q_ccnet_buckets(spark, sf):
     """CCNet head/middle/tail split (datapipe.ccnet_buckets): unigram-LM
     rank cut into ntile-convention thirds; the Spark side computes the
@@ -2099,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adamic_adar": _q_kg_adamic_adar,
         "text_ngram_repetition": _q_ngram_repetition,
         "text_ccnet_buckets": _q_ccnet_buckets,
+        "sim_kmeans_assign": _q_kmeans_assign,
     }
 
 
@@ -3222,6 +3237,29 @@ SELECT b.doc_id, b.n_chars,
         / greatest(b.n_chars, 1)::DOUBLE, 4) AS dup10_frac
 FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
 GROUP BY b.doc_id, b.n_chars""",
+        # Nearest-centroid twin: same first-k centroids, same ascending-
+        # dimension (x-c)^2 fold, same (dist, id) struct argmin on the
+        # UNROUNDED doubles; only the reported distance rounds.
+        "sim_kmeans_assign": f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+  FROM embeddings),
+c AS (
+  SELECT vec_id::BIGINT AS centroid_id, dv AS cv
+  FROM v ORDER BY vec_id LIMIT {_KMA_K}),
+d AS (
+  SELECT v.vec_id, c.centroid_id,
+         list_reduce(list_prepend(0.0, list_transform(
+           generate_series(1, len(dv)),
+           i -> (dv[i] - cv[i]) * (dv[i] - cv[i]))), (a, x) -> a + x) AS d2
+  FROM v, c),
+best AS (
+  SELECT vec_id,
+         min(struct_pack(d2 := d2, cid := centroid_id)) AS b
+  FROM d GROUP BY vec_id)
+SELECT vec_id, (b).cid::BIGINT AS centroid_id,
+       round((b).d2, 4) AS dist_sq
+FROM best""",
         # Triangle counting: identical degree-ordered orientation — each
         # triangle enumerated once at its (degree, name)-lowest apex.
         "kg_triangles": _KG_CTE

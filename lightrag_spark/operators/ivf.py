@@ -214,3 +214,61 @@ def ivf_topk_with_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def assign_nearest_centroid(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id, dist_sq) — exact nearest-centroid assignment
+    with DETERMINISTIC centroids: the first ``k`` vectors by id.  This is
+    the Lloyd/IVF assign step isolated from training (fixed seeds are
+    iteration 0 of k-means with deterministic init), which makes it the
+    one member of the k-means family a SQL oracle can replay — the
+    TRAINED quantizer stays :func:`build_ivf_index`, recall-gated by
+    pytest like every learned component.
+
+    Cross-engine float discipline: float32 -> double casts are exact;
+    each distance folds (x_i - c_i)^2 in ascending-dimension order from a
+    0.0 seed (zip_with + aggregate here, list_transform over
+    generate_series + list_reduce in the DuckDB twin — identical IEEE
+    sequences), argmin compares the UNROUNDED doubles as (dist, id)
+    structs on both engines, and only the reported distance is rounded
+    (4dp).
+
+    Scale shape: the centroid table is k rows — broadcast; assignment is
+    one narrow pass emitting N*k candidate rows pruned by a struct-min
+    aggregate (the same N*k distance work any IVF assign does), no
+    shuffle beyond the final per-vector min, no Python.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    emb = embeddings.select(F.col(id_col), F.col(vec_col).alias("_x"))
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).cast("long").alias("centroid_id"), F.col(vec_col).alias("_c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "_x",
+            "_c",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        id_col, "centroid_id", d2.alias("_d2")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("_d2"), F.col("centroid_id"))).alias("_b")
+    )
+    return best.select(
+        id_col,
+        F.col("_b.centroid_id").alias("centroid_id"),
+        F.round(F.col("_b._d2"), 4).alias("dist_sq"),
+    )
