@@ -2001,6 +2001,29 @@ def _q_ngram_repetition(spark, sf):
     return dp.ngram_repetition(_documents(spark, sf))
 
 
+_RRF_SRC_K = 10
+
+
+def _q_retrieval_rrf(spark, sf):
+    """Hybrid retrieval fusion (datapipe.lexical_topk + cosine_topk +
+    rrf_fuse): the lexical and vector top-10 legs for the first 8
+    queries, merged by Reciprocal Rank Fusion — the standard hybrid-
+    search combiner (rank-only, no score calibration).  The synthetic
+    corpus is id-aligned (doc_id == vec_id), so the two legs rank the
+    same item space."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    vec = dp.cosine_topk(emb, n_queries=8, k=_RRF_SRC_K).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.lit("vector").alias("source"),
+        "rank",
+    )
+    lex = dp.lexical_topk(_documents(spark, sf), n_queries=8, k=_RRF_SRC_K).select(
+        "query_id", "doc_id", F.lit("lexical").alias("source"), "rank"
+    )
+    return dp.rrf_fuse(vec.unionByName(lex))
+
+
 _KMA_K = 8
 
 
@@ -2114,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_repetition": _q_ngram_repetition,
         "text_ccnet_buckets": _q_ccnet_buckets,
         "sim_kmeans_assign": _q_kmeans_assign,
+        "retrieval_rrf_hybrid": _q_retrieval_rrf,
     }
 
 
@@ -3260,6 +3284,67 @@ best AS (
 SELECT vec_id, (b).cid::BIGINT AS centroid_id,
        round((b).d2, 4) AS dist_sq
 FROM best""",
+        # RRF hybrid twin: the cosine leg (sim_cosine_topk form at k=10),
+        # the lexical tf-idf-dot leg (sorted-term fold), and the
+        # source-ordered reciprocal-rank fold.
+        "retrieval_rrf_hybrid": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id < 8),
+c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS sim
+  FROM q, c WHERE query_id <> neighbor_id),
+vr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::BIGINT AS rank
+  FROM s),
+vleg AS (SELECT query_id, neighbor_id AS doc_id, 'vector' AS source, rank
+         FROM vr WHERE rank <= {_RRF_SRC_K}),
+tok AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents), unnest(t) AS u(term)),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+wts AS (
+  SELECT doc_id, term,
+         tf::DOUBLE * ln((SELECT n FROM nn)::DOUBLE / df::DOUBLE) AS w
+  FROM tf JOIN dfq USING (term)),
+qw AS (SELECT doc_id AS query_id, term, w AS wq FROM wts WHERE doc_id < 8),
+prs AS (
+  SELECT qw.query_id, wts.doc_id, qw.term, qw.wq * wts.w AS p
+  FROM qw JOIN wts ON qw.term = wts.term
+  WHERE qw.query_id <> wts.doc_id),
+lagg AS (
+  SELECT query_id, doc_id,
+         round(list_reduce(list_prepend(0.0,
+           list_transform(list(struct_pack(term := term, p := p) ORDER BY term),
+                          s -> s.p)), (a, x) -> a + x), 4) AS score
+  FROM prs GROUP BY query_id, doc_id),
+lr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::BIGINT AS rank
+  FROM lagg),
+lleg AS (SELECT query_id, doc_id, 'lexical' AS source, rank
+         FROM lr WHERE rank <= {_RRF_SRC_K}),
+unioned AS (SELECT * FROM vleg UNION ALL SELECT * FROM lleg),
+fused AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_sources,
+         round(list_reduce(list_prepend(0.0,
+           list_transform(list(rank ORDER BY source),
+                          r -> 1.0 / ({float(dp.RRF_K)!r}::DOUBLE + r::DOUBLE))),
+           (a, x) -> a + x), 4) AS rrf_score
+  FROM unioned GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, n_sources, rrf_score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_score DESC, doc_id)::BIGINT AS fused_rank
+FROM fused""",
         # Triangle counting: identical degree-ordered orientation — each
         # triangle enumerated once at its (degree, name)-lowest apex.
         "kg_triangles": _KG_CTE

@@ -2282,3 +2282,113 @@ def ccnet_buckets(
         .drop("_rank")
     )
     return out
+
+
+def lexical_topk(
+    docs: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — sparse lexical retrieval: the
+    first ``n_queries`` documents as queries, every other document scored
+    by the tf-idf dot product over shared terms (w = tf * ln(N/df), the
+    :func:`tfidf_top_terms` weighting; the classic SMART/BM25-family
+    baseline before length normalization).  The lexical mirror of
+    :func:`cosine_topk`, and the second leg :func:`rrf_fuse` combines.
+
+    Determinism: tf/df/N are exact integers; per-term products fold in
+    ascending-term order from a 0.0 seed (sorted-fold IEEE twin), the
+    fold rounds to 4dp and the top-k window orders by the ROUNDED score
+    (then doc_id) so rank boundaries are engine-independent.
+
+    Scale shape: matches sparse-retrieval practice — a term-keyed join of
+    the query postings (n_queries * terms, broadcast-sized) against the
+    corpus postings, never doc x doc; Zipf-hot terms are AQE-skew-split
+    territory and stopword pre-filtering (idf ~ 0 contributes nothing)
+    is the documented pruning lever.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens_col(text)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.count()
+    wts = tf.join(dfreq, "term").select(
+        id_col,
+        "term",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n)) / F.col("df").cast("double"))
+        ).alias("w"),
+    )
+    qw = wts.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), "term", F.col("w").alias("wq")
+    )
+    pairs = (
+        F.broadcast(qw)
+        .join(wts.withColumnRenamed("w", "wd"), "term")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            "term",
+            (F.col("wq") * F.col("wd")).alias("p"),
+        )
+    )
+    agg = pairs.groupBy("query_id", id_col).agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "p"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["p"],
+            ),
+            4,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, "score", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+RRF_K = 60
+
+
+def rrf_fuse(ranked: DataFrame, rrf_k: int = RRF_K, k: int | None = None) -> DataFrame:
+    """(query_id, doc_id, n_sources, rrf_score, fused_rank) — Reciprocal
+    Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009): given per-source
+    rankings (query_id, doc_id, source, rank), each document scores
+    sum over sources of 1 / (rrf_k + rank).  Rank-only fusion needs no
+    score calibration between retrievers — the standard way hybrid search
+    merges its lexical and vector legs (rrf_k = 60 per the paper).
+
+    Per-(query, doc) contributions fold in ascending-source-name order
+    from a 0.0 seed (4dp round; the sorted-fold IEEE twin pattern) and the
+    fused rank orders by (ROUNDED score DESC, doc_id).  ``k`` truncates
+    the fused list per query when set.
+
+    Shape: one (query, doc) aggregate over the union of source lists
+    (each k-bounded per query) and one per-query window — WindowGroupLimit
+    prunes map-side when ``k`` is set; nothing touches the corpus.
+    """
+    agg = ranked.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("source", "rank"))),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.lit(1.0) / (F.lit(float(rrf_k)) + s["rank"].cast("double")),
+            ),
+            4,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    out = agg.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+    if k is not None:
+        out = out.filter(F.col("fused_rank") <= k)
+    return out
