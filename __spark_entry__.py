@@ -2024,6 +2024,14 @@ def _q_retrieval_rrf(spark, sf):
     return dp.rrf_fuse(vec.unionByName(lex))
 
 
+def _q_winnow(spark, sf):
+    """Winnowing fingerprint selection (datapipe.winnow_fingerprints):
+    the MOSS positional fingerprint set — every w-window of k-gram
+    hashes contributes its rightmost minimum.  Served path is the Arrow
+    kernel; the DuckDB twin replays the expression form."""
+    return dp.winnow_fingerprints(_documents(spark, sf))
+
+
 _KMA_K = 8
 
 
@@ -2138,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ccnet_buckets": _q_ccnet_buckets,
         "sim_kmeans_assign": _q_kmeans_assign,
         "retrieval_rrf_hybrid": _q_retrieval_rrf,
+        "text_winnow_fingerprints": _q_winnow,
     }
 
 
@@ -3345,6 +3354,25 @@ SELECT query_id, doc_id, n_sources, rrf_score,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY rrf_score DESC, doc_id)::BIGINT AS fused_rank
 FROM fused""",
+        # Winnowing twin: identical k-gram md5 ladder, per-window minimum,
+        # rightmost-on-ties via reversed list_position, distinct pairs.
+        "text_winnow_fingerprints": f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+hb AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, len(t) - {dp.WINNOW_K}),
+                        i -> md5(array_to_string(t[i+1:i+{dp.WINNOW_K}], ' '))) AS hs
+  FROM base WHERE len(t) >= {dp.WINNOW_K + dp.WINNOW_W - 1}),
+wins AS (
+  SELECT doc_id, hs, unnest(generate_series(0, len(hs) - {dp.WINNOW_W})) AS i
+  FROM hb)
+SELECT DISTINCT doc_id,
+       (i + {dp.WINNOW_W}
+        - list_position(list_reverse(hs[i+1:i+{dp.WINNOW_W}]),
+                        list_min(hs[i+1:i+{dp.WINNOW_W}])))::BIGINT AS pos,
+       list_min(hs[i+1:i+{dp.WINNOW_W}]) AS fp
+FROM wins""",
         # Triangle counting: identical degree-ordered orientation — each
         # triangle enumerated once at its (degree, name)-lowest apex.
         "kg_triangles": _KG_CTE

@@ -2392,3 +2392,112 @@ def rrf_fuse(ranked: DataFrame, rrf_k: int = RRF_K, k: int | None = None) -> Dat
     if k is not None:
         out = out.filter(F.col("fused_rank") <= k)
     return out
+
+
+WINNOW_K = SHINGLE_N   # k-gram width for winnowing
+WINNOW_W = 4           # winnow window (guarantee: any match >= k+w-1 tokens shares a fingerprint)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    text: str = "text",
+    id_col: str = "doc_id",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, fp) — winnowing fingerprint selection (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
+    word k-gram, slide a window of ``w`` consecutive hashes, and in each
+    window select the MINIMUM hash, rightmost occurrence on ties.  The
+    distinct (position, hash) pairs are the document's fingerprints —
+    unlike :func:`fingerprints` (order-free min/max, 2 values) this set
+    carries the positional guarantee: any shared substring of at least
+    k + w - 1 tokens contributes at least one common fingerprint, which
+    is what makes it the locate-the-overlap primitive (plagiarism spans,
+    quote detection, boilerplate localization) rather than a whole-doc
+    sketch.
+
+    ``pos`` is the 0-based k-gram index of the selected hash; ``fp`` the
+    md5 hex of the space-joined k-gram (string min == unsigned byte
+    order on both engines).  Docs with fewer than k + w - 1 tokens
+    (i.e. fewer than w k-grams) emit nothing — too short to window.
+
+    Default is a one-pass Arrow kernel (the shingles_col rationale:
+    interpreted higher-order expressions over every window cost m*w
+    string comparisons per doc); ``use_arrow=False`` is the independent
+    expression twin the DuckDB oracle replays and pytest differentials
+    against the kernel.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    if not use_arrow:
+        toks = tokens_col(text)
+        base = docs.select(F.col(id_col), toks.alias("t")).filter(
+            F.size(toks) >= k + w - 1
+        )
+        hs = F.transform(
+            F.sequence(F.lit(0), F.size("t") - k),
+            lambda i: F.md5(F.array_join(F.slice("t", i + 1, k), " ")),
+        )
+        hb = base.select(id_col, hs.alias("hs"))
+        sel = F.transform(
+            F.sequence(F.lit(0), F.size("hs") - w),
+            lambda i: F.struct(
+                (
+                    i
+                    + w
+                    - F.array_position(
+                        F.reverse(F.slice("hs", i + 1, w)),
+                        F.array_min(F.slice("hs", i + 1, w)),
+                    )
+                )
+                .cast("long")
+                .alias("pos"),
+                F.array_min(F.slice("hs", i + 1, w)).alias("fp"),
+            ),
+        )
+        return hb.select(
+            id_col, F.explode(F.array_distinct(sel)).alias("s")
+        ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, pos long, fp string"
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = docs.select(id_col, text).repartition(n_part)
+    kk, ww = k, w
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for did, txt in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                toks = java_ws.split((txt or "").strip(" "))
+                if len(toks) < kk + ww - 1:
+                    continue
+                hs = [
+                    hashlib.md5(
+                        " ".join(toks[i : i + kk]).encode("utf-8")
+                    ).hexdigest()
+                    for i in range(len(toks) - kk + 1)
+                ]
+                seen = set()
+                for i in range(len(hs) - ww + 1):
+                    win = hs[i : i + ww]
+                    v = min(win)
+                    # rightmost occurrence of the window minimum
+                    pos = i + ww - 1 - win[::-1].index(v)
+                    if (pos, v) not in seen:
+                        seen.add((pos, v))
+                        ids.append(did)
+                        poss.append(pos)
+                        fps.append(v)
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
+
+    return src.mapInPandas(kernel, schema=out_schema)
