@@ -2024,6 +2024,22 @@ def _q_retrieval_rrf(spark, sf):
     return dp.rrf_fuse(vec.unionByName(lex))
 
 
+_EPOCHS = 2
+_EPOCH_SHARDS = 4
+
+
+def _q_epoch_shuffle(spark, sf):
+    """Deterministic per-epoch training shuffle (sampling.epoch_shuffle):
+    rank of md5(seed:epoch:doc_id) per epoch via the grouped two-phase
+    scan, round-robin shard deal.  The twin is a literal per-epoch
+    row_number."""
+    from lightrag_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        _documents(spark, sf), epochs=_EPOCHS, n_shards=_EPOCH_SHARDS
+    )
+
+
 def _q_winnow(spark, sf):
     """Winnowing fingerprint selection (datapipe.winnow_fingerprints):
     the MOSS positional fingerprint set — every w-window of k-gram
@@ -2147,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_assign": _q_kmeans_assign,
         "retrieval_rrf_hybrid": _q_retrieval_rrf,
         "text_winnow_fingerprints": _q_winnow,
+        "data_epoch_shuffle": _q_epoch_shuffle,
     }
 
 
@@ -3373,6 +3390,22 @@ SELECT DISTINCT doc_id,
                         list_min(hs[i+1:i+{dp.WINNOW_W}])))::BIGINT AS pos,
        list_min(hs[i+1:i+{dp.WINNOW_W}]) AS fp
 FROM wins""",
+        # Epoch-shuffle twin: identical md5 order key, literal per-epoch
+        # row_number (tiny data makes the single-window form fine — that
+        # is exactly what the distributed scan must reproduce).
+        "data_epoch_shuffle": f"""
+WITH e AS (
+  SELECT doc_id, u.epoch::BIGINT AS epoch,
+         md5('epoch:' || u.epoch::VARCHAR || ':' || doc_id::VARCHAR) AS h
+  FROM documents,
+       unnest(generate_series(0, {_EPOCHS - 1})) AS u(epoch)),
+r AS (
+  SELECT doc_id, epoch,
+         row_number() OVER (PARTITION BY epoch ORDER BY h)::BIGINT AS shuffle_pos
+  FROM e)
+SELECT doc_id, epoch, shuffle_pos,
+       ((shuffle_pos - 1) % {_EPOCH_SHARDS})::BIGINT AS shard_id
+FROM r""",
         # Triangle counting: identical degree-ordered orientation — each
         # triangle enumerated once at its (degree, name)-lowest apex.
         "kg_triangles": _KG_CTE

@@ -289,3 +289,84 @@ def hash_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epochs: int = 2,
+    n_shards: int = 4,
+    seed: str = "epoch",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, epoch, shuffle_pos, shard_id) — the deterministic global
+    shuffle a pretraining dataloader needs: every epoch visits the whole
+    corpus in a fresh pseudo-random order, and the order is a pure
+    function of (seed, epoch, doc_id) — reproducible across runs,
+    cluster sizes, and partitionings (the same property argument as
+    ``deterministic_sample``; ``DataFrame.sample``-style RNG state is
+    banned for the same reason).  ``shuffle_pos`` is the 1-based position
+    in the epoch's order (rank of md5(seed:epoch:doc_id), ties impossible
+    — doc_id is in the hash); ``shard_id`` deals positions round-robin
+    into ``n_shards`` dataloader shards, so shard contents are
+    epoch-specific but each shard's size is balanced to within one row.
+
+    Scale shape: NO single-partition window.  The per-epoch global rank
+    is the packing/ccnet two-phase scan, generalized to grouped keys:
+    range-partition by (epoch, hash) — epoch ranges stay contiguous —
+    count per (partition, epoch) (one KB-scale collect), driver-side
+    exclusive prefix per epoch, broadcast back, partition-local
+    row_number.  The corpus is scanned once per epoch (the explode),
+    which is the honest cost of materializing E orders; dataloaders that
+    stream one epoch at a time call this with epochs=1 per step.
+    """
+    if epochs < 1 or n_shards < 1:
+        raise ValueError(
+            f"epochs and n_shards must be >= 1, got {epochs}, {n_shards}"
+        )
+    spark = docs.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    base = docs.select(F.col(id_col)).withColumn(
+        "epoch", F.explode(F.array(*[F.lit(e) for e in range(epochs)]))
+    ).withColumn("epoch", F.col("epoch").cast("long"))
+    hashed = base.withColumn(
+        "_h",
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(seed), F.col("epoch").cast("string"), F.col(id_col)
+            )
+        ),
+    )
+    ranged = hashed.repartitionByRange(n_part, "epoch", "_h").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from pyspark.storagelevel import StorageLevel
+    from pyspark.sql.window import Window
+
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        ranged.groupBy("_pid", "epoch").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    per_epoch: dict = {}
+    for r in counts:
+        per_epoch.setdefault(r["epoch"], {})[r["_pid"]] = r["c"]
+    rows = []
+    for ep, pids in per_epoch.items():
+        acc = 0
+        for pid in sorted(pids):
+            rows.append((int(pid), int(ep), acc))
+            acc += pids[pid]
+    base_df = spark.createDataFrame(rows, "_pid int, epoch long, _base long")
+    w = Window.partitionBy("_pid", "epoch").orderBy("_h")
+    return (
+        ranged.join(F.broadcast(base_df), ["_pid", "epoch"])
+        .select(
+            id_col,
+            "epoch",
+            (F.col("_base") + F.row_number().over(w)).alias("shuffle_pos"),
+        )
+        .withColumn(
+            "shard_id", ((F.col("shuffle_pos") - 1) % n_shards).cast("long")
+        )
+    )
