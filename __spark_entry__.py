@@ -2070,6 +2070,63 @@ def _q_ccnet_buckets(spark, sf):
     return dp.ccnet_buckets(_documents(spark, sf))
 
 
+_DUPWIN_W = 6
+
+
+def _q_dup_ngrams(spark, sf):
+    """Exact substring-duplication report (datapipe.dup_ngram_windows):
+    stride-1 token windows hashed corpus-wide; the distributed stand-in
+    for Lee et al.'s suffix-array substring dedup.  Width 6 at gate scale
+    (synthetic docs are short); 50 tokens is the paper's unit."""
+    return dp.dup_ngram_windows(_documents(spark, sf), width=_DUPWIN_W)
+
+
+def _q_dup_spans(spark, sf):
+    """Gaps-and-islands merge of duplicated windows into removable spans
+    (datapipe.dup_ngram_spans) — the closure step of substring dedup."""
+    return dp.dup_ngram_spans(_documents(spark, sf), width=_DUPWIN_W)
+
+
+_BPE_TOP = 40
+
+
+def _q_bpe_pairs(spark, sf):
+    """First BPE merge iteration (datapipe.bpe_pair_counts): corpus-wide
+    adjacent char-pair histogram over the word vocabulary, weighted by
+    word frequency — tokenizer training's inner loop as a dataflow."""
+    return dp.bpe_pair_counts(_documents(spark, sf), top_n=_BPE_TOP)
+
+
+_SQ_K = 12
+
+
+def _q_sq_topk(spark, sf):
+    """Scalar-quantized similarity search (sq.sq_topk): int8-style codes
+    from per-dimension corpus min/max, then INTEGER dot-product top-k —
+    the quantized ANN path, bit-exact across engines by construction."""
+    from lightrag_spark.operators.sq import sq_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return sq_topk(emb, query_id=0, k=_SQ_K)
+
+
+def _q_kg_neighborhood2(spark, sf):
+    """Exact radius-1/2 neighborhood sizes per entity (graphs.
+    neighborhood_sizes) — the exact twin of HyperBall's neighborhood
+    function over the built KG's edge list."""
+    from lightrag_spark.operators.graphs import neighborhood_sizes
+
+    r = _build(spark, sf)
+    return neighborhood_sizes(r.kg_edges.select("src", "tgt"))
+
+
+def _q_events_topk_users(spark, sf):
+    """Grouped top-k (datapipe.top_event_users): heaviest 5 users per
+    event type via a partitioned rank window (WindowGroupLimit pushdown,
+    never a global sort)."""
+    return dp.top_event_users(spark.read.parquet(f"{sf}/events.parquet"), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_chunks": _q_kg_chunks,
@@ -2164,6 +2221,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rrf_hybrid": _q_retrieval_rrf,
         "text_winnow_fingerprints": _q_winnow,
         "data_epoch_shuffle": _q_epoch_shuffle,
+        "text_dup_ngrams": _q_dup_ngrams,
+        "text_dup_spans": _q_dup_spans,
+        "text_bpe_pairs": _q_bpe_pairs,
+        "sim_sq_topk": _q_sq_topk,
+        "kg_neighborhood2": _q_kg_neighborhood2,
+        "events_topk_users": _q_events_topk_users,
     }
 
 
@@ -3894,4 +3957,134 @@ ij AS (
   JOIN sh si ON si.doc_id = c.indexed_doc_id)
 SELECT new_doc_id, indexed_doc_id, jaccard FROM ij
 WHERE jaccard >= {dp.NEARDUP_THRESHOLD}""",
+        # Substring-dedup report twin: identical stride-1 md5 windows;
+        # docs shorter than the width keep a zero-window row.
+        "text_dup_ngrams": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+wins AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         CASE WHEN len(t) >= {_DUPWIN_W}
+              THEN list_transform(generate_series(0, len(t)-{_DUPWIN_W}),
+                     i -> md5(array_to_string(t[i+1:i+{_DUPWIN_W}], ' ')))
+              ELSE [] END AS hs
+  FROM toks),
+occ AS (SELECT doc_id, unnest(hs) AS h FROM wins),
+cnt AS (SELECT h, count(*)::BIGINT AS c FROM occ GROUP BY h),
+per AS (
+  SELECT o.doc_id, count(*)::BIGINT AS n_windows,
+         (count(*) FILTER (WHERE c.c >= 2))::BIGINT AS dup_windows
+  FROM occ o JOIN cnt c ON o.h = c.h GROUP BY o.doc_id)
+SELECT w.doc_id, w.n_tokens,
+       coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(p.dup_windows, 0)::BIGINT AS dup_windows,
+       round(CASE WHEN coalesce(p.n_windows, 0) > 0
+                  THEN p.dup_windows::DOUBLE / p.n_windows::DOUBLE
+                  ELSE 0.0 END, 4) AS dup_frac
+FROM wins w LEFT JOIN per p ON w.doc_id = p.doc_id""",
+        # Span-merge twin: same duplicated windows, gaps-and-islands via
+        # lag + running sum — a new island when start jumps by > width.
+        "text_dup_spans": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_DUPWIN_W}
+              THEN list_transform(generate_series(0, len(t)-{_DUPWIN_W}),
+                     i -> md5(array_to_string(t[i+1:i+{_DUPWIN_W}], ' ')))
+              ELSE [] END AS hs
+  FROM toks),
+occ AS (
+  SELECT doc_id, g.i AS win_idx, hs[g.i+1] AS h
+  FROM wins, unnest(generate_series(0, len(hs)-1)) AS g(i)),
+cnt AS (SELECT h, count(*)::BIGINT AS c FROM occ GROUP BY h),
+dup AS (
+  SELECT o.doc_id, o.win_idx FROM occ o JOIN cnt c ON o.h = c.h WHERE c.c >= 2),
+isl AS (
+  SELECT doc_id, win_idx,
+         CASE WHEN lag(win_idx) OVER w IS NULL
+                   OR win_idx - lag(win_idx) OVER w > {_DUPWIN_W}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY win_idx)),
+grp AS (
+  SELECT doc_id, win_idx,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY win_idx) AS island
+  FROM isl)
+SELECT doc_id,
+       min(win_idx)::BIGINT AS span_start,
+       (max(win_idx) + {_DUPWIN_W} - 1)::BIGINT AS span_end,
+       (max(win_idx) + {_DUPWIN_W} - min(win_idx))::BIGINT AS span_tokens,
+       count(*)::BIGINT AS n_windows
+FROM grp GROUP BY doc_id, island""",
+        # BPE first-merge twin: word histogram first, then char pairs off
+        # distinct words weighted by frequency; substr(w,i,2) == the two
+        # single-char concats the Spark side builds.
+        "text_bpe_pairs": f"""
+WITH w AS (
+  SELECT tok AS w, count(*)::BIGINT AS wc
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY tok),
+p AS (
+  SELECT substr(w, u.i, 2) AS pair, wc
+  FROM w, unnest(generate_series(1, len(w)-1)) AS u(i)
+  WHERE len(w) >= 2),
+h AS (SELECT pair, sum(wc)::BIGINT AS pair_count FROM p GROUP BY pair)
+SELECT pair, pair_count,
+       row_number() OVER (ORDER BY pair_count DESC, pair)::BIGINT AS rnk
+FROM h QUALIFY rnk <= {_BPE_TOP}""",
+        # Scalar-quantization twin: the code formula is a fixed tree of
+        # IEEE double ops (sub/mul/div/floor) on float32 inputs, so codes
+        # — and therefore the integer dot products — are bit-identical.
+        "sim_sq_topk": f"""
+WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+mm AS (
+  SELECT u.i AS dim, min(e[u.i]) AS lo, max(e[u.i]) AS hi
+  FROM v, unnest(generate_series(1, len(e))) AS u(i)
+  GROUP BY u.i),
+lists AS (
+  SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM mm),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(e)),
+           i -> CASE WHEN his[i]::DOUBLE - los[i]::DOUBLE > 0
+                     THEN least(255, floor((e[i]::DOUBLE - los[i]::DOUBLE) * 255.0
+                                  / (his[i]::DOUBLE - los[i]::DOUBLE)))::BIGINT
+                     ELSE 0 END) AS c
+  FROM v, lists),
+q AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
+d AS (
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(1, len(c)),
+                                 i -> c[i] * qc[i]))::BIGINT AS qdot
+  FROM codes, q)
+SELECT vec_id, qdot,
+       row_number() OVER (ORDER BY qdot DESC, vec_id)::BIGINT AS rnk
+FROM d QUALIFY rnk <= {_SQ_K}""",
+        # Exact HyperBall-radius-2 twin over the same rebuilt KG edges.
+        "kg_neighborhood2": _KG_CTE + """
+, und AS (
+  SELECT src AS a, tgt AS b FROM edges
+  UNION
+  SELECT tgt AS a, src AS b FROM edges),
+two AS (
+  SELECT DISTINCT x.a AS a, y.b AS b
+  FROM und x JOIN und y ON x.b = y.a
+  WHERE x.a <> y.b),
+ball AS (
+  SELECT a, count(*)::BIGINT AS ball2 FROM (
+    SELECT a, b FROM und UNION SELECT a, b FROM two) u
+  GROUP BY a),
+b1 AS (SELECT a, count(*)::BIGINT AS ball1 FROM und GROUP BY a)
+SELECT b1.a AS entity, b1.ball1, ball.ball2
+FROM b1 JOIN ball ON b1.a = ball.a""",
+        # Grouped top-k twin: deterministic (count desc, user_id) rank.
+        "events_topk_users": """
+WITH c AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS n_events
+  FROM events GROUP BY event_type, user_id)
+SELECT event_type, user_id, n_events,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY n_events DESC, user_id)::BIGINT AS rnk
+FROM c QUALIFY rnk <= 5""",
     }

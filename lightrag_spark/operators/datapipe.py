@@ -976,6 +976,156 @@ def segment_dedup(
     )
 
 
+def _dup_window_occurrences(
+    docs: DataFrame, width: int, text: str, id_col: str
+) -> DataFrame:
+    """(id, n_tokens, win_idx, h, corpus_count) — every stride-1 token
+    window of ``width`` with its corpus-wide occurrence count.  Shared
+    scan for :func:`dup_ngram_windows` and :func:`dup_ngram_spans`.
+
+    Docs shorter than ``width`` keep one NULL-window row (posexplode_outer)
+    so they survive into the per-doc report with zero windows.
+    """
+    toks = docs.select(F.col(id_col), tokens_col(text).alias("t"))
+    win_hashes = F.when(
+        F.size("t") >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - width),
+            lambda i: F.md5(F.array_join(F.slice(F.col("t"), i + 1, width), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = toks.select(
+        id_col,
+        F.size("t").cast("long").alias("n_tokens"),
+        F.posexplode_outer(win_hashes).alias("win_idx", "h"),
+    )
+    counts = (
+        wins.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count("*").alias("corpus_count"))
+    )
+    # Boilerplate windows are hot keys, but each hot key joins N probe rows
+    # against a single build row — AQE skew-join splits the probe side.
+    return wins.join(counts, "h", "left")
+
+
+def dup_ngram_windows(
+    docs: DataFrame,
+    width: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_windows, dup_windows, dup_frac) — exact
+    substring-duplication report (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" §4: suffix-array substring dedup).
+
+    Every stride-1 window of ``width`` tokens is hashed; a window is
+    *duplicated* when its text occurs >= 2 times corpus-wide (across
+    documents or repeated within one).  ``dup_frac`` = dup_windows /
+    n_windows rounded to 4dp (single integer division — IEEE-exact in
+    both engines).
+
+    Shape at corpus scale: the window explode is O(total tokens) rows of
+    fixed-width md5 keys — the distributed stand-in for the paper's
+    suffix array, which cannot be built on one node at 100 TB.  One
+    map-side-combined count aggregate + one hash join back (uniform md5
+    keys; hot boilerplate keys are 1-row build rows under AQE skew
+    split), then a per-doc aggregate.  No Python, no windows over the
+    corpus, no collect.
+    """
+    occ = _dup_window_occurrences(docs, width, text, id_col)
+    return occ.groupBy(id_col).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("h").cast("long").alias("n_windows"),
+        F.count(F.when(F.col("corpus_count") >= 2, 1)).cast("long").alias("dup_windows"),
+        F.round(
+            F.when(
+                F.count("h") > 0,
+                F.count(F.when(F.col("corpus_count") >= 2, 1)).cast("double")
+                / F.count("h").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_frac"),
+    )
+
+
+def dup_ngram_spans(
+    docs: DataFrame,
+    width: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens, n_windows) — merged
+    duplicated-token spans: the gaps-and-islands closure of
+    :func:`dup_ngram_windows`.  A duplicated window starting at token i
+    covers [i, i+width-1]; overlapping/adjacent covers merge into one
+    span (the unit the Lee-et-al recipe actually removes).
+
+    Islands form per doc with one lag over (doc, win_idx) — windows of
+    the same width sort identically by start and end, so a new island
+    begins exactly when start - prev_start > width.  The window spec
+    partitions by doc (parallel across docs, no global ordering), and
+    the island aggregate is map-side-combinable.
+    """
+    occ = _dup_window_occurrences(docs, width, text, id_col)
+    dup = occ.filter(F.col("corpus_count") >= 2).select(id_col, "win_idx")
+    w = Window.partitionBy(id_col).orderBy("win_idx")
+    islands = dup.withColumn(
+        "new_island",
+        F.when(
+            F.col("win_idx") - F.lag("win_idx").over(w) > width, 1
+        ).otherwise(F.when(F.lag("win_idx").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn("island", F.sum("new_island").over(w))
+    return islands.groupBy(id_col, "island").agg(
+        F.min("win_idx").cast("long").alias("span_start"),
+        (F.max("win_idx") + width - 1).cast("long").alias("span_end"),
+        (F.max("win_idx") + width - F.min("win_idx")).cast("long").alias("span_tokens"),
+        F.count("*").cast("long").alias("n_windows"),
+    ).drop("island")
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_n: int = 50,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(pair, pair_count, rnk) — the first iteration of BPE tokenizer
+    training (Sennrich et al. 2016): corpus-wide counts of adjacent
+    character pairs inside words, ranked; the argmax is the first merge.
+
+    Shape at corpus scale: words are counted FIRST (one map-side-combined
+    aggregate collapses the corpus to its vocabulary), then pairs explode
+    off distinct words only, weighted by word frequency — the classic
+    word-histogram optimization that makes each BPE iteration O(|vocab|)
+    instead of O(|corpus|).  The final rank runs over the pair histogram
+    (bounded by alphabet^2), not the corpus.
+    """
+    words = (
+        docs.select(F.explode(tokens_col(text)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.concat(
+                    F.col("w").substr(i, F.lit(1)), F.col("w").substr(i + 1, F.lit(1))
+                ),
+            )
+        ).alias("pair"),
+    )
+    hist = pairs.groupBy("pair").agg(F.sum("wc").cast("long").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        hist.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_n)
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -2501,3 +2651,23 @@ def winnow_fingerprints(
             yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
 
     return src.mapInPandas(kernel, schema=out_schema)
+
+
+def top_event_users(events: DataFrame, k: int = 5) -> DataFrame:
+    """(event_type, user_id, n_events, rnk) — grouped top-k: the k
+    heaviest users per event type, ties broken on user_id ascending.
+
+    Shape at corpus scale: one map-side-combined count aggregate, then a
+    rank window PARTITIONED by event_type — parallel across groups, never
+    a global sort.  Spark turns the rank filter into a per-partition
+    top-k (WindowGroupLimit pushes rnk <= k below the sort), so no group's
+    full membership materializes on one node beyond its own partition.
+    """
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

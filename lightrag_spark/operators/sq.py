@@ -1,0 +1,114 @@
+"""Scalar (int8-style) quantization of embedding columns.
+
+The third member of the vector-compression family next to
+:mod:`lightrag_spark.operators.pq` (product quantization) and
+:mod:`lightrag_spark.operators.ivf` (coarse quantization): each dimension
+is linearly mapped to an integer code in [0, 255] using corpus min/max,
+and similarity search runs on INTEGER dot products over the codes — 4x
+smaller vectors (8 vs 32 bits/dim), SIMD-friendly integer math, and (for
+this repo) *bit-exact cross-engine verification*, because once floats are
+quantized every downstream comparison is integer arithmetic.
+
+Determinism contract with the DuckDB oracle: the code formula
+``least(255, floor((double(x) - double(lo)) * 255.0 / (double(hi) -
+double(lo))))`` is a fixed tree of IEEE-754 double ops (sub, mul, div,
+floor) — every engine that evaluates it on the same float32 inputs
+produces the same integer.  No rounding-mode or libm dependence.
+
+Scale notes (100 TB): the per-dimension min/max reduction is one
+map-side-combined aggregate producing ``dim`` rows (<= a few thousand)
+— collected to the driver and re-broadcast as literal arrays, the same
+bounded-codebook pattern as IVF/PQ centroids.  Quantization itself is a
+scan-side ``transform`` (no shuffle); the top-k probe is a scan + one
+ordered take of k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SQ_LEVELS = 255  # codes occupy [0, 255]
+
+
+def sq_minmax(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(dim, lo, hi) — per-dimension corpus extrema (dim is 0-based).
+    One explode + one map-side-combined aggregate; output has exactly
+    ``dim`` rows, so collecting it is the bounded-codebook pattern."""
+    return (
+        emb.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+
+
+def _code_expr(x, lo, hi):
+    """Shared quantization expression — mirrored verbatim (same op tree)
+    in the oracle SQL in ``__spark_entry__``."""
+    span = hi.cast("double") - lo.cast("double")
+    raw = F.floor((x.cast("double") - lo.cast("double")) * F.lit(255.0) / span)
+    return F.when(span > 0, F.least(F.lit(255), raw)).otherwise(F.lit(0)).cast("int")
+
+
+def sq_quantize(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, codes) — int codes in [0, 255] per dimension.
+
+    The min/max table is collected (bounded by dimensionality) and
+    re-entered as literal arrays so quantization is a pure scan-side
+    ``transform`` with zero joins — at 100 TB the alternative
+    (posexplode + join on dim + regroup) would shuffle every element of
+    every vector twice.
+    """
+    mm = {int(r["dim"]): (float(r["lo"]), float(r["hi"])) for r in sq_minmax(emb, vec_col).collect()}
+    n_dim = len(mm)
+    lo_arr = F.array(*[F.lit(mm[d][0]) for d in range(n_dim)])
+    hi_arr = F.array(*[F.lit(mm[d][1]) for d in range(n_dim)])
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x, i: _code_expr(
+            x, F.element_at(lo_arr, i + 1), F.element_at(hi_arr, i + 1)
+        ),
+    )
+    return emb.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, qdot, rnk) — top-k by quantized dot product against the
+    vector with ``id_col == query_id``.
+
+    qdot is an exact 64-bit integer (<= 255*255*dim), so ranking is
+    bit-portable.  The query row's codes are collected (one row) and
+    zipped scan-side; the take-k is an ordered limit — no crossJoin, no
+    per-row Python.  Ties break on vec_id ascending.
+    """
+    codes = sq_quantize(emb, vec_col, id_col)
+    qrow = codes.filter(F.col(id_col) == query_id).select("codes").collect()
+    if not qrow:
+        raise ValueError(f"query vector {query_id!r} not found")
+    q_arr = F.array(*[F.lit(int(c)) for c in qrow[0]["codes"]])
+    qdot = F.aggregate(
+        F.zip_with(F.col("codes"), q_arr, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = codes.select(id_col, qdot.alias("qdot"))
+    w = Window.orderBy(F.desc("qdot"), F.asc(id_col))
+    # row_number over the global ordering is evaluated only after an
+    # ordered take of the candidate head — Spark pushes the limit into a
+    # TakeOrderedAndProject, so no single-reducer full sort materializes.
+    return (
+        scored.orderBy(F.desc("qdot"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )
