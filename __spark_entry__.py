@@ -2127,6 +2127,70 @@ def _q_events_topk_users(spark, sf):
     return dp.top_event_users(spark.read.parquet(f"{sf}/events.parquet"), k=5)
 
 
+def _q_pick_canonical(spark, sf):
+    """Quality-aware canonical pick per near-dup cluster (datapipe.
+    pick_canonical): components over LSH-verified pairs, then keep the
+    highest-quality member — the decision step between dedup detection
+    and corpus construction."""
+    return dp.pick_canonical(_documents(spark, sf))
+
+
+def _q_kg_transe(spark, sf):
+    """TransE margin rows over hash-embedded triples (graphs.
+    transe_l1_scores on kg_negative_samples output): reproducible
+    KG-embedding training data with exact integer scores."""
+    from lightrag_spark.operators.graphs import kg_negative_samples, transe_l1_scores
+
+    r = _build(spark, sf)
+    neg = kg_negative_samples(r.kg_edges.select("src", "tgt"), r.kg_nodes, k=_NEG_K)
+    return transe_l1_scores(neg)
+
+
+def _q_events_hll_users(spark, sf):
+    """Mergeable distinct-user sketch per event type (datapipe.
+    hll_distinct over user_id) — the per-group cardinality rollup a
+    product-analytics store keeps; registers replayed bit-exactly by the
+    twin."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return dp.hll_distinct(ev, group="event_type", col="user_id")
+
+
+def _q_readability(spark, sf):
+    """Flesch-Kincaid readability (datapipe.readability_scores):
+    vowel-group syllables + sentence splits, fixed IEEE grade formula."""
+    return dp.readability_scores(_documents(spark, sf))
+
+
+def _url_cases(doc_id, source):
+    """Deterministic hostile-URL synthesis shared (as an expression
+    recipe) with the SQL twin: exercises scheme/host case-folding,
+    trailing-dot and default-port stripping, tracking-param removal,
+    query sorting, fragment and trailing-slash drops, and the
+    unparseable-passthrough gate."""
+    base = F.concat(
+        F.lit("HTTP://Site"),
+        source,
+        F.lit(".Example.COM.:80/Path"),
+        (doc_id % 3).cast("string"),
+        F.lit("/?utm_source=x&b="),
+        doc_id.cast("string"),
+        F.lit("&a=1#frag"),
+    )
+    return F.when(doc_id % 4 == 0, F.concat(F.lit("http://u:p@x.com/"), doc_id.cast("string"))).otherwise(base)
+
+
+def _q_url_canonical(spark, sf):
+    """URL canonicalization (functions/urlnorm.canonical_url_col): the
+    crawl-identity key, as a pure Catalyst expression; the twin is a
+    THIRD independent implementation of the same rules in SQL."""
+    from lightrag_spark.functions.urlnorm import canonical_url_col
+
+    d = _documents(spark, sf).select(
+        "doc_id", _url_cases(F.col("doc_id"), F.col("source")).alias("url")
+    )
+    return d.select("doc_id", "url", canonical_url_col(F.col("url")).alias("canonical_url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_chunks": _q_kg_chunks,
@@ -2227,6 +2291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_sq_topk": _q_sq_topk,
         "kg_neighborhood2": _q_kg_neighborhood2,
         "events_topk_users": _q_events_topk_users,
+        "dedup_pick_canonical": _q_pick_canonical,
+        "kg_transe_scores": _q_kg_transe,
+        "events_hll_users": _q_events_hll_users,
+        "text_readability": _q_readability,
+        "doc_url_canonical": _q_url_canonical,
     }
 
 
@@ -2739,6 +2808,39 @@ def _pii_sql() -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT doc_id, t AS text, {counts}, ({total})::BIGINT AS n_pii"
         + f" FROM s{len(PII_PATTERNS)}"
+    )
+
+
+# URL-canonicalization regexes injected into the SQL twin verbatim so the
+# three implementations (scalar, Catalyst, SQL) cannot drift.
+from lightrag_spark.functions.urlnorm import (  # noqa: E402
+    TRACKING_PARAM_RE as lk_TRACKING,
+    _ANCHORED_URL_PATTERN as lk_ANCHORED,
+)
+
+
+# TransE relation-embedding literals — same hashlib recipe as
+# graphs.transe_l1_scores (first 2 md5 bytes of "d:__rel__", mod 256).
+def _transe_rel() -> list[int]:
+    import hashlib
+
+    from lightrag_spark.operators.graphs import TRANSE_DIMS, TRANSE_MOD
+
+    return [
+        int.from_bytes(hashlib.md5(f"{d}:__rel__".encode()).digest()[:2], "big")
+        % TRANSE_MOD
+        for d in range(TRANSE_DIMS)
+    ]
+
+
+def _transe_score_sql(h: str, t: str) -> str:
+    """Unrolled sum_d |e(h)[d] + rel[d] - e(t)[d]| with the md5
+    feature-hash coordinates, mirroring graphs._hash_embed_term."""
+    rel = _transe_rel()
+    emb = "(('0x' || substr(md5('{d}:' || {name}), 1, 4))::BIGINT % 256)"
+    return " + ".join(
+        f"abs({emb.format(d=d, name=h)} + {rel[d]} - {emb.format(d=d, name=t)})"
+        for d in range(len(rel))
     )
 
 
@@ -4087,4 +4189,155 @@ SELECT event_type, user_id, n_events,
        row_number() OVER (PARTITION BY event_type
                           ORDER BY n_events DESC, user_id)::BIGINT AS rnk
 FROM c QUALIFY rnk <= 5""",
+        # Canonical-pick twin: the recursive components closure plus the
+        # text_quality composite, rank (quality desc, doc_id) inside each
+        # component.
+        "dedup_pick_canonical": _MINHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _NEARDUP_CHAIN
+        + f""",
+pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {dp.NEARDUP_THRESHOLD}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach AS (
+  SELECT a AS node, a AS lbl FROM und
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN und e ON e.a = r.node),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+csizes AS (SELECT component, count(*) AS component_size FROM comp GROUP BY component),
+qual AS (
+  SELECT doc_id,
+         round(len(list_filter(tq, x -> list_contains({_STOP_LIST}, x)))::DOUBLE / len(tq) * 0.5
+               + len(list_distinct(tq))::DOUBLE / len(tq) * 0.5, 4) AS quality
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tq FROM documents) tt),
+picked AS (
+  SELECT c.component AS canonical_doc_id,
+         s.component_size::BIGINT AS component_size,
+         c.node AS keep_doc_id, q.quality AS keep_quality,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.node) AS rn
+  FROM comp c JOIN csizes s USING (component) JOIN qual q ON q.doc_id = c.node)
+SELECT canonical_doc_id, component_size, keep_doc_id, keep_quality
+FROM picked WHERE rn = 1""",
+        # TransE twin: the negative-sampling chain plus unrolled integer
+        # L1 scores over md5 feature-hash embeddings.
+        "kg_transe_scores": _KG_CTE + f"""
+, ndict AS (
+  SELECT e AS neg_tgt,
+         (row_number() OVER (ORDER BY e) - 1)::BIGINT AS _idx
+  FROM (SELECT DISTINCT entity_name AS e FROM mentions)),
+nn2 AS (SELECT count(*)::BIGINT AS n FROM ndict),
+samp AS (
+  SELECT e.src, e.tgt, u.i AS sample_idx,
+         ('0x' || substr(md5(e.src || chr(31) || e.tgt || chr(31)
+                             || u.i::VARCHAR), 1, 8))::BIGINT
+           % (SELECT n FROM nn2) AS _idx
+  FROM edges e, unnest(generate_series(0, {_NEG_K - 1})) AS u(i)),
+neg AS (
+  SELECT s.src, s.tgt, d.neg_tgt, s.sample_idx::BIGINT AS sample_idx
+  FROM samp s JOIN ndict d ON s._idx = d._idx
+  WHERE d.neg_tgt <> s.src AND d.neg_tgt <> s.tgt)
+SELECT src, tgt, neg_tgt, sample_idx,
+       ({_transe_score_sql("src", "tgt")})::BIGINT AS pos_score,
+       ({_transe_score_sql("src", "neg_tgt")})::BIGINT AS neg_score,
+       ({_transe_score_sql("src", "neg_tgt")}
+        - ({_transe_score_sql("src", "tgt")}))::BIGINT AS margin
+FROM neg""",
+        # Per-event-type HLL twin: same register layout as text_hll_tokens
+        # (bucket = first 2 md5 hex digits, rho from the 30-digit suffix),
+        # same sorted-bucket register fold, user_id hashed via its string.
+        "events_hll_users": f"""
+WITH tok AS (SELECT event_type AS g, md5(user_id::VARCHAR) AS h FROM events),
+r AS (
+  SELECT g, ('0x' || substr(h, 1, 2))::BIGINT::INT AS bucket,
+         (len(regexp_extract(substr(h, 3, 30), '^(0*)', 1)) * 4
+          + CASE substr(substr(h, 3, 30),
+                        len(regexp_extract(substr(h, 3, 30), '^(0*)', 1)) + 1, 1)
+              WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+              WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+              ELSE 0 END + 1)::INT AS rho
+  FROM tok),
+regs AS (SELECT g, bucket, max(rho) AS reg FROM r GROUP BY g, bucket),
+per AS (
+  SELECT g, count(*)::BIGINT AS n_registers,
+         list(struct_pack(bucket := bucket, reg := reg) ORDER BY bucket) AS l
+  FROM regs GROUP BY g),
+est AS (
+  SELECT g, n_registers,
+         list_reduce(list_prepend(0.0, list_transform(
+           l, s -> power(2.0, -(s.reg::DOUBLE)))), (a, x) -> a + x)
+           + ({dp.HLL_M} - n_registers)::DOUBLE AS ssum,
+         ({dp.HLL_M} - n_registers)::DOUBLE AS v
+  FROM per),
+fin AS (
+  SELECT g, n_registers, v,
+         {dp.HLL_ALPHA!r}::DOUBLE * {float(dp.HLL_M)!r}::DOUBLE
+           * {float(dp.HLL_M)!r}::DOUBLE / ssum AS raw
+  FROM est)
+SELECT g AS event_type, n_registers,
+       round(CASE WHEN raw <= {2.5 * dp.HLL_M!r}::DOUBLE AND v > 0
+                  THEN {float(dp.HLL_M)!r}::DOUBLE
+                       * ln({float(dp.HLL_M)!r}::DOUBLE / v)
+                  ELSE raw END, 4) AS estimate
+FROM fin""",
+        # Flesch-Kincaid twin: vowel-group syllables, [.!?]+ sentence
+        # splits, the identical fixed IEEE grade tree.
+        "text_readability": """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+         len(list_filter(regexp_split_to_array(trim(text), '[.!?]+'),
+                         s -> trim(s) <> ''))::BIGINT AS raw_sents
+  FROM documents),
+syl AS (
+  SELECT doc_id, len(t)::BIGINT AS n_words,
+         greatest(1, raw_sents)::BIGINT AS n_sentences,
+         list_sum(list_transform(t,
+           w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))))::BIGINT
+           AS n_syllables
+  FROM t)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+             + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE) - 15.59, 4) AS fk_grade
+FROM syl""",
+        # URL-canonicalization twin: a third, SQL-native implementation of
+        # the urlnorm rules (lowercase scheme/host, trailing-dot and
+        # default-port strip, tracking-param drop, bytewise param sort,
+        # fragment/trailing-slash drop, unparseable passthrough) over the
+        # same deterministically synthesized hostile URLs.
+        "doc_url_canonical": f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'http://u:p@x.com/' || doc_id::VARCHAR
+              ELSE 'HTTP://Site' || source || '.Example.COM.:80/Path'
+                   || (doc_id % 3)::VARCHAR || '/?utm_source=x&b='
+                   || doc_id::VARCHAR || '&a=1#frag' END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '\\.+$', '') AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1) AS port,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS raw_path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u),
+n AS (
+  SELECT doc_id, url, scheme, host, port,
+    CASE WHEN raw_path IN ('', '/') THEN '/'
+         ELSE regexp_replace(raw_path, '/$', '') END AS path,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x, '{lk_TRACKING}'))), '&') AS sq
+  FROM p)
+SELECT doc_id, url,
+  CASE WHEN NOT regexp_matches(url, '{lk_ANCHORED}')
+       THEN url
+       ELSE scheme || '://' ||
+            CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                          OR (scheme = 'https' AND port = '443'))
+                 THEN host || ':' || port ELSE host END
+            || path || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END
+  END AS canonical_url
+FROM n""",
     }

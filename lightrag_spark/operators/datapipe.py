@@ -2671,3 +2671,74 @@ def top_event_users(events: DataFrame, k: int = 5) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def readability_scores(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, fk_grade) —
+    Flesch-Kincaid grade level, the classic readability quality signal
+    (C4/Gopher-era pipelines cut on similar shape statistics).
+
+    Syllables are vowel-group counts (>=1 per word) — the standard
+    dictionary-free approximation; sentences split on [.!?]+ runs.
+    fk_grade = 0.39*(W/S) + 11.8*(Syl/W) - 15.59 is a fixed IEEE tree on
+    exact integer inputs, so the 4dp round is engine-portable.  One scan,
+    zero shuffles, all codegen expressions.
+    """
+    toks = tokens_col(text)
+    syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.lit(1), F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)))
+        .cast("long"),
+    )
+    sents = F.size(
+        F.filter(F.split(F.trim(F.col(text)), r"[.!?]+"), lambda s: F.trim(s) != "")
+    )
+    n = F.size(toks)
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.greatest(F.lit(1), sents).cast("long").alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.round(
+            F.lit(0.39) * (n.cast("double") / F.greatest(F.lit(1), sents).cast("double"))
+            + F.lit(11.8) * (syll.cast("double") / n.cast("double"))
+            - F.lit(15.59),
+            4,
+        ).alias("fk_grade"),
+    )
+
+
+def pick_canonical(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(canonical_doc_id, component_size, keep_doc_id, keep_quality) —
+    the curation decision substring/near dedup exists to feed: for every
+    near-duplicate cluster (connected components over the LSH-verified
+    pair graph), keep the HIGHEST-quality member, not the arbitrary
+    min-id one.  Rank key is the 4dp-rounded quality composite (rounding
+    first makes the ordering engine-portable) with doc_id as tie-break.
+
+    Shape: components are already bucket-bounded (near_duplicate_pairs
+    never goes all-pairs); quality is one scan; the pick is a rank window
+    PARTITIONED by component (WindowGroupLimit applies).
+    """
+    from lightrag_spark.operators.graphs import duplicate_components
+
+    comp = duplicate_components(near_duplicate_pairs(docs, text=text, id_col=id_col))
+    q = quality_scores(docs, text=text, id_col=id_col).select(id_col, "quality")
+    ranked = comp.join(q, id_col).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("canonical_doc_id").orderBy(
+                F.desc("quality"), F.asc(id_col)
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        "canonical_doc_id",
+        F.col("component_size").cast("long").alias("component_size"),
+        F.col(id_col).alias("keep_doc_id"),
+        F.col("quality").alias("keep_quality"),
+    )

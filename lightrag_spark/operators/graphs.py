@@ -777,3 +777,70 @@ def neighborhood_sizes(
         ball1.join(ball2, "a")
         .select(F.col("a").alias("entity"), "ball1", "ball2")
     )
+
+
+TRANSE_DIMS = 8
+TRANSE_MOD = 256
+
+
+def _hash_embed_term(name, d: int):
+    """Integer feature-hash embedding coordinate: e(name)[d] =
+    int(md5(d || ':' || name)[:4], 16) % 256 — bit-identical in any
+    engine with md5 (the same trick the minhash/simhash family uses)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{d}:"), name)), 1, 4), 16, 10)
+        .cast("long") % TRANSE_MOD
+    )
+
+
+def transe_l1_scores(
+    negatives: DataFrame,
+    dims: int = TRANSE_DIMS,
+    src: str = "src",
+    tgt: str = "tgt",
+    neg_tgt: str = "neg_tgt",
+) -> DataFrame:
+    """(src, tgt, neg_tgt, sample_idx, pos_score, neg_score, margin) —
+    TransE scoring (Bordes et al. 2013) of positive edges against their
+    corrupted triples from :func:`kg_negative_samples`: score(h,r,t) =
+    sum_d |h_d + r_d - t_d| under deterministic feature-hashed integer
+    embeddings, so the margin-based ranking loss's raw material — is the
+    corrupted triple scored worse? — is exact 64-bit integers.
+
+    Training itself needs gradient descent (out of scope); what a
+    DATA pipeline owns is exactly this: generating reproducible
+    (positive, negative, score, margin) training rows at corpus scale.
+
+    Shape at scale: zero additional shuffles — both scores are pure
+    scan-side expression trees (md5 + modular arithmetic, unrolled over
+    ``dims``) on the negatives table; whole-stage codegen applies.
+    """
+    import hashlib
+
+    rel = [
+        int.from_bytes(hashlib.md5(f"{d}:__rel__".encode()).digest()[:2], "big")
+        % TRANSE_MOD
+        for d in range(dims)
+    ]
+
+    def l1(h, t):
+        terms = [
+            F.abs(_hash_embed_term(h, d) + F.lit(rel[d]) - _hash_embed_term(t, d))
+            for d in range(dims)
+        ]
+        out = terms[0]
+        for term in terms[1:]:
+            out = out + term
+        return out
+
+    return negatives.select(
+        src,
+        tgt,
+        neg_tgt,
+        "sample_idx",
+        l1(F.col(src), F.col(tgt)).cast("long").alias("pos_score"),
+        l1(F.col(src), F.col(neg_tgt)).cast("long").alias("neg_score"),
+        (l1(F.col(src), F.col(neg_tgt)) - l1(F.col(src), F.col(tgt)))
+        .cast("long")
+        .alias("margin"),
+    )

@@ -1,0 +1,90 @@
+"""Quality-aware canonical pick, TransE scoring, readability, HLL users."""
+
+from __future__ import annotations
+
+import hashlib
+
+from lightrag_spark.operators import datapipe as dp
+from lightrag_spark.operators.graphs import (
+    TRANSE_DIMS,
+    TRANSE_MOD,
+    kg_negative_samples,
+    transe_l1_scores,
+)
+
+
+def test_readability_scores(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran!"), (2, "xyz")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in dp.readability_scores(docs).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # syllables: the=1 cat=1 sat.=1 the=1 dog=1 ran!=1 -> 6
+    assert r1["n_syllables"] == 6
+    expected = round(0.39 * (6 / 2) + 11.8 * (6 / 6) - 15.59, 4)
+    assert r1["fk_grade"] == expected
+    r2 = out[2]
+    # no vowels ("y" counts, so xyz has 1), no sentence punctuation -> 1/1/1
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (1, 1, 1)
+
+
+def test_pick_canonical_prefers_quality(spark):
+    # two near-identical docs; doc 2 repeats a token (lower type/token
+    # ratio -> lower quality), doc 1 should be kept even though min-id
+    # labeling makes doc 1 the component label anyway; so ALSO add a pair
+    # where the higher-quality doc has the HIGHER id.
+    words = [f"w{i}" for i in range(40)]
+    base = "the quick brown fox jumps over a quiet river " + " ".join(words)
+    degraded = base.replace("quiet", "the")  # more stopwords, fewer types
+    docs = spark.createDataFrame(
+        [(10, degraded), (11, base)], "doc_id long, text string"
+    )
+    out = dp.pick_canonical(docs).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["canonical_doc_id"] == 10  # min-id component label
+    assert row["component_size"] == 2
+    q = {r["doc_id"]: r["quality"] for r in dp.quality_scores(docs).collect()}
+    assert row["keep_doc_id"] == max(q, key=lambda d: (q[d], -d))
+
+
+def _py_embed(name: str, d: int) -> int:
+    return int(hashlib.md5(f"{d}:{name}".encode()).hexdigest()[:4], 16) % TRANSE_MOD
+
+
+def test_transe_scores_match_python(spark):
+    edges = spark.createDataFrame(
+        [("alpha", "beta"), ("beta", "gamma")], "src string, tgt string"
+    )
+    nodes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",)], "entity_name string"
+    )
+    neg = kg_negative_samples(edges, nodes, k=2)
+    out = transe_l1_scores(neg).collect()
+    assert out, "negative sampling produced no surviving rows"
+    rel = [
+        int.from_bytes(hashlib.md5(f"{d}:__rel__".encode()).digest()[:2], "big")
+        % TRANSE_MOD
+        for d in range(TRANSE_DIMS)
+    ]
+    for r in out:
+        pos = sum(
+            abs(_py_embed(r["src"], d) + rel[d] - _py_embed(r["tgt"], d))
+            for d in range(TRANSE_DIMS)
+        )
+        negs = sum(
+            abs(_py_embed(r["src"], d) + rel[d] - _py_embed(r["neg_tgt"], d))
+            for d in range(TRANSE_DIMS)
+        )
+        assert (r["pos_score"], r["neg_score"], r["margin"]) == (pos, negs, negs - pos)
+
+
+def test_hll_users_close_to_exact(spark):
+    rows = [(f"type{u % 3}", u % 40) for u in range(4000)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = {r["event_type"]: r["estimate"] for r in dp.hll_distinct(ev, "event_type", "user_id").collect()}
+    exact = {"type0": len({u % 40 for u in range(4000) if u % 3 == 0})}
+    # m=256 registers -> ~6.5% stderr; small-range correction applies here
+    assert abs(out["type0"] - exact["type0"]) / exact["type0"] < 0.2
