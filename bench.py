@@ -125,6 +125,8 @@ def main():
         "kg_node_similarity",
         "kg_pagerank_weighted",
         "kg_negative_samples",
+        "kg_neighborhood2",
+        "kg_transe_scores",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -161,6 +163,14 @@ def main():
         "events_retention",
         "events_pivot",
         "events_anomalies",
+        "text_dup_ngrams",
+        "text_dup_spans",
+        "text_bpe_pairs",
+        "sim_sq_topk",
+        "events_topk_users",
+        "text_readability",
+        "events_hll_users",
+        "doc_url_canonical",
     )
 
     def _time(name):

