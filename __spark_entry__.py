@@ -1471,6 +1471,43 @@ pr{k} AS (
     return "".join(parts)
 
 
+def _ppr_sql(iterations: int = _PR_ITER, scale: int = 0,
+             num: int = 85, den: int = 100, n_seeds: int = 3) -> str:
+    """Unrolled personalized-PageRank oracle chain: teleport mass lands
+    only on the top-degree seed set (graphs.personalized_pagerank)."""
+    scale = scale or _PR_SCALE
+    parts = [f"""
+, undp AS (
+  SELECT src AS u, tgt AS v FROM edges
+  UNION
+  SELECT tgt AS u, src AS v FROM edges),
+pdeg AS (SELECT u, count(*)::BIGINT AS d FROM undp GROUP BY u),
+pseeds AS (SELECT u FROM pdeg ORDER BY d DESC, u LIMIT {n_seeds}),
+pns AS (SELECT count(*)::BIGINT AS n FROM pseeds),
+ppr0 AS (
+  SELECT dg.u,
+         (CASE WHEN s.u IS NOT NULL
+               THEN ({scale} // (SELECT n FROM pns)) ELSE 0 END)::BIGINT AS r
+  FROM pdeg dg LEFT JOIN pseeds s ON dg.u = s.u)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+ppr{k} AS (
+  SELECT dg.u,
+         (CASE WHEN s.u IS NOT NULL
+               THEN (({den - num}) * ({scale} // (SELECT n FROM pns))) // {den}
+               ELSE 0 END
+          + ({num} * coalesce(c.s, 0)) // {den})::BIGINT AS r
+  FROM pdeg dg LEFT JOIN pseeds s ON dg.u = s.u LEFT JOIN (
+    SELECT e.v, sum(p.r // d2.d) AS s
+    FROM ppr{k - 1} p JOIN pdeg d2 ON p.u = d2.u JOIN undp e ON e.u = p.u
+    GROUP BY e.v) c ON dg.u = c.v)""")
+    parts.append(
+        f"\nSELECT u AS entity, r AS ppr_fp, r / {float(scale)} AS ppr"
+        f" FROM ppr{iterations}"
+    )
+    return "".join(parts)
+
+
 def _q_kg_pagerank_weighted(spark, sf):
     """Weighted fixed-point PageRank: mass flows proportionally to the
     reference's relation_count edge weights — (r*w) DIV W_u per edge,
@@ -2191,6 +2228,29 @@ def _q_url_canonical(spark, sf):
     return d.select("doc_id", "url", canonical_url_col(F.col("url")).alias("canonical_url"))
 
 
+def _q_kg_ppr(spark, sf):
+    """Personalized PageRank (graphs.personalized_pagerank): restart
+    into the top-degree seed set — query-time relevance propagation in
+    the same bit-exact fixed-point integers as kg_pagerank."""
+    from lightrag_spark.operators.graphs import personalized_pagerank
+
+    r = _build(spark, sf)
+    e = r.kg_edges.select("src", "tgt").localCheckpoint(eager=True)
+    return personalized_pagerank(e, iterations=_PR_ITER, scale=_PR_SCALE)
+
+
+def _q_eval_ndcg(spark, sf):
+    """NDCG@10 over the TF-IDF retrieval audit (evaluation.ndcg_at_k):
+    graded label-free relevance, explicit-order DCG/IDCG folds."""
+    from lightrag_spark.evaluation import ndcg_at_k
+
+    docs = _documents(spark, sf).select(
+        F.concat(F.lit("doc"), F.col("doc_id")).alias("name"), "text"
+    )
+    qdf = spark.createDataFrame([(q,) for q in _EVAL_QUERIES], "question string")
+    return ndcg_at_k(docs, qdf, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_chunks": _q_kg_chunks,
@@ -2296,6 +2356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_users": _q_events_hll_users,
         "text_readability": _q_readability,
         "doc_url_canonical": _q_url_canonical,
+        "kg_ppr": _q_kg_ppr,
+        "eval_ndcg": _q_eval_ndcg,
     }
 
 
@@ -2555,11 +2617,12 @@ SELECT doc_id,
 FROM b"""
 
 
-def _eval_retrieval_sql() -> str:
-    """DuckDB restatement of the TF-IDF retrieval audit: reference
-    tokenizer ([a-z0-9]+ on lowercase, stopwords out, single chars out),
-    idf = ln((N+1)/(df+1))+1, score = sum over query-token occurrences of
-    (1+ln(tf))*idf, rank on (round(score,6) DESC, name), top 10."""
+def _eval_retrieval_cte() -> str:
+    """Shared CTE chain for the TF-IDF retrieval twins (through
+    ``ranked``): reference tokenizer ([a-z0-9]+ on lowercase, stopwords
+    out, single chars out), idf = ln((N+1)/(df+1))+1, score = sum over
+    query-token occurrences of (1+ln(tf))*idf, rank on
+    (round(score,6) DESC, name)."""
     from lightrag_spark.evaluation import STOPWORDS
 
     stop = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2591,8 +2654,53 @@ scored AS (
 ranked AS (
   SELECT question, name, score,
          row_number() OVER (PARTITION BY question ORDER BY score DESC, name) AS rank
-  FROM scored WHERE score > 0)
-SELECT question, name, rank, score FROM ranked WHERE rank <= 10"""
+  FROM scored WHERE score > 0)"""
+
+
+def _eval_retrieval_sql() -> str:
+    return (
+        _eval_retrieval_cte()
+        + "\nSELECT question, name, rank, score FROM ranked WHERE rank <= 10"
+    )
+
+
+def _eval_ndcg_sql(k: int = 10) -> str:
+    """NDCG@k twin: graded relevance = distinct query tokens present in
+    the doc; DCG/IDCG are explicit-order list folds (sorted-fold IEEE
+    pattern) over rel/log2(pos+1) terms."""
+    return (
+        _eval_retrieval_cte()
+        + f""",
+dtok AS (SELECT DISTINCT name, token FROM toks),
+relv AS (
+  SELECT q2.question, d2.name, count(DISTINCT d2.token)::BIGINT AS rel
+  FROM dtok d2 JOIN (SELECT DISTINCT question, token FROM qt) q2 USING (token)
+  GROUP BY 1, 2),
+rr AS (
+  SELECT r.question, r.name, r.rank, coalesce(v.rel, 0)::BIGINT AS rel
+  FROM (SELECT question, name, rank FROM ranked WHERE rank <= {k}) r
+  LEFT JOIN relv v ON r.question = v.question AND r.name = v.name),
+terms AS (
+  SELECT question, rank, rel,
+         rel::DOUBLE / log2((rank + 1)::DOUBLE) AS term,
+         row_number() OVER (PARTITION BY question ORDER BY rel DESC, rank) AS ipos
+  FROM rr),
+terms2 AS (
+  SELECT question, rank, term, ipos,
+         rel::DOUBLE / log2((ipos + 1)::DOUBLE) AS iterm
+  FROM terms),
+folds AS (
+  SELECT question,
+         list_reduce(list_prepend(0.0, list(term ORDER BY rank)),
+                     (a, x) -> a + x) AS dcg_raw,
+         list_reduce(list_prepend(0.0, list(iterm ORDER BY ipos)),
+                     (a, x) -> a + x) AS idcg_raw
+  FROM terms2 GROUP BY question)
+SELECT question, round(dcg_raw, 4) AS dcg, round(idcg_raw, 4) AS idcg,
+       round(CASE WHEN idcg_raw > 0 THEN dcg_raw / idcg_raw
+                  ELSE 0.0 END, 4) AS ndcg
+FROM folds"""
+    )
 
 
 def _text_contamination_sql() -> str:
@@ -2922,6 +3030,8 @@ GROUP BY w.entity_name, n.degree""",
         "text_pii_redact": _pii_sql(),
         "kg_pagerank": _KG_CTE + _pagerank_sql(),
         "kg_pagerank_weighted": _KG_CTE + _pagerank_sql(weighted=True),
+        "kg_ppr": _KG_CTE + _ppr_sql(),
+        "eval_ndcg": _eval_ndcg_sql(),
         # Negative-sampling twin: identical dictionary order (row_number
         # over entity name), identical md5 index pick, same collision
         # filter.  chr(31) is the \\x1f concat separator.

@@ -127,6 +127,7 @@ def main():
         "kg_negative_samples",
         "kg_neighborhood2",
         "kg_transe_scores",
+        "kg_ppr",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -171,6 +172,7 @@ def main():
         "text_readability",
         "events_hll_users",
         "doc_url_canonical",
+        "eval_ndcg",
     )
 
     def _time(name):

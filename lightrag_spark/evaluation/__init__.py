@@ -16,6 +16,7 @@ from .retrieval_check import (  # noqa: F401
     STOPWORDS,
     doc_term_frequencies,
     inverse_document_frequency,
+    ndcg_at_k,
     rank_documents,
     retrieval_metrics,
     summarize_retrieval,

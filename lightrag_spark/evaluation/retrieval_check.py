@@ -158,3 +158,72 @@ def summarize_retrieval(metrics: DataFrame, top_k: int) -> dict:
         "full_recall_queries": row["full_recall_queries"],
         "no_hit_queries": row["no_hit_queries"],
     }
+
+
+def ndcg_at_k(docs: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """(question, dcg, idcg, ndcg) — NDCG@k over the TF-IDF ranking with
+    graded relevance = number of DISTINCT non-stop query tokens present
+    in the document (a label-free grade the corpus itself defines);
+    normalized by the ideal ordering of the retrieved set — the standard
+    cutoff convention when exhaustive relevance labels don't exist.
+
+    Engine determinism: rel and positions are exact integers; both DCG
+    and IDCG fold their rel/log2(pos+1) terms in an explicit order (rank
+    for DCG, ideal position for IDCG) from a 0.0 seed, the sorted-fold
+    IEEE pattern — libm log2 ulp noise sits far below the 4dp round.
+
+    Shape: ranked pairs are |Q| x k (bounded), so the per-question
+    collect_list folds touch k structs; relevance joins broadcast the
+    query-token and ranked-name sides, never the corpus.
+    """
+    ranked = rank_documents(docs, queries, top_k=k).select("question", "name", "rank")
+    dtoks = _tokens(docs, "text", ["name"]).distinct()
+    qtoks = _tokens(queries.select("question"), "question", ["question"]).distinct()
+    names = ranked.select("name").distinct()
+    rel = (
+        dtoks.join(F.broadcast(names), "name", "left_semi")
+        .join(F.broadcast(qtoks), "token")
+        .groupBy("question", "name")
+        .agg(F.count_distinct("token").cast("long").alias("rel"))
+    )
+    r = (
+        ranked.join(rel, ["question", "name"], "left")
+        .select(
+            "question",
+            "rank",
+            F.coalesce(F.col("rel"), F.lit(0)).cast("long").alias("rel"),
+        )
+        .withColumn(
+            "term",
+            F.col("rel").cast("double") / F.log2(F.col("rank").cast("double") + 1.0),
+        )
+        .withColumn(
+            "ipos",
+            F.row_number().over(
+                Window.partitionBy("question").orderBy(F.desc("rel"), F.asc("rank"))
+            ),
+        )
+    )
+    r = r.withColumn(
+        "iterm",
+        F.col("rel").cast("double") / F.log2(F.col("ipos").cast("double") + 1.0),
+    )
+
+    def _fold(pos_col, term_col):
+        lst = F.sort_array(
+            F.collect_list(F.struct(F.col(pos_col).alias("p"), F.col(term_col).alias("t")))
+        )
+        return F.aggregate(lst, F.lit(0.0), lambda a, s: a + s["t"])
+
+    agg = r.groupBy("question").agg(
+        _fold("rank", "term").alias("dcg_raw"), _fold("ipos", "iterm").alias("idcg_raw")
+    )
+    return agg.select(
+        "question",
+        F.round("dcg_raw", 4).alias("dcg"),
+        F.round("idcg_raw", 4).alias("idcg"),
+        F.round(
+            F.when(F.col("idcg_raw") > 0, F.col("dcg_raw") / F.col("idcg_raw")).otherwise(0.0),
+            4,
+        ).alias("ndcg"),
+    )

@@ -844,3 +844,81 @@ def transe_l1_scores(
         .cast("long")
         .alias("margin"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "tgt",
+    n_seeds: int = 3,
+    iterations: int = 6,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """(entity, ppr_fp, ppr) — personalized PageRank: random walks with
+    restart INTO a seed set instead of the uniform teleport, the standard
+    query-time relevance propagation (a retrieval hit seeds the walk and
+    ppr ranks its graph neighborhood).  Same fixed-point integer
+    arithmetic as :func:`pagerank_fixedpoint` — every iteration is
+    bit-exact across engines, so the oracle replays K unrolled CTEs.
+
+    ``seeds`` defaults to the top-``n_seeds`` nodes by (degree desc,
+    name asc) — the deterministic stand-in for "the retrieval hits".
+    update: r'(v) = [v in S] * ((den-num)*(scale//|S|)) // den
+                    + (num * SUM_{u~v} (r(u) // deg(u))) // den
+
+    Shape: identical per-round join+sum as pagerank_fixedpoint (one
+    equi-join + map-side-combinable aggregate, localCheckpoint per round
+    to truncate lineage); the seed marker rides the degree table.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    if seeds is None:
+        seeds = deg.orderBy(F.desc("d"), F.asc("u")).limit(n_seeds).select("u")
+    marked = (
+        deg.join(seeds.select("u").withColumn("_s", F.lit(1)), "u", "left")
+        .select("u", "d", F.coalesce(F.col("_s"), F.lit(0)).alias("_s"))
+        .localCheckpoint(eager=True)
+    )
+    ns = marked.filter(F.col("_s") == 1).count()
+    if ns == 0:
+        raise ValueError("no seed is present in the edge list")
+    r0 = scale // ns
+    teleport = ((damping_den - damping_num) * r0) // damping_den
+    ranks = marked.select(
+        "u", F.when(F.col("_s") == 1, r0).otherwise(0).cast("long").alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(marked, "u")
+            .join(und, "u")
+            .select(F.col("v"), F.expr("r DIV d").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            marked.select("u", "_s")
+            .join(contrib.withColumnRenamed("v", "u"), "u", "left")
+            .select(
+                "u",
+                (
+                    F.when(F.col("_s") == 1, teleport).otherwise(0)
+                    + F.expr(f"({damping_num} * coalesce(s, 0)) DIV {damping_den}")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("u").alias("entity"),
+        F.col("r").alias("ppr_fp"),
+        (F.col("r") / F.lit(float(scale))).cast("double").alias("ppr"),
+    )
