@@ -2228,6 +2228,23 @@ def _q_url_canonical(spark, sf):
     return d.select("doc_id", "url", canonical_url_col(F.col("url")).alias("canonical_url"))
 
 
+def _q_kg_transe_hits(spark, sf):
+    """hits@k over the TransE margins (graphs.transe_hits): per positive
+    edge, corrupted triples scored worse — KG-embedding link-prediction
+    evaluation in exact integers."""
+    from lightrag_spark.operators.graphs import kg_negative_samples, transe_hits
+
+    r = _build(spark, sf)
+    neg = kg_negative_samples(r.kg_edges.select("src", "tgt"), r.kg_nodes, k=_NEG_K)
+    return transe_hits(neg)
+
+
+def _q_token_entropy(spark, sf):
+    """Token-distribution Shannon entropy (datapipe.token_entropy):
+    information-theoretic repetitiveness signal, sorted-fold twin."""
+    return dp.token_entropy(_documents(spark, sf))
+
+
 def _q_kg_ppr(spark, sf):
     """Personalized PageRank (graphs.personalized_pagerank): restart
     into the top-degree seed set — query-time relevance propagation in
@@ -2358,6 +2375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_canonical": _q_url_canonical,
         "kg_ppr": _q_kg_ppr,
         "eval_ndcg": _q_eval_ndcg,
+        "kg_transe_hits": _q_kg_transe_hits,
+        "text_token_entropy": _q_token_entropy,
     }
 
 
@@ -2950,6 +2969,33 @@ def _transe_score_sql(h: str, t: str) -> str:
         f"abs({emb.format(d=d, name=h)} + {rel[d]} - {emb.format(d=d, name=t)})"
         for d in range(len(rel))
     )
+
+
+def _transe_rows_sql() -> str:
+    """Shared chain: negative sampling + integer L1 scores, as a
+    ``tscored`` CTE appended to _KG_CTE (kg_transe_scores selects the
+    rows, kg_transe_hits aggregates hits@k over them)."""
+    return f"""
+, ndict AS (
+  SELECT e AS neg_tgt,
+         (row_number() OVER (ORDER BY e) - 1)::BIGINT AS _idx
+  FROM (SELECT DISTINCT entity_name AS e FROM mentions)),
+nn2 AS (SELECT count(*)::BIGINT AS n FROM ndict),
+samp AS (
+  SELECT e.src, e.tgt, u.i AS sample_idx,
+         ('0x' || substr(md5(e.src || chr(31) || e.tgt || chr(31)
+                             || u.i::VARCHAR), 1, 8))::BIGINT
+           % (SELECT n FROM nn2) AS _idx
+  FROM edges e, unnest(generate_series(0, {_NEG_K - 1})) AS u(i)),
+neg AS (
+  SELECT s.src, s.tgt, d.neg_tgt, s.sample_idx::BIGINT AS sample_idx
+  FROM samp s JOIN ndict d ON s._idx = d._idx
+  WHERE d.neg_tgt <> s.src AND d.neg_tgt <> s.tgt),
+tscored AS (
+  SELECT src, tgt, neg_tgt, sample_idx,
+         ({_transe_score_sql("src", "tgt")})::BIGINT AS pos_score,
+         ({_transe_score_sql("src", "neg_tgt")})::BIGINT AS neg_score
+  FROM neg)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4332,28 +4378,34 @@ SELECT canonical_doc_id, component_size, keep_doc_id, keep_quality
 FROM picked WHERE rn = 1""",
         # TransE twin: the negative-sampling chain plus unrolled integer
         # L1 scores over md5 feature-hash embeddings.
-        "kg_transe_scores": _KG_CTE + f"""
-, ndict AS (
-  SELECT e AS neg_tgt,
-         (row_number() OVER (ORDER BY e) - 1)::BIGINT AS _idx
-  FROM (SELECT DISTINCT entity_name AS e FROM mentions)),
-nn2 AS (SELECT count(*)::BIGINT AS n FROM ndict),
-samp AS (
-  SELECT e.src, e.tgt, u.i AS sample_idx,
-         ('0x' || substr(md5(e.src || chr(31) || e.tgt || chr(31)
-                             || u.i::VARCHAR), 1, 8))::BIGINT
-           % (SELECT n FROM nn2) AS _idx
-  FROM edges e, unnest(generate_series(0, {_NEG_K - 1})) AS u(i)),
-neg AS (
-  SELECT s.src, s.tgt, d.neg_tgt, s.sample_idx::BIGINT AS sample_idx
-  FROM samp s JOIN ndict d ON s._idx = d._idx
-  WHERE d.neg_tgt <> s.src AND d.neg_tgt <> s.tgt)
-SELECT src, tgt, neg_tgt, sample_idx,
-       ({_transe_score_sql("src", "tgt")})::BIGINT AS pos_score,
-       ({_transe_score_sql("src", "neg_tgt")})::BIGINT AS neg_score,
-       ({_transe_score_sql("src", "neg_tgt")}
-        - ({_transe_score_sql("src", "tgt")}))::BIGINT AS margin
-FROM neg""",
+        "kg_transe_scores": _KG_CTE + _transe_rows_sql() + """
+SELECT src, tgt, neg_tgt, sample_idx, pos_score, neg_score,
+       (neg_score - pos_score)::BIGINT AS margin
+FROM tscored""",
+        # hits@k aggregation over the same scored rows.
+        "kg_transe_hits": _KG_CTE + _transe_rows_sql() + """
+SELECT src, tgt, pos_score,
+       count(*)::BIGINT AS n_neg,
+       sum(CASE WHEN neg_score > pos_score THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       CASE WHEN sum(CASE WHEN neg_score > pos_score THEN 1 ELSE 0 END) = count(*)
+            THEN 1 ELSE 0 END::BIGINT AS hit_all
+FROM tscored GROUP BY src, tgt, pos_score""",
+        # Token-entropy twin: exact tf integers, sorted-token fold of
+        # tf*log2(tf), H = log2(n) - s/n at 4dp.
+        "text_token_entropy": """
+WITH tf AS (
+  SELECT doc_id, u.tok, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents) b, unnest(t) AS u(tok)
+  GROUP BY doc_id, u.tok),
+per AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         list_reduce(list_prepend(0.0, list(c::DOUBLE * log2(c::DOUBLE) ORDER BY tok)),
+                     (a, x) -> a + x) AS s
+  FROM tf GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_types,
+       round(log2(n_tokens::DOUBLE) - s / n_tokens::DOUBLE, 4) AS token_entropy
+FROM per""",
         # Per-event-type HLL twin: same register layout as text_hll_tokens
         # (bucket = first 2 md5 hex digits, rho from the 30-digit suffix),
         # same sorted-bucket register fold, user_id hashed via its string.

@@ -128,6 +128,7 @@ def main():
         "kg_neighborhood2",
         "kg_transe_scores",
         "kg_ppr",
+        "kg_transe_hits",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -173,6 +174,7 @@ def main():
         "events_hll_users",
         "doc_url_canonical",
         "eval_ndcg",
+        "text_token_entropy",
     )
 
     def _time(name):

@@ -2756,3 +2756,48 @@ def pick_canonical(docs: DataFrame, text: str = "text", id_col: str = "doc_id") 
         F.col(id_col).alias("keep_doc_id"),
         F.col("quality").alias("keep_quality"),
     )
+
+
+def token_entropy(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_types, token_entropy) — Shannon entropy of
+    the document's token distribution in bits: H = log2(n) - (sum_w
+    tf_w*log2(tf_w))/n.  Low entropy flags repetitive/templated text
+    (the information-theoretic cousin of the Gopher repetition ladder);
+    high entropy near log2(n) means every token is unique.
+
+    Determinism: tf counts are exact integers; the tf*log2(tf) terms fold
+    in sorted-token order from a 0.0 seed (the sorted-fold IEEE pattern),
+    and libm log2 ulp noise sits far below the 4dp round.
+
+    Shape: one (doc, token) count aggregate, then a per-doc fold whose
+    state is the doc's OWN vocabulary (bounded by document size, the
+    winnowing argument) — no corpus-wide state, no Python.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_col(text)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("tok"), F.col("c").cast("double").alias("cd")))
+    )
+    fold = F.aggregate(
+        lst, F.lit(0.0), lambda a, s: a + s["cd"] * F.log2(s["cd"])
+    )
+    per = tf.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        fold.alias("_s"),
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log2(F.col("n_tokens").cast("double"))
+            - F.col("_s") / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("token_entropy"),
+    )

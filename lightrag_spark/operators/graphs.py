@@ -926,3 +926,24 @@ def personalized_pagerank(
         F.col("r").alias("ppr_fp"),
         (F.col("r") / F.lit(float(scale))).cast("double").alias("ppr"),
     )
+
+
+def transe_hits(negatives: DataFrame, dims: int = TRANSE_DIMS) -> DataFrame:
+    """(src, tgt, pos_score, n_neg, n_hits, hit_all) — link-prediction
+    evaluation over the TransE rows: per positive edge, how many of its
+    corrupted triples score WORSE (higher L1) than the positive — the raw
+    material of hits@k / mean-rank reporting for KG-embedding quality.
+    Pure integers end-to-end; one map-side-combinable aggregate over the
+    scored rows.
+    """
+    scored = transe_l1_scores(negatives, dims=dims)
+    return scored.groupBy("src", "tgt", "pos_score").agg(
+        F.count("*").cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("neg_score") > F.col("pos_score"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        (
+            F.sum(F.when(F.col("neg_score") > F.col("pos_score"), 1).otherwise(0))
+            == F.count("*")
+        ).cast("int").cast("long").alias("hit_all"),
+    )

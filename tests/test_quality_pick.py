@@ -88,3 +88,35 @@ def test_hll_users_close_to_exact(spark):
     exact = {"type0": len({u % 40 for u in range(4000) if u % 3 == 0})}
     # m=256 registers -> ~6.5% stderr; small-range correction applies here
     assert abs(out["type0"] - exact["type0"]) / exact["type0"] < 0.2
+
+
+def test_token_entropy(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in dp.token_entropy(docs).collect()}
+    assert out[1]["token_entropy"] == 0.0  # single repeated token
+    assert out[2]["token_entropy"] == 2.0  # 4 unique tokens -> log2(4)
+    assert out[3]["token_entropy"] == 1.0  # two 50/50 tokens
+    assert out[2]["n_types"] == 4 and out[3]["n_types"] == 2
+
+
+def test_transe_hits_consistent_with_scores(spark):
+    from lightrag_spark.operators.graphs import transe_hits
+
+    edges = spark.createDataFrame(
+        [("alpha", "beta"), ("beta", "gamma")], "src string, tgt string"
+    )
+    nodes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",), ("epsilon",)],
+        "entity_name string",
+    )
+    neg = kg_negative_samples(edges, nodes, k=2)
+    rows = transe_l1_scores(neg).collect()
+    hits = {(r["src"], r["tgt"]): r.asDict() for r in transe_hits(neg).collect()}
+    for (s, t), h in hits.items():
+        mine = [r for r in rows if (r["src"], r["tgt"]) == (s, t)]
+        assert h["n_neg"] == len(mine)
+        assert h["n_hits"] == sum(1 for r in mine if r["neg_score"] > r["pos_score"])
+        assert h["hit_all"] == int(h["n_hits"] == h["n_neg"])
