@@ -2228,6 +2228,16 @@ def _q_url_canonical(spark, sf):
     return d.select("doc_id", "url", canonical_url_col(F.col("url")).alias("canonical_url"))
 
 
+_CONTAIN_THR = 0.6
+
+
+def _q_containment_pairs(spark, sf):
+    """Broder containment over LSH resemblance candidates (datapipe.
+    containment_pairs): the quote/partial-copy complement of Jaccard
+    near-dup."""
+    return dp.containment_pairs(_documents(spark, sf), threshold=_CONTAIN_THR)
+
+
 def _q_kg_transe_hits(spark, sf):
     """hits@k over the TransE margins (graphs.transe_hits): per positive
     edge, corrupted triples scored worse — KG-embedding link-prediction
@@ -2377,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ndcg": _q_eval_ndcg,
         "kg_transe_hits": _q_kg_transe_hits,
         "text_token_entropy": _q_token_entropy,
+        "dedup_containment": _q_containment_pairs,
     }
 
 
@@ -4345,6 +4356,16 @@ SELECT event_type, user_id, n_events,
        row_number() OVER (PARTITION BY event_type
                           ORDER BY n_events DESC, user_id)::BIGINT AS rnk
 FROM c QUALIFY rnk <= 5""",
+        # Containment twin: same LSH candidate chain, denominator =
+        # min(|A|,|B|) instead of the union.
+        "dedup_containment": _MINHASH_CTE + _NEARDUP_CHAIN + f""",
+jc AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / least(len(sa.sh), len(sb.sh)), 4) AS containment
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, containment FROM jc
+WHERE containment >= {_CONTAIN_THR}""",
         # Canonical-pick twin: the recursive components closure plus the
         # text_quality composite, rank (quality desc, doc_id) inside each
         # component.

@@ -175,6 +175,7 @@ def main():
         "doc_url_canonical",
         "eval_ndcg",
         "text_token_entropy",
+        "dedup_containment",
     )
 
     def _time(name):

@@ -294,6 +294,7 @@ def near_duplicate_pairs(
     id_col: str = "doc_id",
     threshold: float = NEARDUP_THRESHOLD,
     max_bucket="auto",
+    measure: str = "jaccard",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + bucket-local exact n-gram
     Jaccard verification.
@@ -331,6 +332,9 @@ def near_duplicate_pairs(
 
     from .ann import MEGABUCKET_FLOOR, MEGABUCKET_MULT, _wide
 
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"measure must be jaccard|containment, got {measure!r}")
+
     # The megabucket guard runs IN the kernel (a group knows its own
     # size), so the shingle-carrying lineage is evaluated exactly once —
     # prune_megabuckets' size-agg + semi-join would evaluate it two more
@@ -358,12 +362,14 @@ def near_duplicate_pairs(
     bands = _wide(bands, "band_idx", "bucket")
 
     id_type = docs.schema[id_col].dataType.simpleString()
-    out_schema = f"doc_a {id_type}, doc_b {id_type}, jaccard double"
+    out_schema = f"doc_a {id_type}, doc_b {id_type}, {measure} double"
+
+    containment = measure == "containment"
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2 or (thr is not None and n > thr):
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+            return pd.DataFrame({"doc_a": [], "doc_b": [], measure: []})
         ids = list(pdf[id_col])
         sets = [set(s) for s in pdf["sh"]]
         rows_a, rows_b, js = [], [], []
@@ -377,22 +383,25 @@ def near_duplicate_pairs(
                 inter = len(sets[i] & sets[jdx])
                 if not inter:
                     continue
-                union = len(sets[i]) + len(sets[jdx]) - inter
+                if containment:
+                    denom = min(len(sets[i]), len(sets[jdx]))
+                else:
+                    denom = len(sets[i]) + len(sets[jdx]) - inter
                 # 4dp HALF-AWAY rounding (DuckDB/Spark round semantics;
                 # Python's round() is banker's and WOULD diverge at exact
                 # boundaries like 1/32 = 0.03125)
-                jac = math.floor(inter / union * 10000.0 + 0.5) / 10000.0
-                if jac >= threshold:
+                val = math.floor(inter / denom * 10000.0 + 0.5) / 10000.0
+                if val >= threshold:
                     rows_a.append(a)
                     rows_b.append(b)
-                    js.append(jac)
-        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "jaccard": js})
+                    js.append(val)
+        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, measure: js})
 
     return (
         bands.groupBy("band_idx", "bucket")
         .applyInPandas(kernel, out_schema)
         .groupBy("doc_a", "doc_b")
-        .agg(F.max("jaccard").alias("jaccard"))
+        .agg(F.max(measure).alias(measure))
     )
 
 
@@ -2800,4 +2809,29 @@ def token_entropy(
             - F.col("_s") / F.col("n_tokens").cast("double"),
             4,
         ).alias("token_entropy"),
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """(doc_a, doc_b, containment) — near-SUPERSET detection: containment
+    = |shingles(A) ∩ shingles(B)| / min(|A|, |B|) over the same LSH
+    candidate buckets as :func:`near_duplicate_pairs`.  Jaccard misses
+    the quote/partial-copy case (a page embedding a short document scores
+    low Jaccard but containment ~1.0 — Broder's original resemblance vs
+    containment split); dedup pipelines scrub those separately.
+
+    Same scale shape as the Jaccard verifier: candidates only within LSH
+    buckets, megabucket guard, per-bucket Arrow kernel, groupBy-max over
+    the band fan-out.  NOTE the banding is tuned for resemblance — a tiny
+    doc inside a huge one may not band-collide; this operator reports
+    containment among RESEMBLANCE candidates (the honest contract; full
+    containment search needs the suffix-window index of dup_ngram_*).
+    """
+    return near_duplicate_pairs(
+        docs, text=text, id_col=id_col, threshold=threshold, measure="containment"
     )

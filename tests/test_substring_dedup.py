@@ -163,3 +163,26 @@ def test_top_event_users(spark):
         ("view", 1, 3, 1),
         ("view", 2, 2, 2),
     ]
+
+
+def test_containment_vs_jaccard(spark):
+    # B is a strict prefix-subset of A: containment(B in A) ~ 1.0 while
+    # Jaccard is diluted by A's extra content.
+    # extra stays small so the pair still band-collides (banding is
+    # resemblance-tuned — the documented containment_pairs contract)
+    core = " ".join(f"c{i}" for i in range(30))
+    extra = "x1 x2 x3"
+    docs = _docs(spark, [(1, core + " " + extra), (2, core)])
+    cont = dp.containment_pairs(docs, threshold=0.5).collect()
+    assert len(cont) == 1 and cont[0]["containment"] >= 0.9
+    jac = dp.near_duplicate_pairs(docs, threshold=0.5).collect()
+    jacv = jac[0]["jaccard"] if jac else 0.0
+    assert jacv < cont[0]["containment"]
+
+
+def test_near_duplicate_pairs_rejects_bad_measure(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    import pytest
+
+    with pytest.raises(ValueError):
+        dp.near_duplicate_pairs(docs, measure="dice")
