@@ -2228,6 +2228,17 @@ def _q_url_canonical(spark, sf):
     return d.select("doc_id", "url", canonical_url_col(F.col("url")).alias("canonical_url"))
 
 
+def _q_kg_modularity(spark, sf):
+    """Per-community Newman modularity terms (graphs.community_modularity
+    over the LPA partition): partition-quality gauge, exact-integer
+    inputs into a fixed IEEE tree."""
+    from lightrag_spark.operators.graphs import community_modularity, label_propagation
+
+    r = _build(spark, sf)
+    e = r.kg_edges.select("src", "tgt").localCheckpoint(eager=True)
+    return community_modularity(e, label_propagation(e, iterations=_LPA_ITER))
+
+
 _CONTAIN_THR = 0.6
 
 
@@ -2388,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe_hits": _q_kg_transe_hits,
         "text_token_entropy": _q_token_entropy,
         "dedup_containment": _q_containment_pairs,
+        "kg_modularity": _q_kg_modularity,
     }
 
 
@@ -4356,6 +4368,28 @@ SELECT event_type, user_id, n_events,
        row_number() OVER (PARTITION BY event_type
                           ORDER BY n_events DESC, user_id)::BIGINT AS rnk
 FROM c QUALIFY rnk <= 5""",
+        # Modularity twin: LPA labels + integer e_in/deg/m into the same
+        # two-division fixed tree.
+        "kg_modularity": _KG_CTE + _lpa_cte() + f""",
+me AS (SELECT count(*)::BIGINT AS m FROM edges),
+eint AS (
+  SELECT la.lbl AS community, count(*)::BIGINT AS internal_edges
+  FROM edges e
+  JOIN lp{_LPA_ITER} la ON e.src = la.node
+  JOIN lp{_LPA_ITER} lb ON e.tgt = lb.node
+  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+ds AS (
+  SELECT l.lbl AS community, count(*)::BIGINT AS n_nodes,
+         sum(d.degree)::BIGINT AS degree_sum
+  FROM lp{_LPA_ITER} l JOIN node_degree d ON l.node = d.e GROUP BY l.lbl)
+SELECT ds.community, ds.n_nodes,
+       coalesce(eint.internal_edges, 0)::BIGINT AS internal_edges,
+       ds.degree_sum,
+       round(coalesce(eint.internal_edges, 0)::DOUBLE / (SELECT m FROM me)::DOUBLE
+             - (ds.degree_sum::DOUBLE / (2 * (SELECT m FROM me))::DOUBLE)
+               * (ds.degree_sum::DOUBLE / (2 * (SELECT m FROM me))::DOUBLE), 4)
+         AS modularity_term
+FROM ds LEFT JOIN eint ON ds.community = eint.community""",
         # Containment twin: same LSH candidate chain, denominator =
         # min(|A|,|B|) instead of the union.
         "dedup_containment": _MINHASH_CTE + _NEARDUP_CHAIN + f""",

@@ -129,6 +129,7 @@ def main():
         "kg_transe_scores",
         "kg_ppr",
         "kg_transe_hits",
+        "kg_modularity",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",

@@ -947,3 +947,59 @@ def transe_hits(negatives: DataFrame, dims: int = TRANSE_DIMS) -> DataFrame:
             == F.count("*")
         ).cast("int").cast("long").alias("hit_all"),
     )
+
+
+def community_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    tgt: str = "tgt",
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """(community, n_nodes, internal_edges, degree_sum, modularity_term)
+    — Newman modularity contribution per community: Q_c = e_in/m -
+    (deg_c / 2m)^2 (sum over communities = the partition's modularity).
+    The quality gauge for the LPA partition — a community whose term is
+    negative is sparser than random and a merge/split candidate.
+
+    Determinism: e_in, deg_c, m are exact integers; the term is a fixed
+    IEEE tree (two divisions, one multiply, one subtract) on them,
+    rounded 4dp.  Shape: two label joins on the edge list + two
+    map-side-combinable aggregates; m is a driver scalar (one count).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
+    m = e.count()
+    if m == 0:
+        raise ValueError("empty edge list")
+    lab = labels.select(F.col(node_col).alias("n"), F.col(label_col).alias("c"))
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    internal = (
+        e.join(lab.withColumnRenamed("n", "a").withColumnRenamed("c", "ca"), "a")
+        .join(lab.withColumnRenamed("n", "b").withColumnRenamed("c", "cb"), "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").cast("long").alias("internal_edges"))
+    )
+    per = (
+        deg.join(lab, "n")
+        .groupBy(F.col("c").alias("community"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    frac = F.coalesce(F.col("internal_edges"), F.lit(0)).cast("double") / F.lit(float(m))
+    half = F.col("degree_sum").cast("double") / F.lit(float(2 * m))
+    return per.join(internal, "community", "left").select(
+        "community",
+        "n_nodes",
+        F.coalesce(F.col("internal_edges"), F.lit(0)).cast("long").alias("internal_edges"),
+        "degree_sum",
+        F.round(frac - half * half, 4).alias("modularity_term"),
+    )

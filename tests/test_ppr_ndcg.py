@@ -70,3 +70,31 @@ def test_ndcg_perfect_when_ranking_matches_relevance(spark):
     q = spark.createDataFrame([("quantum computing",)], "question string")
     row = ndcg_at_k(docs, q, k=10).collect()[0]
     assert row["ndcg"] == 1.0
+
+
+def test_community_modularity_two_triangles(spark):
+    from lightrag_spark.operators.graphs import community_modularity
+
+    # two triangles joined by one bridge: m=7; each community has
+    # e_in=3 and degree_sum=7 -> term = 3/7 - (7/14)^2 = 0.1786
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"),
+         ("c", "x")],
+        "src string, tgt string",
+    )
+    labels = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("x", "B"), ("y", "B"), ("z", "B")],
+        "node string, community string",
+    )
+    out = {r["community"]: r.asDict() for r in community_modularity(edges, labels).collect()}
+    for c in ("A", "B"):
+        assert out[c]["internal_edges"] == 3
+        assert out[c]["degree_sum"] == 7
+        assert out[c]["modularity_term"] == round(3 / 7 - (7 / 14) ** 2, 4)
+    # degenerate: everything in one community -> term = 1 - 1 = 0
+    one = spark.createDataFrame(
+        [(n, "ALL") for n in "abcxyz"], "node string, community string"
+    )
+    allrow = community_modularity(edges, one).collect()[0]
+    assert allrow["modularity_term"] == 0.0
