@@ -2228,6 +2228,13 @@ def _q_url_canonical(spark, sf):
     return d.select("doc_id", "url", canonical_url_col(F.col("url")).alias("canonical_url"))
 
 
+def _q_filter_report(spark, sf):
+    """Ensemble filtering verdicts (datapipe.filter_report): every doc,
+    every failed signal (length/entropy/dup/quality), final keep bit —
+    the decision table a C4/Gopher curation pipeline emits."""
+    return dp.filter_report(_documents(spark, sf), dup_width=_DUPWIN_W)
+
+
 def _q_kg_modularity(spark, sf):
     """Per-community Newman modularity terms (graphs.community_modularity
     over the LPA partition): partition-quality gauge, exact-integer
@@ -2400,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_entropy": _q_token_entropy,
         "dedup_containment": _q_containment_pairs,
         "kg_modularity": _q_kg_modularity,
+        "corpus_filter_report": _q_filter_report,
     }
 
 
@@ -4368,6 +4376,57 @@ SELECT event_type, user_id, n_events,
        row_number() OVER (PARTITION BY event_type
                           ORDER BY n_events DESC, user_id)::BIGINT AS rnk
 FROM c QUALIFY rnk <= 5""",
+        # Filter-report twin: the entropy, substring-dup and quality
+        # chains re-stated with fr_ prefixes, verdicts as CASE filters in
+        # the same fixed order.
+        "corpus_filter_report": f"""
+WITH fr_base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+fr_tf AS (
+  SELECT doc_id, u.tok, count(*)::BIGINT AS c
+  FROM fr_base, unnest(t) AS u(tok) GROUP BY doc_id, u.tok),
+fr_ent AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         round(log2(sum(c)::DOUBLE)
+               - list_reduce(list_prepend(0.0,
+                   list(c::DOUBLE * log2(c::DOUBLE) ORDER BY tok)),
+                   (a, x) -> a + x) / sum(c)::DOUBLE, 4) AS token_entropy
+  FROM fr_tf GROUP BY doc_id),
+fr_wins AS (
+  SELECT doc_id, greatest(0, len(t) - {_DUPWIN_W} + 1)::BIGINT AS n_windows,
+         CASE WHEN len(t) >= {_DUPWIN_W}
+              THEN list_transform(generate_series(0, len(t)-{_DUPWIN_W}),
+                     i -> md5(array_to_string(t[i+1:i+{_DUPWIN_W}], ' ')))
+              ELSE [] END AS hs
+  FROM fr_base),
+fr_occ AS (SELECT doc_id, unnest(hs) AS h FROM fr_wins),
+fr_cnt AS (SELECT h, count(*)::BIGINT AS c FROM fr_occ GROUP BY h),
+fr_dup AS (
+  SELECT o.doc_id, count(*)::BIGINT AS dups
+  FROM fr_occ o JOIN fr_cnt c ON o.h = c.h WHERE c.c >= 2 GROUP BY o.doc_id),
+fr_df AS (
+  SELECT w.doc_id,
+         round(CASE WHEN w.n_windows > 0
+                    THEN coalesce(d.dups, 0)::DOUBLE / w.n_windows::DOUBLE
+                    ELSE 0.0 END, 4) AS dup_frac
+  FROM fr_wins w LEFT JOIN fr_dup d USING (doc_id)),
+fr_q AS (
+  SELECT doc_id,
+         round(len(list_filter(t, x -> list_contains({_STOP_LIST}, x)))::DOUBLE / len(t) * 0.5
+               + len(list_distinct(t))::DOUBLE / len(t) * 0.5, 4) AS quality
+  FROM fr_base),
+fr_j AS (
+  SELECT e.doc_id, e.n_tokens, e.token_entropy, f.dup_frac, q.quality,
+         list_filter([
+           CASE WHEN e.n_tokens < {dp.FILTER_MIN_WORDS} THEN 'too_short' END,
+           CASE WHEN e.token_entropy < {dp.FILTER_MIN_ENTROPY} THEN 'low_entropy' END,
+           CASE WHEN f.dup_frac > {dp.FILTER_MAX_DUPFRAC} THEN 'dup_heavy' END,
+           CASE WHEN q.quality < {dp.FILTER_MIN_QUALITY} THEN 'low_quality' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM fr_ent e JOIN fr_df f USING (doc_id) JOIN fr_q q USING (doc_id))
+SELECT doc_id, n_tokens, token_entropy, dup_frac, quality, reasons,
+       (CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM fr_j""",
         # Modularity twin: LPA labels + integer e_in/deg/m into the same
         # two-division fixed tree.
         "kg_modularity": _KG_CTE + _lpa_cte() + f""",

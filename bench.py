@@ -177,6 +177,7 @@ def main():
         "eval_ndcg",
         "text_token_entropy",
         "dedup_containment",
+        "corpus_filter_report",
     )
 
     def _time(name):

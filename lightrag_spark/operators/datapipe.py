@@ -2835,3 +2835,55 @@ def containment_pairs(
     return near_duplicate_pairs(
         docs, text=text, id_col=id_col, threshold=threshold, measure="containment"
     )
+
+
+FILTER_MIN_WORDS = 5
+FILTER_MIN_ENTROPY = 1.5
+FILTER_MAX_DUPFRAC = 0.5
+FILTER_MIN_QUALITY = 0.2
+
+
+def filter_report(
+    docs: DataFrame,
+    dup_width: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, token_entropy, dup_frac, quality, keep,
+    reasons) — the ensemble filtering VERDICT table a C4/Gopher-style
+    curation pipeline emits: every document, every signal it failed, and
+    the final keep bit.  Signals: length floor, token-entropy floor
+    (repetitiveness), substring-duplication ceiling, composite-quality
+    floor.  ``reasons`` lists failed checks in a FIXED order, so the
+    array is comparable across engines verbatim.
+
+    Every input signal is itself an oracle-gated operator
+    (:func:`token_entropy`, :func:`dup_ngram_windows`,
+    :func:`quality_scores`); verdicts compare their 4dp-rounded outputs
+    against literal thresholds, so the booleans cannot diverge between
+    engines.  Shape: three per-doc tables equi-joined on doc_id — each
+    map-side-combinable, no new shuffles beyond the components'.
+    """
+    ent = token_entropy(docs, text=text, id_col=id_col)
+    dupf = dup_ngram_windows(docs, width=dup_width, text=text, id_col=id_col).select(
+        id_col, "dup_frac"
+    )
+    q = quality_scores(docs, text=text, id_col=id_col).select(id_col, "quality")
+    j = ent.join(dupf, id_col).join(q, id_col)
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_tokens") < FILTER_MIN_WORDS, F.lit("too_short")),
+            F.when(F.col("token_entropy") < FILTER_MIN_ENTROPY, F.lit("low_entropy")),
+            F.when(F.col("dup_frac") > FILTER_MAX_DUPFRAC, F.lit("dup_heavy")),
+            F.when(F.col("quality") < FILTER_MIN_QUALITY, F.lit("low_quality")),
+        )
+    )
+    return j.select(
+        id_col,
+        "n_tokens",
+        "token_entropy",
+        "dup_frac",
+        "quality",
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).cast("int").cast("long").alias("keep"),
+    )

@@ -120,3 +120,21 @@ def test_transe_hits_consistent_with_scores(spark):
         assert h["n_neg"] == len(mine)
         assert h["n_hits"] == sum(1 for r in mine if r["neg_score"] > r["pos_score"])
         assert h["hit_all"] == int(h["n_hits"] == h["n_neg"])
+
+
+def test_filter_report_verdicts(spark):
+    good = " ".join(f"tok{i} the" for i in range(20))  # varied + stopwords
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "a a a a a a a a a a a a"),  # low entropy, low type ratio
+            (3, "x y"),  # too short
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in dp.filter_report(docs, dup_width=4).collect()}
+    assert out[1]["keep"] == 1 and out[1]["reasons"] == []
+    assert out[2]["keep"] == 0 and "low_entropy" in out[2]["reasons"]
+    assert "dup_heavy" in out[2]["reasons"]  # self-repeated 4-grams
+    # 2 tokens also means entropy <= 1 bit, so both floors fire, in order
+    assert out[3]["keep"] == 0 and out[3]["reasons"] == ["too_short", "low_entropy"]
