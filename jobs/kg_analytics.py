@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--pr-iterations", type=int, default=6)
     ap.add_argument("--lpa-iterations", type=int, default=4)
     ap.add_argument("--link", action="store_true", help="also run entity linking + graph rewrite")
+    ap.add_argument("--extended", action="store_true",
+                    help="also run modularity, 2-hop neighborhood sizes, personalized PageRank")
+    ap.add_argument("--ppr-seeds", type=int, default=3)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -77,6 +80,17 @@ def main():
         eager=True
     )
     run("communities", comms)
+    if args.extended:
+        from lightrag_spark.operators.graphs import (
+            community_modularity,
+            neighborhood_sizes,
+            personalized_pagerank,
+        )
+
+        run("modularity", community_modularity(e, comms))
+        run("neighborhood2", neighborhood_sizes(e))
+        run("ppr", personalized_pagerank(e, n_seeds=args.ppr_seeds,
+                                         iterations=args.pr_iterations))
 
     frags = (
         comms.join(
