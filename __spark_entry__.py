@@ -2228,6 +2228,27 @@ def _q_url_canonical(spark, sf):
     return d.select("doc_id", "url", canonical_url_col(F.col("url")).alias("canonical_url"))
 
 
+_ZIPF_N = 100
+_CUT_ITER = 1
+
+
+def _q_zipf_slope(spark, sf):
+    """Zipf-law slope over the top-100 corpus terms (datapipe.
+    zipf_slope): one-number corpus-health gauge, sorted-fold twin."""
+    return dp.zipf_slope(_documents(spark, sf), top_n=_ZIPF_N)
+
+
+def _q_community_cuts(spark, sf):
+    """Inter-community cut edges (graphs.community_cuts) after ONE LPA
+    round (gate-scale graphs collapse to one community at the full round
+    count, which would make the cut table empty evidence)."""
+    from lightrag_spark.operators.graphs import community_cuts, label_propagation
+
+    r = _build(spark, sf)
+    e = r.kg_edges.select("src", "tgt").localCheckpoint(eager=True)
+    return community_cuts(e, label_propagation(e, iterations=_CUT_ITER))
+
+
 def _q_filter_report(spark, sf):
     """Ensemble filtering verdicts (datapipe.filter_report): every doc,
     every failed signal (length/entropy/dup/quality), final keep bit —
@@ -2408,6 +2429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_containment_pairs,
         "kg_modularity": _q_kg_modularity,
         "corpus_filter_report": _q_filter_report,
+        "text_zipf_slope": _q_zipf_slope,
+        "kg_community_cuts": _q_community_cuts,
     }
 
 
@@ -4376,6 +4399,45 @@ SELECT event_type, user_id, n_events,
        row_number() OVER (PARTITION BY event_type
                           ORDER BY n_events DESC, user_id)::BIGINT AS rnk
 FROM c QUALIFY rnk <= 5""",
+        # Zipf-slope twin: identical (count desc, token) ranks, the four
+        # regression sums as rank-ordered folds, same closed form.
+        "text_zipf_slope": f"""
+WITH zc AS (
+  SELECT u.w, count(*)::BIGINT AS c
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) b,
+       unnest(t) AS u(w)
+  GROUP BY u.w),
+zh AS (
+  SELECT w, c, row_number() OVER (ORDER BY c DESC, w)::BIGINT AS rnk
+  FROM zc QUALIFY rnk <= {_ZIPF_N}),
+zt AS (SELECT sum(c)::BIGINT AS total_tokens FROM zc),
+zf AS (
+  SELECT count(*)::BIGINT AS n_terms,
+         list_reduce(list_prepend(0.0, list(ln(rnk::DOUBLE) ORDER BY rnk)),
+                     (a, x) -> a + x) AS sx,
+         list_reduce(list_prepend(0.0, list(ln(c::DOUBLE) ORDER BY rnk)),
+                     (a, x) -> a + x) AS sy,
+         list_reduce(list_prepend(0.0, list(ln(rnk::DOUBLE) * ln(c::DOUBLE) ORDER BY rnk)),
+                     (a, x) -> a + x) AS sxy,
+         list_reduce(list_prepend(0.0, list(ln(rnk::DOUBLE) * ln(rnk::DOUBLE) ORDER BY rnk)),
+                     (a, x) -> a + x) AS sxx
+  FROM zh)
+SELECT n_terms, (SELECT total_tokens FROM zt) AS total_tokens,
+       round((n_terms::DOUBLE * sxy - sx * sy)
+             / (n_terms::DOUBLE * sxx - sx * sx), 4) AS zipf_slope
+FROM zf""",
+        # Community-cut twin: one unrolled LPA round, endpoint labels
+        # joined onto the edges, unordered-pair count.
+        "kg_community_cuts": _KG_CTE + _lpa_cte(_CUT_ITER) + f""",
+cc_e AS (
+  SELECT la.lbl AS ca, lb.lbl AS cb
+  FROM edges e
+  JOIN lp{_CUT_ITER} la ON e.src = la.node
+  JOIN lp{_CUT_ITER} lb ON e.tgt = lb.node
+  WHERE la.lbl <> lb.lbl)
+SELECT least(ca, cb) AS community_a, greatest(ca, cb) AS community_b,
+       count(*)::BIGINT AS cut_edges
+FROM cc_e GROUP BY 1, 2""",
         # Filter-report twin: the entropy, substring-dup and quality
         # chains re-stated with fr_ prefixes, verdicts as CASE filters in
         # the same fixed order.

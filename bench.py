@@ -130,6 +130,7 @@ def main():
         "kg_ppr",
         "kg_transe_hits",
         "kg_modularity",
+        "kg_community_cuts",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -178,6 +179,7 @@ def main():
         "text_token_entropy",
         "dedup_containment",
         "corpus_filter_report",
+        "text_zipf_slope",
     )
 
     def _time(name):

@@ -1845,7 +1845,23 @@ def hll_distinct(
     regardless of input size — then a per-group fold over <= m register
     entries.
     """
-    h = F.md5(F.col(col).cast("string"))
+    bucket, rho = hll_bucket_rho(F.col(col))
+    rows = df.select(
+        F.col(group).alias("g"), bucket.alias("bucket"), rho.alias("rho")
+    )
+    regs = rows.groupBy("g", "bucket").agg(F.max("rho").alias("reg"))
+    return hll_estimate_registers(regs, ["g"], m=m).withColumnRenamed(
+        "g", group
+    )
+
+
+def hll_bucket_rho(col: Column) -> tuple[Column, Column]:
+    """(bucket, rho) register coordinates for one value — the scan-side
+    half of the HLL sketch (md5-based, so any engine can replay it).
+    Shared by the batch :func:`hll_distinct` and the streaming face
+    (``streaming/sketches.py``): register rows are mergeable by max, so
+    the same expressions work under watermark-windowed streaming aggs."""
+    h = F.md5(col.cast("string"))
     suffix = F.substring(h, 3, 30)
     z = F.length(F.regexp_extract(suffix, "^(0*)", 1))
     c = F.substring(suffix, (z + 1).cast("int"), 1)
@@ -1855,13 +1871,18 @@ def hll_distinct(
         .when(c.isin("4", "5", "6", "7"), 1)
         .otherwise(0)  # 8-f, and "" (all-zero suffix -> z=30, rho=121)
     )
-    rows = df.select(
-        F.col(group).alias("g"),
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
-        (z * 4 + lz + 1).cast("int").alias("rho"),
-    )
-    regs = rows.groupBy("g", "bucket").agg(F.max("rho").alias("reg"))
-    per = regs.groupBy("g").agg(
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rho = (z * 4 + lz + 1).cast("int")
+    return bucket, rho
+
+
+def hll_estimate_registers(
+    regs: DataFrame, keys: list[str], m: int = HLL_M
+) -> DataFrame:
+    """(*keys, n_registers, estimate) from (keys..., bucket, reg) register
+    rows — the fold half of the HLL sketch (sorted-bucket fold of exact
+    2^-reg dyadics, small-range linear counting)."""
+    per = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_registers"),
         F.sort_array(F.collect_list(F.struct("bucket", "reg"))).alias("l"),
     )
@@ -1877,7 +1898,7 @@ def hll_distinct(
     small = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     est = F.when((raw <= 2.5 * m) & (v > 0), small).otherwise(raw)
     return per.select(
-        F.col("g").alias(group),
+        *keys,
         "n_registers",
         F.round(est, 4).alias("estimate"),
     )
@@ -2886,4 +2907,62 @@ def filter_report(
         "quality",
         reasons.alias("reasons"),
         (F.size(reasons) == 0).cast("int").cast("long").alias("keep"),
+    )
+
+
+ZIPF_TOP_N = 100
+
+
+def zipf_slope(
+    docs: DataFrame, top_n: int = ZIPF_TOP_N, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row: (n_terms, total_tokens, zipf_slope) — the least-squares
+    slope of ln(freq) against ln(rank) over the top-``top_n`` corpus
+    terms.  Healthy natural-language corpora sit near -1 (Zipf's law);
+    template/boilerplate floods flatten the head and machine-generated
+    gibberish steepens it — a one-number corpus-health gauge.
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over x=ln(rank), y=ln(c).
+    Determinism: ranks and counts are exact integers ((count desc, token)
+    ordering); all four sums fold in rank order from 0.0 seeds (the
+    sorted-fold IEEE pattern) and the closed form is a fixed tree,
+    rounded 4dp.  Shape: one map-side-combined token count, a top-n
+    TakeOrdered head (bounded), and a driver-free single-row fold.
+    """
+    counts = (
+        docs.select(F.explode(tokens_col(text)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    head = (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_n)
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("total_tokens"))
+    lst = F.sort_array(
+        F.collect_list(F.struct("rnk", F.col("c").cast("double").alias("cd")))
+    )
+
+    def _fold(term):
+        return F.aggregate(lst, F.lit(0.0), term)
+
+    agg = head.groupBy().agg(
+        F.count("*").cast("long").alias("n_terms"),
+        _fold(lambda a, s: a + F.log(s["rnk"].cast("double"))).alias("sx"),
+        _fold(lambda a, s: a + F.log(s["cd"])).alias("sy"),
+        _fold(lambda a, s: a + F.log(s["rnk"].cast("double")) * F.log(s["cd"])).alias("sxy"),
+        _fold(
+            lambda a, s: a + F.log(s["rnk"].cast("double")) * F.log(s["rnk"].cast("double"))
+        ).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    return agg.crossJoin(total).select(
+        "n_terms",
+        "total_tokens",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
     )

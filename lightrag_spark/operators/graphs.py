@@ -1003,3 +1003,36 @@ def community_modularity(
         "degree_sum",
         F.round(frac - half * half, 4).alias("modularity_term"),
     )
+
+
+def community_cuts(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    tgt: str = "tgt",
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """(community_a, community_b, cut_edges) — inter-community edge
+    counts (community_a < community_b): the boundary structure of the
+    LPA partition.  With :func:`community_modularity` this is the full
+    partition diagnostic — heavy cuts between two communities flag a
+    merge candidate, and the cut table is exactly what a graph
+    partitioner (METIS-style) minimizes when communities become Spark
+    partitions.  Two label equi-joins + one map-side-combinable count.
+    """
+    lab = labels.select(F.col(node_col).alias("n"), F.col(label_col).alias("c"))
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
+        .join(lab.withColumnRenamed("n", "a").withColumnRenamed("c", "ca"), "a")
+        .join(lab.withColumnRenamed("n", "b").withColumnRenamed("c", "cb"), "b")
+        .filter(F.col("ca") != F.col("cb"))
+    )
+    return (
+        e.select(
+            F.least("ca", "cb").alias("community_a"),
+            F.greatest("ca", "cb").alias("community_b"),
+        )
+        .groupBy("community_a", "community_b")
+        .agg(F.count("*").cast("long").alias("cut_edges"))
+    )

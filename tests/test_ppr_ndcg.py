@@ -98,3 +98,44 @@ def test_community_modularity_two_triangles(spark):
     )
     allrow = community_modularity(edges, one).collect()[0]
     assert allrow["modularity_term"] == 0.0
+
+
+def test_zipf_slope_matches_closed_form(spark):
+    import math
+
+    from lightrag_spark.operators import datapipe as dp
+
+    # frequencies 8,4,2,1 for tokens w1..w4
+    text = " ".join(["w1"] * 8 + ["w2"] * 4 + ["w3"] * 2 + ["w4"])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = dp.zipf_slope(docs, top_n=10).collect()[0]
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (8, 4, 2, 1)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    expected = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n_terms"] == 4
+    assert row["total_tokens"] == 15
+    assert abs(row["zipf_slope"] - expected) < 1e-3
+    assert row["zipf_slope"] < -1.0  # steeper than Zipf's -1 here
+
+
+def test_community_cuts_two_triangles(spark):
+    from lightrag_spark.operators.graphs import community_cuts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"),
+         ("c", "x"), ("a", "y")],
+        "src string, tgt string",
+    )
+    labels = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("x", "B"), ("y", "B"), ("z", "B")],
+        "node string, community string",
+    )
+    out = community_cuts(edges, labels).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["community_a"], r["community_b"], r["cut_edges"]) == ("A", "B", 2)
