@@ -2230,6 +2230,50 @@ def _q_url_canonical(spark, sf):
 
 _ZIPF_N = 100
 _CUT_ITER = 1
+_RW_WALKS = 2
+_RW_LEN = 3
+
+
+def _q_random_walks(spark, sf):
+    """Derandomized DeepWalk corpus (graphs.random_walks): md5-picked
+    sorted-neighbor steps — reproducible graph-embedding training
+    sequences, replayed step-exactly by the twin."""
+    from lightrag_spark.operators.graphs import random_walks
+
+    r = _build(spark, sf)
+    e = r.kg_edges.select("src", "tgt").localCheckpoint(eager=True)
+    return random_walks(e, walks_per_node=_RW_WALKS, walk_length=_RW_LEN)
+
+
+def _walks_sql(walks: int = _RW_WALKS, length: int = _RW_LEN) -> str:
+    """Unrolled random-walk oracle chain over the edges CTE."""
+    parts = [f""",
+rw_und AS (
+  SELECT src AS u, tgt AS v FROM edges
+  UNION
+  SELECT tgt AS u, src AS v FROM edges),
+rw_nbr AS (
+  SELECT u, v, (row_number() OVER (PARTITION BY u ORDER BY v) - 1)::BIGINT AS rank
+  FROM rw_und),
+rw_deg AS (SELECT u, count(*)::BIGINT AS d FROM rw_und GROUP BY u),
+rw0 AS (
+  SELECT dg.u AS start, w.i::BIGINT AS walk_idx, 0::BIGINT AS step, dg.u AS node
+  FROM rw_deg dg, unnest(generate_series(0, {walks - 1})) AS w(i))"""]
+    for s in range(1, length + 1):
+        parts.append(f""",
+rw{s} AS (
+  SELECT f.start, f.walk_idx, {s}::BIGINT AS step, n.v AS node
+  FROM rw{s - 1} f
+  JOIN rw_deg dd ON f.node = dd.u
+  JOIN rw_nbr n ON n.u = f.node
+   AND n.rank = ('0x' || substr(md5(f.start || '#' || f.walk_idx::VARCHAR
+                                     || ':' || '{s}' || ':' || f.node), 1, 8))::BIGINT
+                 % dd.d)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT start, walk_idx, step, node FROM rw{s}" for s in range(length + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
 
 
 def _q_zipf_slope(spark, sf):
@@ -2431,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_report": _q_filter_report,
         "text_zipf_slope": _q_zipf_slope,
         "kg_community_cuts": _q_community_cuts,
+        "kg_random_walks": _q_random_walks,
     }
 
 
@@ -4399,6 +4444,8 @@ SELECT event_type, user_id, n_events,
        row_number() OVER (PARTITION BY event_type
                           ORDER BY n_events DESC, user_id)::BIGINT AS rnk
 FROM c QUALIFY rnk <= 5""",
+        # Random-walk twin: unrolled md5-picked sorted-neighbor steps.
+        "kg_random_walks": _KG_CTE + _walks_sql(),
         # Zipf-slope twin: identical (count desc, token) ranks, the four
         # regression sums as rank-ordered folds, same closed form.
         "text_zipf_slope": f"""

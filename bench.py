@@ -131,6 +131,7 @@ def main():
         "kg_transe_hits",
         "kg_modularity",
         "kg_community_cuts",
+        "kg_random_walks",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",

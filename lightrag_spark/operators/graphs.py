@@ -1036,3 +1036,93 @@ def community_cuts(
         .groupBy("community_a", "community_b")
         .agg(F.count("*").cast("long").alias("cut_edges"))
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_length: int = 3,
+    src: str = "src",
+    tgt: str = "tgt",
+) -> DataFrame:
+    """(start, walk_idx, step, node) — DeepWalk/node2vec-style random-walk
+    corpus over the undirected graph, DERANDOMIZED: step s of walk w from
+    start n moves to sorted-neighbor index md5(start#w:s:cur) % deg(cur).
+    Hash-driven walks make the embedding training corpus reproducible
+    across runs and engines (the DuckDB twin replays every step), the
+    same determinism contract as kg_negative_samples; step 0 is the start
+    node itself.
+
+    Shape at corpus scale: the neighbor dictionary (adjacency + per-node
+    rank + degree) is built once; each step is ONE equi-join of the
+    frontier against it on (node, picked_rank) — K steps = K joins, no
+    per-row Python, frontier localCheckpointed per step (the iterative-
+    lineage lesson).  Walk count scales as nodes x walks_per_node, the
+    intended training-corpus volume.
+    """
+    if walk_length < 1 or walks_per_node < 1:
+        raise ValueError("walk_length and walks_per_node must be >= 1")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(tgt).alias("v"))
+        .union(edges.select(F.col(tgt).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    nbr = und.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1,
+    )
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    nbr = nbr.join(deg, "u").localCheckpoint(eager=True)
+
+    starts = (
+        deg.select(F.col("u").alias("start"))
+        .withColumn(
+            "walk_idx",
+            F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)])),
+        )
+        .withColumn("walk_idx", F.col("walk_idx").cast("long"))
+    )
+    frontier = starts.select(
+        "start", "walk_idx", F.lit(0).cast("long").alias("step"), F.col("start").alias("node")
+    ).localCheckpoint(eager=True)
+    out = [frontier]
+    for s in range(1, walk_length + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.concat(F.col("start"), F.lit("#"), F.col("walk_idx").cast("string")),
+                            F.lit(str(s)),
+                            F.col("node"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("d")
+        )
+        frontier = (
+            frontier.join(deg.withColumnRenamed("u", "node"), "node")
+            .withColumn("_pick", pick)
+            .join(
+                nbr.select(
+                    F.col("u").alias("node"), F.col("rank").alias("_pick"), F.col("v")
+                ),
+                ["node", "_pick"],
+            )
+            .select(
+                "start", "walk_idx", F.lit(s).cast("long").alias("step"),
+                F.col("v").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(frontier)
+    res = out[0]
+    for f in out[1:]:
+        res = res.unionByName(f)
+    return res

@@ -139,3 +139,32 @@ def test_community_cuts_two_triangles(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["community_a"], r["community_b"], r["cut_edges"]) == ("A", "B", 2)
+
+
+def test_random_walks_follow_edges_and_hash_rule(spark):
+    import hashlib
+
+    from lightrag_spark.operators.graphs import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, tgt string"
+    )
+    adj = {}
+    for s, t in [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    adj = {k: sorted(v) for k, v in adj.items()}
+
+    rows = random_walks(edges, walks_per_node=2, walk_length=3).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault((r["start"], r["walk_idx"]), {})[r["step"]] = r["node"]
+    assert len(walks) == len(adj) * 2
+    for (start, w), seq in walks.items():
+        assert seq[0] == start
+        for s in range(1, 4):
+            cur = seq[s - 1]
+            h = hashlib.md5(f"{start}#{w}:{s}:{cur}".encode()).hexdigest()
+            pick = int(h[:8], 16) % len(adj[cur])
+            assert seq[s] == adj[cur][pick]  # exact hash-rule replay
+            assert seq[s] in adj[cur]  # and a real edge
