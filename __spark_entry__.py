@@ -2293,6 +2293,13 @@ def _q_community_cuts(spark, sf):
     return community_cuts(e, label_propagation(e, iterations=_CUT_ITER))
 
 
+def _q_js_domains(spark, sf):
+    """Per-domain Jensen-Shannon divergence from the corpus unigram
+    distribution over top-V + other bins (datapipe.domain_js_divergence)
+    — the data-mixture diagnostic feeding the domain re-weighting ops."""
+    return dp.domain_js_divergence(_documents(spark, sf), top_v=dp.JS_TOP_V)
+
+
 def _q_filter_report(spark, sf):
     """Ensemble filtering verdicts (datapipe.filter_report): every doc,
     every failed signal (length/entropy/dup/quality), final keep bit —
@@ -2476,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_slope": _q_zipf_slope,
         "kg_community_cuts": _q_community_cuts,
         "kg_random_walks": _q_random_walks,
+        "text_js_domains": _q_js_domains,
     }
 
 
@@ -4444,6 +4452,64 @@ SELECT event_type, user_id, n_events,
        row_number() OVER (PARTITION BY event_type
                           ORDER BY n_events DESC, user_id)::BIGINT AS rnk
 FROM c QUALIFY rnk <= 5""",
+        # JS-divergence twin: identical top-V bins, per-row term rows
+        # folded in rank order, closed-form absent-token and other-bin
+        # corrections.
+        "text_js_domains": f"""
+WITH jt AS (
+  SELECT source AS src_, u.w
+  FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents) b, unnest(t) AS u(w)),
+jc AS (SELECT w, count(*)::BIGINT AS cw FROM jt GROUP BY w),
+jtotal AS (SELECT sum(cw)::BIGINT AS c FROM jc),
+jtop AS (
+  SELECT w, cw, row_number() OVER (ORDER BY cw DESC, w)::BIGINT AS rnk
+  FROM jc QUALIFY rnk <= {dp.JS_TOP_V}),
+jcovtop AS (SELECT sum(cw)::BIGINT AS ct FROM jtop),
+jqtop AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list(cw::DOUBLE / (SELECT c FROM jtotal)::DOUBLE ORDER BY rnk)),
+           (a, x) -> a + x) AS qtop
+  FROM jtop),
+jdt AS (SELECT src_, count(*)::BIGINT AS cd_tot FROM jt GROUP BY src_),
+jd AS (
+  SELECT t.src_, t.w, count(*)::BIGINT AS cdw
+  FROM jt t JOIN jtop tt ON t.w = tt.w GROUP BY t.src_, t.w),
+jrows AS (
+  SELECT d.src_, tt.rnk,
+         d.cdw::DOUBLE / dt.cd_tot::DOUBLE AS p,
+         tt.cw::DOUBLE / jt2.c::DOUBLE AS q
+  FROM jd d JOIN jdt dt USING (src_) JOIN jtop tt ON d.w = tt.w, jtotal jt2),
+jterms AS (
+  SELECT src_, rnk, q,
+         0.5 * p * ln(p / ((p + q) / 2.0))
+         + 0.5 * q * ln(q / ((p + q) / 2.0)) AS term
+  FROM jrows),
+jper AS (
+  SELECT src_,
+         list_reduce(list_prepend(0.0, list(term ORDER BY rnk)), (a, x) -> a + x)
+           AS fold_present,
+         list_reduce(list_prepend(0.0, list(q ORDER BY rnk)), (a, x) -> a + x)
+           AS qcov
+  FROM jterms GROUP BY src_),
+jcov AS (SELECT src_, sum(cdw)::BIGINT AS covd FROM jd GROUP BY src_),
+jfin AS (
+  SELECT dt.src_, dt.cd_tot,
+         coalesce(p.fold_present, 0.0) AS fold_present,
+         coalesce(p.qcov, 0.0) AS qcov,
+         (dt.cd_tot - coalesce(cv.covd, 0))::DOUBLE / dt.cd_tot::DOUBLE AS po,
+         ((SELECT c FROM jtotal) - (SELECT ct FROM jcovtop))::DOUBLE
+           / (SELECT c FROM jtotal)::DOUBLE AS qo
+  FROM jdt dt LEFT JOIN jper p USING (src_) LEFT JOIN jcov cv USING (src_))
+SELECT src_ AS source, cd_tot AS n_tokens,
+       round(fold_present
+             + 0.5 * ln(2.0) * ((SELECT qtop FROM jqtop) - qcov)
+             + (CASE WHEN po > 0
+                     THEN 0.5 * po * ln(po / ((po + qo) / 2.0)) ELSE 0.0 END
+                + CASE WHEN qo > 0
+                       THEN 0.5 * qo * ln(qo / ((po + qo) / 2.0)) ELSE 0.0 END),
+             4) AS jsd
+FROM jfin""",
         # Random-walk twin: unrolled md5-picked sorted-neighbor steps.
         "kg_random_walks": _KG_CTE + _walks_sql(),
         # Zipf-slope twin: identical (count desc, token) ranks, the four

@@ -181,6 +181,7 @@ def main():
         "dedup_containment",
         "corpus_filter_report",
         "text_zipf_slope",
+        "text_js_domains",
     )
 
     def _time(name):

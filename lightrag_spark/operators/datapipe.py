@@ -2966,3 +2966,119 @@ def zipf_slope(
             4,
         ).alias("zipf_slope"),
     )
+
+
+JS_TOP_V = 50
+
+
+def domain_js_divergence(
+    docs: DataFrame,
+    top_v: int = JS_TOP_V,
+    text: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_tokens, jsd) — Jensen-Shannon divergence of each
+    domain's unigram distribution from the corpus distribution, over the
+    top-``top_v`` corpus tokens plus an "other" catch-all bin (histogram
+    coarsening keeps the comparison state BOUNDED: V+1 bins per domain
+    regardless of vocabulary size — the 100 TB contract).  The data-
+    mixture diagnostic: a domain with high JSD is distributionally far
+    from the corpus and a candidate for re-weighting (data_domain_* ops).
+
+    JSD(P||Q) = sum_bins 0.5*p*ln(p/m) + 0.5*q*ln(q/m), m=(p+q)/2; a
+    top token ABSENT from the domain contributes exactly 0.5*q*ln(2), so
+    the per-domain fold runs over PRESENT tokens only plus the closed-
+    form correction 0.5*ln(2)*(Qtop - Qcov) and the "other" bin term.
+
+    Determinism: all probabilities are single exact divisions of exact
+    integers; every sum of float terms folds in token-rank order from a
+    0.0 seed (Qtop included); the assembly is a fixed tree, rounded 4dp.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("src_"), F.explode(tokens_col(text)).alias("w")
+    )
+    corpus = toks.groupBy("w").agg(F.count("*").cast("long").alias("cw"))
+    total = int(corpus.agg(F.sum("cw")).collect()[0][0])
+    wv = Window.orderBy(F.desc("cw"), F.asc("w"))
+    top = (
+        corpus.orderBy(F.desc("cw"), F.asc("w"))
+        .limit(top_v)
+        .withColumn("rnk", F.row_number().over(wv).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    covtop = int(top.agg(F.sum("cw")).collect()[0][0])
+    c_tot = float(total)
+
+    def _q(s):
+        return s["cw"] / F.lit(c_tot)
+
+    qtop = float(
+        top.groupBy()
+        .agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("rnk", F.col("cw").cast("double").alias("cw")))
+                ),
+                F.lit(0.0),
+                lambda a, s: a + _q(s),
+            ).alias("qtop")
+        )
+        .collect()[0]["qtop"]
+    )
+
+    dom_tot = toks.groupBy("src_").agg(F.count("*").cast("long").alias("cd_tot"))
+    dom = (
+        toks.groupBy("src_", "w")
+        .agg(F.count("*").cast("long").alias("cdw"))
+        .join(F.broadcast(top.select("w", "cw", "rnk")), "w")
+    )
+    lst = F.sort_array(
+        F.collect_list(
+            F.struct(
+                "rnk",
+                F.col("cdw").cast("double").alias("cdw"),
+                F.col("cw").cast("double").alias("cw"),
+            )
+        )
+    )
+
+    def _term(p, q):
+        m = (p + q) / F.lit(2.0)
+        return F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+
+    per = (
+        dom.join(dom_tot, "src_")
+        .groupBy("src_", "cd_tot")
+        .agg(
+            F.aggregate(
+                lst,
+                F.lit(0.0),
+                lambda a, s: a + _term(s["cdw"] / F.col("cd_tot").cast("double"), _q(s)),
+            ).alias("fold_present"),
+            F.aggregate(lst, F.lit(0.0), lambda a, s: a + _q(s)).alias("qcov"),
+            F.sum("cdw").cast("long").alias("covd"),
+        )
+    )
+    base = dom_tot.join(per.drop("cd_tot"), "src_", "left").select(
+        "src_",
+        "cd_tot",
+        F.coalesce(F.col("fold_present"), F.lit(0.0)).alias("fold_present"),
+        F.coalesce(F.col("qcov"), F.lit(0.0)).alias("qcov"),
+        F.coalesce(F.col("covd"), F.lit(0)).cast("long").alias("covd"),
+    )
+    p_o = (F.col("cd_tot") - F.col("covd")).cast("double") / F.col("cd_tot").cast("double")
+    q_o = F.lit(float(total - covtop)) / F.lit(c_tot)
+    m_o = (p_o + q_o) / F.lit(2.0)
+    other = F.when(p_o > 0, F.lit(0.5) * p_o * F.log(p_o / m_o)).otherwise(
+        F.lit(0.0)
+    ) + F.when(q_o > 0, F.lit(0.5) * q_o * F.log(q_o / m_o)).otherwise(F.lit(0.0))
+    jsd = (
+        F.col("fold_present")
+        + F.lit(0.5) * F.log(F.lit(2.0)) * (F.lit(qtop) - F.col("qcov"))
+        + other
+    )
+    return base.select(
+        F.col("src_").alias("source"),
+        F.col("cd_tot").alias("n_tokens"),
+        F.round(jsd, 4).alias("jsd"),
+    )

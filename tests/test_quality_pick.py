@@ -138,3 +138,20 @@ def test_filter_report_verdicts(spark):
     assert "dup_heavy" in out[2]["reasons"]  # self-repeated 4-grams
     # 2 tokens also means entropy <= 1 bit, so both floors fire, in order
     assert out[3]["keep"] == 0 and out[3]["reasons"] == ["too_short", "low_entropy"]
+
+
+def test_domain_js_divergence_orders_domains(spark):
+    import math
+
+    # domain A ~ corpus-dominant; domain B shares tokens; domain C disjoint
+    rows = (
+        [(i, "common tokens here " * 5, "A") for i in range(8)]
+        + [(100 + i, "common tokens mixed extra", "B") for i in range(4)]
+        + [(200 + i, "zzq qqz zqq", "C") for i in range(2)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r["jsd"] for r in dp.domain_js_divergence(docs, top_v=10).collect()}
+    assert set(out) == {"A", "B", "C"}
+    for v in out.values():
+        assert -1e-9 <= v <= math.log(2) + 1e-9  # JSD(ln) in [0, ln 2]
+    assert out["A"] < out["B"] < out["C"]  # distance from corpus ordering
