@@ -2293,6 +2293,12 @@ def _q_community_cuts(spark, sf):
     return community_cuts(e, label_propagation(e, iterations=_CUT_ITER))
 
 
+def _q_events_ewma(spark, sf):
+    """EWMA-smoothed hourly event volume (datapipe.events_ewma): α=1/2
+    dyadic recurrence, replayed by the twin as prefix list folds."""
+    return dp.events_ewma(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def _q_js_domains(spark, sf):
     """Per-domain Jensen-Shannon divergence from the corpus unigram
     distribution over top-V + other bins (datapipe.domain_js_divergence)
@@ -2484,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_community_cuts": _q_community_cuts,
         "kg_random_walks": _q_random_walks,
         "text_js_domains": _q_js_domains,
+        "events_ewma": _q_events_ewma,
     }
 
 
@@ -4452,6 +4459,29 @@ SELECT event_type, user_id, n_events,
        row_number() OVER (PARTITION BY event_type
                           ORDER BY n_events DESC, user_id)::BIGINT AS rnk
 FROM c QUALIFY rnk <= 5""",
+        # EWMA twin: the recurrence as prefix folds — list_reduce seeds
+        # with the first element, which IS s_0 = x_0; 0.5 terms are
+        # exact dyadics so every step is identical IEEE arithmetic.
+        "events_ewma": """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2),
+ser AS (
+  SELECT event_type,
+         list(hour ORDER BY hour) AS hs,
+         list(n_events::DOUBLE ORDER BY hour) AS xs
+  FROM hc GROUP BY event_type),
+rows_ AS (
+  SELECT event_type, hs[u.i] AS hour, xs[u.i] AS x,
+         list_reduce(xs[1:u.i], (a, x2) -> 0.5 * x2 + 0.5 * a) AS ewma,
+         CASE WHEN u.i > 1
+              THEN list_reduce(xs[1:u.i-1], (a, x2) -> 0.5 * x2 + 0.5 * a)
+         END AS prev
+  FROM ser, unnest(generate_series(1, len(xs))) AS u(i))
+SELECT event_type, hour, x::BIGINT AS n_events,
+       round(ewma, 4) AS ewma,
+       round(CASE WHEN prev IS NULL THEN 0.0 ELSE x - prev END, 4) AS residual
+FROM rows_""",
         # JS-divergence twin: identical top-V bins, per-row term rows
         # folded in rank order, closed-form absent-token and other-bin
         # corrections.

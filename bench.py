@@ -182,6 +182,7 @@ def main():
         "corpus_filter_report",
         "text_zipf_slope",
         "text_js_domains",
+        "events_ewma",
     )
 
     def _time(name):

@@ -3082,3 +3082,75 @@ def domain_js_divergence(
         F.col("cd_tot").alias("n_tokens"),
         F.round(jsd, 4).alias("jsd"),
     )
+
+
+def events_ewma(events: DataFrame, alpha_num: int = 1, alpha_den: int = 2) -> DataFrame:
+    """(event_type, hour, n_events, ewma, residual) — exponentially
+    weighted moving average of hourly event volume per type, the
+    classical smoother next to events_hourly_anomalies' global z-score:
+    s_t = α·x_t + (1-α)·s_{t-1}, s_0 = x_0, α = alpha_num/alpha_den.
+
+    Determinism: counts are exact integers and α defaults to 1/2 — an
+    exact dyadic — so every EWMA step is exact IEEE double arithmetic in
+    a FIXED sequential order (the recurrence is a time-ordered fold; the
+    DuckDB twin replays it with list_reduce over the hour-ordered
+    series).  Residual = x_t - s_{t-1} (the one-step-ahead surprise;
+    0.0 at t=0), rounded 4dp.
+
+    Shape: one map-side-combined (type, hour) count, then a per-type fold
+    whose state is the series itself — bounded by the time range, not
+    event volume (the sketch argument: 100 TB of events still make only
+    8,760 hourly rows per type-year).
+    """
+    alpha = alpha_num / alpha_den
+    hours = events.select(
+        "event_type", F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour")
+    )
+    counts = hours.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    lst = F.sort_array(
+        F.collect_list(F.struct("hour", F.col("n_events").cast("double").alias("x")))
+    )
+    # fold carries (ewma_so_far, array of (hour, x, ewma_prev, ewma))
+    folded = F.aggregate(
+        lst,
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.array().cast(
+                "array<struct<hour:timestamp,x:double,prev:double,ewma:double>>"
+            ).alias("rows"),
+        ),
+        lambda acc, e: F.struct(
+            F.when(
+                acc["s"].isNull(), e["x"]
+            ).otherwise(F.lit(alpha) * e["x"] + F.lit(1.0 - alpha) * acc["s"]).alias("s"),
+            F.concat(
+                acc["rows"],
+                F.array(
+                    F.struct(
+                        e["hour"].alias("hour"),
+                        e["x"].alias("x"),
+                        acc["s"].alias("prev"),
+                        F.when(acc["s"].isNull(), e["x"])
+                        .otherwise(F.lit(alpha) * e["x"] + F.lit(1.0 - alpha) * acc["s"])
+                        .alias("ewma"),
+                    )
+                ),
+            ).alias("rows"),
+        ),
+    )
+    per = counts.groupBy("event_type").agg(folded.alias("f"))
+    rows = per.select("event_type", F.explode(F.col("f.rows")).alias("r"))
+    return rows.select(
+        "event_type",
+        F.col("r.hour").alias("hour"),
+        F.col("r.x").cast("long").alias("n_events"),
+        F.round(F.col("r.ewma"), 4).alias("ewma"),
+        F.round(
+            F.when(F.col("r.prev").isNull(), F.lit(0.0)).otherwise(
+                F.col("r.x") - F.col("r.prev")
+            ),
+            4,
+        ).alias("residual"),
+    )

@@ -155,3 +155,19 @@ def test_domain_js_divergence_orders_domains(spark):
     for v in out.values():
         assert -1e-9 <= v <= math.log(2) + 1e-9  # JSD(ln) in [0, ln 2]
     assert out["A"] < out["B"] < out["C"]  # distance from corpus ordering
+
+
+def test_events_ewma_recurrence(spark):
+    from datetime import datetime
+
+    rows = []
+    # hours with counts 4, 2, 8 for one type
+    for h, n in [(0, 4), (1, 2), (2, 8)]:
+        rows += [("view", datetime(2024, 1, 1, h, m)) for m in range(n)]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["hour"].hour: r.asDict() for r in dp.events_ewma(ev).collect()}
+    assert out[0]["ewma"] == 4.0 and out[0]["residual"] == 0.0
+    assert out[1]["ewma"] == 3.0  # 0.5*2 + 0.5*4
+    assert out[1]["residual"] == 2 - 4.0
+    assert out[2]["ewma"] == 5.5  # 0.5*8 + 0.5*3
+    assert out[2]["residual"] == 8 - 3.0
