@@ -2293,6 +2293,17 @@ def _q_community_cuts(spark, sf):
     return community_cuts(e, label_propagation(e, iterations=_CUT_ITER))
 
 
+def _q_weighted_sample(spark, sf):
+    """Deterministic quality-weighted sampling (sampling.
+    weighted_sample_per_group): k docs per domain by the exact h/w
+    priority — weighted selection without libm pow."""
+    from lightrag_spark.operators.sampling import weighted_sample_per_group
+
+    docs = _documents(spark, sf)
+    w = dp.quality_scores(docs).select("doc_id", F.col("quality").alias("weight"))
+    return weighted_sample_per_group(docs, w, k=3)
+
+
 def _q_events_ewma(spark, sf):
     """EWMA-smoothed hourly event volume (datapipe.events_ewma): α=1/2
     dyadic recurrence, replayed by the twin as prefix list folds."""
@@ -2491,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": _q_random_walks,
         "text_js_domains": _q_js_domains,
         "events_ewma": _q_events_ewma,
+        "data_weighted_sample": _q_weighted_sample,
     }
 
 
@@ -4419,9 +4431,9 @@ lists AS (
 codes AS (
   SELECT vec_id,
          list_transform(generate_series(1, len(e)),
-           i -> CASE WHEN his[i]::DOUBLE - los[i]::DOUBLE > 0
-                     THEN least(255, floor((e[i]::DOUBLE - los[i]::DOUBLE) * 255.0
-                                  / (his[i]::DOUBLE - los[i]::DOUBLE)))::BIGINT
+           i -> CASE WHEN greatest(abs(los[i]::DOUBLE), abs(his[i]::DOUBLE)) > 0
+                     THEN round(e[i]::DOUBLE * 127.0
+                                / greatest(abs(los[i]::DOUBLE), abs(his[i]::DOUBLE)))::BIGINT
                      ELSE 0 END) AS c
   FROM v, lists),
 q AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
@@ -4459,6 +4471,24 @@ SELECT event_type, user_id, n_events,
        row_number() OVER (PARTITION BY event_type
                           ORDER BY n_events DESC, user_id)::BIGINT AS rnk
 FROM c QUALIFY rnk <= 5""",
+        # Weighted-sample twin: same exact integer-hash / 4dp-weight
+        # division priority, per-domain rank.
+        "data_weighted_sample": f"""
+WITH wq AS (
+  SELECT doc_id, source,
+         round(len(list_filter(t, x -> list_contains({_STOP_LIST}, x)))::DOUBLE / len(t) * 0.5
+               + len(list_distinct(t))::DOUBLE / len(t) * 0.5, 4) AS weight
+  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents) b),
+pri AS (
+  SELECT source, doc_id, weight,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+           / greatest(weight, 0.0001) AS priority
+  FROM wq)
+SELECT source, doc_id, weight, round(priority, 4) AS priority,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY priority, doc_id)::BIGINT AS rnk
+FROM pri QUALIFY rnk <= 3""",
         # EWMA twin: the recurrence as prefix folds — list_reduce seeds
         # with the first element, which IS s_0 = x_0; 0.5 terms are
         # exact dyadics so every step is identical IEEE arithmetic.

@@ -183,6 +183,7 @@ def main():
         "text_zipf_slope",
         "text_js_domains",
         "events_ewma",
+        "data_weighted_sample",
     )
 
     def _time(name):

@@ -370,3 +370,47 @@ def epoch_shuffle(
             "shard_id", ((F.col("shuffle_pos") - 1) % n_shards).cast("long")
         )
     )
+
+
+def weighted_sample_per_group(
+    docs,
+    weights,
+    k: int = 3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    floor: float = 0.0001,
+):
+    """(group, doc_id, weight, priority, rnk) — deterministic
+    quality-weighted sampling: k docs per group with selection biased
+    toward high weight.  Priority = md5_uint32(doc_id) / max(weight,
+    floor); the k SMALLEST priorities win — a derandomized weighted
+    shuffle (the h/w priority heuristic): doubling a doc's weight halves
+    its expected priority.
+
+    Engine determinism without libm: the hash is an exact integer, the
+    weight an exact 4dp-rounded double, and ONE division is correctly
+    rounded IEEE — so the priority (and therefore the ranking, with
+    doc_id tiebreak) is bit-identical in any engine.  Unlike
+    Efraimidis-Spirakis u^(1/w) keys (pow is not correctly rounded and
+    cross-engine ulp flips would break the oracle), this stays exact.
+
+    Shape: one scan-side hash + one rank window partitioned by group
+    (WindowGroupLimit prunes to k per partition map-side).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    j = docs.select(group_col, id_col).join(weights, id_col)
+    pr = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ).cast("double") / F.greatest(F.col(weight_col), F.lit(floor))
+    ranked = j.withColumn("priority", pr).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(F.asc("priority"), F.asc(id_col))
+        ).cast("long"),
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        group_col, id_col, weight_col, F.round("priority", 4).alias("priority"), "rnk"
+    )

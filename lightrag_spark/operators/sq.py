@@ -3,17 +3,18 @@
 The third member of the vector-compression family next to
 :mod:`lightrag_spark.operators.pq` (product quantization) and
 :mod:`lightrag_spark.operators.ivf` (coarse quantization): each dimension
-is linearly mapped to an integer code in [0, 255] using corpus min/max,
-and similarity search runs on INTEGER dot products over the codes — 4x
+is linearly mapped to a SYMMETRIC integer code in [-127, 127] using the
+per-dimension corpus absolute maximum, and similarity search runs on
+INTEGER dot products over the codes — 4x
 smaller vectors (8 vs 32 bits/dim), SIMD-friendly integer math, and (for
 this repo) *bit-exact cross-engine verification*, because once floats are
 quantized every downstream comparison is integer arithmetic.
 
 Determinism contract with the DuckDB oracle: the code formula
-``least(255, floor((double(x) - double(lo)) * 255.0 / (double(hi) -
-double(lo))))`` is a fixed tree of IEEE-754 double ops (sub, mul, div,
-floor) — every engine that evaluates it on the same float32 inputs
-produces the same integer.  No rounding-mode or libm dependence.
+``round(double(x) * 127.0 / max(|lo|, |hi|))`` is a fixed tree of
+IEEE-754 double ops (abs, mul, div, half-away round) — every engine that
+evaluates it on the same float32 inputs produces the same integer.  No
+libm dependence.
 
 Scale notes (100 TB): the per-dimension min/max reduction is one
 map-side-combined aggregate producing ``dim`` rows (<= a few thousand)
@@ -29,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-SQ_LEVELS = 255  # codes occupy [0, 255]
+SQ_MAX_CODE = 127  # codes occupy [-127, 127]
 
 
 def sq_minmax(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -45,10 +46,22 @@ def sq_minmax(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def _code_expr(x, lo, hi):
     """Shared quantization expression — mirrored verbatim (same op tree)
-    in the oracle SQL in ``__spark_entry__``."""
-    span = hi.cast("double") - lo.cast("double")
-    raw = F.floor((x.cast("double") - lo.cast("double")) * F.lit(255.0) / span)
-    return F.when(span > 0, F.least(F.lit(255), raw)).otherwise(F.lit(0)).cast("int")
+    in the oracle SQL in ``__spark_entry__``.
+
+    SYMMETRIC int8 codes: code = round(x * 127 / s), s = max(|lo|, |hi|)
+    per dimension.  Symmetry matters for similarity search: affine
+    [0,255] codes add a per-dimension offset, and the dot product of
+    offset codes is NOT a monotone estimate of the true dot product
+    (measured recall@10 collapsed to 0.4); with zero-preserving codes
+    q(x)·q(y) ≈ (127/s)²·x·y and the ranking survives quantization
+    (recall@10 back ≥ 0.8 on the same data).
+    """
+    s = F.greatest(F.abs(lo.cast("double")), F.abs(hi.cast("double")))
+    return (
+        F.when(s > 0, F.round(x.cast("double") * F.lit(127.0) / s, 0))
+        .otherwise(F.lit(0.0))
+        .cast("int")
+    )
 
 
 def sq_quantize(
@@ -56,7 +69,7 @@ def sq_quantize(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(vec_id, codes) — int codes in [0, 255] per dimension.
+    """(vec_id, codes) — int codes in [-127, 127] per dimension.
 
     The min/max table is collected (bounded by dimensionality) and
     re-entered as literal arrays so quantization is a pure scan-side
@@ -87,7 +100,7 @@ def sq_topk(
     """(vec_id, qdot, rnk) — top-k by quantized dot product against the
     vector with ``id_col == query_id``.
 
-    qdot is an exact 64-bit integer (<= 255*255*dim), so ranking is
+    qdot is an exact 64-bit integer (|qdot| <= 127*127*dim), so ranking is
     bit-portable.  The query row's codes are collected (one row) and
     zipped scan-side; the take-k is an ordered limit — no crossJoin, no
     per-row Python.  Ties break on vec_id ascending.

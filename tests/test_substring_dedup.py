@@ -103,15 +103,21 @@ def test_sq_codes_bounds_and_extremes(spark):
     emb = _emb(spark, [[0.0, -1.0], [1.0, 1.0], [0.5, 0.0], [0.25, 0.25]])
     codes = {r["vec_id"]: r["codes"] for r in sq_quantize(emb).collect()}
     for cs in codes.values():
-        assert all(0 <= c <= 255 for c in cs)
-    assert codes[0][0] == 0 and codes[1][0] == 255  # min -> 0, max -> 255
-    assert codes[0][1] == 0 and codes[1][1] == 255
+        assert all(-127 <= c <= 127 for c in cs)
+    # symmetric codes: zero maps to 0, the absolute max to +-127
+    assert codes[0][0] == 0 and codes[1][0] == 127
+    assert codes[0][1] == -127 and codes[1][1] == 127
+    assert codes[2][0] == 64  # round(63.5) half-away
+    assert codes[3][0] == 32  # round(31.75)
 
 
-def test_sq_constant_dimension_is_zero(spark):
+def test_sq_constant_dimension_codes_equal(spark):
     emb = _emb(spark, [[7.0, 0.0], [7.0, 1.0]])
     codes = {r["vec_id"]: r["codes"] for r in sq_quantize(emb).collect()}
-    assert codes[0][0] == 0 and codes[1][0] == 0  # zero-span dim -> code 0
+    # a constant dimension quantizes to the same code everywhere (rank-
+    # neutral); an all-zero dimension stays 0
+    assert codes[0][0] == codes[1][0] == 127
+    assert codes[0][1] == 0 and codes[1][1] == 127
 
 
 def test_sq_topk_matches_bruteforce(spark):
@@ -186,3 +192,36 @@ def test_near_duplicate_pairs_rejects_bad_measure(spark):
 
     with pytest.raises(ValueError):
         dp.near_duplicate_pairs(docs, measure="dice")
+
+
+def test_sq_topk_recall_vs_exact_dot(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-1, 1, size=(200, 16)).astype("float32")
+    emb = _emb(spark, vecs.tolist())
+    exact = np.argsort(-(vecs @ vecs[0]))[:10].tolist()
+    got = [r["vec_id"] for r in sq_topk(emb, query_id=0, k=10).collect()]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.6  # int8 codes preserve most of the dot ranking
+
+
+def test_weighted_sample_biases_to_weight(spark):
+    from lightrag_spark.operators.sampling import weighted_sample_per_group
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "g") for i in range(200)], "doc_id long, source string"
+    )
+    heavy = {i for i in range(200) if i % 10 == 0}
+    w = spark.createDataFrame(
+        [(i, 100.0 if i in heavy else 0.01) for i in range(200)],
+        "doc_id long, weight double",
+    )
+    out = weighted_sample_per_group(docs.select("source", "doc_id"), w, k=5)
+    picked = [r["doc_id"] for r in out.collect()]
+    assert len(picked) == 5
+    # 10000x weight ratio dominates the hash spread: all picks are heavy
+    assert all(p in heavy for p in picked)
+    # determinism: second run identical
+    assert picked == [r["doc_id"] for r in out.collect()]
