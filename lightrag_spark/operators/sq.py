@@ -125,3 +125,91 @@ def sq_topk(
         .limit(k)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
+
+
+def ivf_sq_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-SQ: coarse-cell probing + INTEGER-dot shortlist over symmetric
+    int8 codes + exact cosine re-rank — the third composed index next to
+    IVF (exact in-cell) and IVF-PQ (ADC in-cell).  SQ trades PQ's tighter
+    compression for a codebook-free, integer-exact scorer: the shortlist
+    stage moves 1 byte/dim and does int multiply-adds only.
+
+    ``queries``: list of (query_id, vector).  Output (query_id,
+    neighbor_id, sim, rank) — sim is the EXACT cosine of re-ranked
+    survivors (4dp), rank 1..k by (sim desc, neighbor_id asc).
+
+    Shape: probe table broadcast (|Q| x nprobe rows); only probed cells'
+    codes are scanned; the shortlist rank prunes per query before any
+    float vector is touched; the re-rank joins float vectors for
+    |Q| x shortlist rows only.
+    """
+    from .ann import _cosine
+    from .ivf import _nearest_cells
+
+    spark = assigned.sparkSession
+    codes = sq_quantize(assigned, vec_col, id_col).join(
+        assigned.select(id_col, "cell"), id_col
+    )
+    probe_rows = []
+    qcode_rows = []
+    for qid, qv in queries:
+        for cell in _nearest_cells(list(map(float, qv)), centroids, nprobe):
+            probe_rows.append((int(qid), int(cell)))
+    if not probe_rows:
+        return spark.createDataFrame(
+            [], f"query_id long, neighbor_id long, sim double, rank long"
+        )
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qids = [int(qid) for qid, _ in queries]
+    qcodes = codes.filter(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("query_id"), F.col("codes").alias("qc")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            codes.select(F.col(id_col).alias("neighbor_id"), "codes", "cell"), "cell"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .drop("cell")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .join(F.broadcast(qcodes), "query_id")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("qc"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    short = (
+        cand.withColumn("qdot", qdot)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qvecs = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        f"query_id long, qv array<float>",
+    )
+    rer = (
+        short.join(
+            assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
