@@ -2293,6 +2293,27 @@ def _q_community_cuts(spark, sf):
     return community_cuts(e, label_propagation(e, iterations=_CUT_ITER))
 
 
+def _q_url_dedup(spark, sf):
+    """Crawl-frontier URL dedup (datapipe.url_dedup_report): three raw
+    variants per canonical target (case/port, trailing slash, tracking
+    param + fragment) collapse to one fetch key."""
+    base = (F.col("doc_id") % 25).cast("string")
+    v = F.col("doc_id") % 3
+    raw = (
+        F.when(v == 0, F.concat(F.lit("HTTP://H"), base, F.lit(".COM:80/p")))
+        .when(v == 1, F.concat(F.lit("http://h"), base, F.lit(".com/p/")))
+        .otherwise(F.concat(F.lit("http://h"), base, F.lit(".com/p?utm_source=x#f")))
+    )
+    d = _documents(spark, sf).select("doc_id", raw.alias("url"))
+    return dp.url_dedup_report(d)
+
+
+def _q_events_interarrival(spark, sf):
+    """Exact inter-arrival gap quantiles per event type (datapipe.
+    interarrival_quantiles): cadence profile behind session gaps."""
+    return dp.interarrival_quantiles(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def _q_weighted_sample(spark, sf):
     """Deterministic quality-weighted sampling (sampling.
     weighted_sample_per_group): k docs per domain by the exact h/w
@@ -2503,6 +2524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_js_domains": _q_js_domains,
         "events_ewma": _q_events_ewma,
         "data_weighted_sample": _q_weighted_sample,
+        "doc_url_dedup": _q_url_dedup,
+        "events_interarrival": _q_events_interarrival,
     }
 
 
@@ -3070,6 +3093,52 @@ from lightrag_spark.functions.urlnorm import (  # noqa: E402
     TRACKING_PARAM_RE as lk_TRACKING,
     _ANCHORED_URL_PATTERN as lk_ANCHORED,
 )
+
+
+# Hostile-URL synthesis CTE (shared as a recipe with _url_cases) and the
+# SQL-native canonicalization chain (ends in a ucanon CTE), reused by the
+# doc_url_canonical and doc_url_dedup twins so the rules cannot drift.
+_URL_HOSTILE_CTE = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'http://u:p@x.com/' || doc_id::VARCHAR
+              ELSE 'HTTP://Site' || source || '.Example.COM.:80/Path'
+                   || (doc_id % 3)::VARCHAR || '/?utm_source=x&b='
+                   || doc_id::VARCHAR || '&a=1#frag' END AS url
+  FROM documents)"""
+
+
+def _urlcanon_chain() -> str:
+    """SQL canonicalization over a preceding ``u(doc_id, url)`` CTE."""
+    return f""",
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '\\.+$', '') AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1) AS port,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS raw_path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u),
+n AS (
+  SELECT doc_id, url, scheme, host, port,
+    CASE WHEN raw_path IN ('', '/') THEN '/'
+         ELSE regexp_replace(raw_path, '/$', '') END AS path,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x, '{lk_TRACKING}'))), '&') AS sq
+  FROM p),
+ucanon AS (
+  SELECT doc_id, url,
+    CASE WHEN NOT regexp_matches(url, '{lk_ANCHORED}')
+         THEN url
+         ELSE scheme || '://' ||
+              CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                            OR (scheme = 'https' AND port = '443'))
+                   THEN host || ':' || port ELSE host END
+              || path || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END
+    END AS canonical_url
+  FROM n)"""
 
 
 # TransE relation-embedding literals — same hashlib recipe as
@@ -4816,39 +4885,40 @@ FROM syl""",
         # default-port strip, tracking-param drop, bytewise param sort,
         # fragment/trailing-slash drop, unparseable passthrough) over the
         # same deterministically synthesized hostile URLs.
-        "doc_url_canonical": f"""
+        "doc_url_canonical": _URL_HOSTILE_CTE + _urlcanon_chain()
+        + "\nSELECT doc_id, url, canonical_url FROM ucanon",
+        # URL dedup twin: three raw variants per canonical target collapse
+        # under the same canonicalization chain; keep = min doc_id.
+        "doc_url_dedup": """
 WITH u AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 4 = 0
-              THEN 'http://u:p@x.com/' || doc_id::VARCHAR
-              ELSE 'HTTP://Site' || source || '.Example.COM.:80/Path'
-                   || (doc_id % 3)::VARCHAR || '/?utm_source=x&b='
-                   || doc_id::VARCHAR || '&a=1#frag' END AS url
-  FROM documents),
-p AS (
-  SELECT doc_id, url,
-    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    regexp_replace(lower(regexp_extract(url,
-      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '\\.+$', '') AS host,
-    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1) AS port,
-    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS raw_path,
-    regexp_extract(url, '\\?([^#]*)', 1) AS q
-  FROM u),
-n AS (
-  SELECT doc_id, url, scheme, host, port,
-    CASE WHEN raw_path IN ('', '/') THEN '/'
-         ELSE regexp_replace(raw_path, '/$', '') END AS path,
-    array_to_string(list_sort(list_filter(string_split(q, '&'),
-      x -> x <> '' AND NOT regexp_matches(x, '{lk_TRACKING}'))), '&') AS sq
-  FROM p)
-SELECT doc_id, url,
-  CASE WHEN NOT regexp_matches(url, '{lk_ANCHORED}')
-       THEN url
-       ELSE scheme || '://' ||
-            CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
-                                          OR (scheme = 'https' AND port = '443'))
-                 THEN host || ':' || port ELSE host END
-            || path || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END
-  END AS canonical_url
-FROM n""",
+    CASE doc_id % 3
+      WHEN 0 THEN 'HTTP://H' || (doc_id % 25)::VARCHAR || '.COM:80/p'
+      WHEN 1 THEN 'http://h' || (doc_id % 25)::VARCHAR || '.com/p/'
+      ELSE 'http://h' || (doc_id % 25)::VARCHAR || '.com/p?utm_source=x#f'
+    END AS url
+  FROM documents)""" + _urlcanon_chain() + """
+SELECT canonical_url, count(*)::BIGINT AS n_docs,
+       count(DISTINCT url)::BIGINT AS n_raw_forms,
+       min(doc_id)::BIGINT AS keep_doc_id
+FROM ucanon GROUP BY canonical_url""",
+        # Inter-arrival twin: same (micros, event_id) total order for the
+        # lag, then the exact rank-selection quantile chain.
+        "events_interarrival": """
+WITH e AS (
+  SELECT event_type, user_id, event_id, epoch_us(ts)::BIGINT AS us FROM events),
+g AS (
+  SELECT event_type AS gk,
+         us - lag(us) OVER (PARTITION BY event_type, user_id
+                            ORDER BY us, event_id) AS v
+  FROM e),
+gg AS (SELECT gk, v::BIGINT AS v FROM g WHERE v IS NOT NULL),
+ranked AS (
+  SELECT gk, v, row_number() OVER (PARTITION BY gk ORDER BY v) AS rn FROM gg),
+cnts AS (SELECT gk, count(*)::BIGINT AS n FROM ranked GROUP BY gk),
+targets AS (
+  SELECT gk, n, u.q, greatest(1, CAST(ceil(u.q * n) AS BIGINT)) AS rn
+  FROM cnts, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q))
+SELECT t.gk AS event_type, t.q, t.n, r.v AS value_at
+FROM targets t JOIN ranked r ON t.gk = r.gk AND t.rn = r.rn""",
     }

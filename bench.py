@@ -184,6 +184,8 @@ def main():
         "text_js_domains",
         "events_ewma",
         "data_weighted_sample",
+        "doc_url_dedup",
+        "events_interarrival",
     )
 
     def _time(name):

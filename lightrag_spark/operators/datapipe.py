@@ -1811,6 +1811,54 @@ def group_quantiles(
     )
 
 
+def interarrival_quantiles(
+    events: DataFrame, qs: tuple = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """(event_type, q, n, value_at) — exact quantiles of same-user
+    inter-arrival gaps (microseconds) per event type: the latency/cadence
+    profile behind sessionization gap choices and anomaly baselines.
+
+    Gaps order by (event-time micros, event_id) per (type, user) — the
+    total order makes the lag deterministic under timestamp ties — then
+    reuse :func:`group_quantiles`' exact rank selection.  One window
+    (partitioned, parallel across users) + the quantile machinery.
+    """
+    e = events.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("_us", "event_id")
+    g = (
+        e.withColumn("gap_us", F.col("_us") - F.lag("_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .select("event_type", F.col("gap_us").cast("long").alias("gap_us"))
+    )
+    return group_quantiles(g, group="event_type", value="gap_us", qs=qs)
+
+
+def url_dedup_report(docs_with_url: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canonical_url, n_docs, n_raw_forms, keep_doc_id) — crawl-frontier
+    URL dedup: canonicalize (functions/urlnorm rules), group, keep the
+    min-doc_id representative.  The op a crawler runs BEFORE fetching —
+    tracking params, host case, default ports and trailing slashes
+    collapse to one fetch.  One scan-side canonicalization expression +
+    one map-side-combinable aggregate.
+    """
+    from lightrag_spark.functions.urlnorm import canonical_url_col
+
+    return (
+        docs_with_url.withColumn("_canon", canonical_url_col(F.col(url_col)))
+        .groupBy(F.col("_canon").alias("canonical_url"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(url_col).cast("long").alias("n_raw_forms"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )
+
+
 HLL_M = 256
 # alpha_256 inlined as one literal so both engines use the identical
 # double (Flajolet et al. 2007 bias constant for m >= 128)

@@ -171,3 +171,36 @@ def test_events_ewma_recurrence(spark):
     assert out[1]["residual"] == 2 - 4.0
     assert out[2]["ewma"] == 5.5  # 0.5*8 + 0.5*3
     assert out[2]["residual"] == 8 - 3.0
+
+
+def test_url_dedup_report_collapses_variants(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTP://A.COM:80/x"),
+            (2, "http://a.com/x/"),
+            (3, "http://a.com/x?utm_source=z#f"),
+            (4, "http://b.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["canonical_url"]: r.asDict() for r in dp.url_dedup_report(docs).collect()}
+    a = out["http://a.com/x"]
+    assert a["n_docs"] == 3 and a["n_raw_forms"] == 3 and a["keep_doc_id"] == 1
+    assert out["http://b.com/y"]["n_docs"] == 1
+
+
+def test_interarrival_quantiles(spark):
+    from datetime import datetime
+
+    # user 1: events at t=0, 10, 30 -> gaps 10s, 20s
+    rows = [
+        ("view", 1, 1, datetime(2024, 1, 1, 0, 0, 0)),
+        ("view", 1, 2, datetime(2024, 1, 1, 0, 0, 10)),
+        ("view", 1, 3, datetime(2024, 1, 1, 0, 0, 30)),
+        ("view", 2, 4, datetime(2024, 1, 1, 0, 0, 0)),  # single event: no gap
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long, event_id long, ts timestamp")
+    out = {r["q"]: r.asDict() for r in dp.interarrival_quantiles(ev).collect()}
+    assert out[0.5]["n"] == 2
+    assert out[0.5]["value_at"] == 10_000_000  # median of {10s, 20s}
+    assert out[0.9]["value_at"] == 20_000_000
