@@ -2293,6 +2293,29 @@ def _q_community_cuts(spark, sf):
     return community_cuts(e, label_propagation(e, iterations=_CUT_ITER))
 
 
+def _q_degree_alpha(spark, sf):
+    """Hill power-law exponent of the KG degree distribution (graphs.
+    degree_alpha): the one-number hub-risk gauge for skew planning."""
+    from lightrag_spark.operators.graphs import degree_alpha
+
+    r = _build(spark, sf)
+    return degree_alpha(r.kg_edges.select("src", "tgt"))
+
+
+def _q_chunk_dedup(spark, sf):
+    """Chunk-level exact dedup over the built chunks (RAG stores embed
+    each chunk once; near-dup docs produce byte-identical chunks)."""
+    r = _build(spark, sf)
+    return (
+        r.chunks.select("chunk_id", "content")
+        .groupBy(F.md5("content").alias("content_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.min("chunk_id").alias("keep_chunk_id"),
+        )
+    )
+
+
 def _q_url_dedup(spark, sf):
     """Crawl-frontier URL dedup (datapipe.url_dedup_report): three raw
     variants per canonical target (case/port, trailing slash, tracking
@@ -2526,6 +2549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_weighted_sample": _q_weighted_sample,
         "doc_url_dedup": _q_url_dedup,
         "events_interarrival": _q_events_interarrival,
+        "kg_degree_alpha": _q_degree_alpha,
+        "kg_chunk_dedup": _q_chunk_dedup,
     }
 
 
@@ -4639,6 +4664,31 @@ SELECT src_ AS source, cd_tot AS n_tokens,
                        THEN 0.5 * qo * ln(qo / ((po + qo) / 2.0)) ELSE 0.0 END),
              4) AS jsd
 FROM jfin""",
+        # Hill-exponent twin: degree-sorted fold of ln(d/d_min).
+        "kg_degree_alpha": _KG_CTE + """
+, daund AS (
+  SELECT src AS a, tgt AS b FROM edges
+  UNION
+  SELECT tgt AS a, src AS b FROM edges),
+dadeg AS (SELECT a, count(*)::BIGINT AS d FROM daund GROUP BY a),
+dastat AS (
+  SELECT count(*)::BIGINT AS n_nodes, min(d)::BIGINT AS d_min,
+         max(d)::BIGINT AS d_max
+  FROM dadeg),
+dasum AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list(ln(d::DOUBLE / (SELECT d_min FROM dastat)::DOUBLE) ORDER BY d, a)),
+           (x, y) -> x + y) AS s
+  FROM dadeg)
+SELECT n_nodes, d_min, d_max,
+       round(CASE WHEN s > 0 THEN 1.0 + n_nodes::DOUBLE / s ELSE 0.0 END, 4)
+         AS alpha
+FROM dastat, dasum""",
+        # Chunk-dedup twin: identical chunk construction, md5 grouping.
+        "kg_chunk_dedup": _KG_CTE + """
+SELECT md5(content) AS content_hash, count(*)::BIGINT AS n_chunks,
+       min(chunk_id) AS keep_chunk_id
+FROM chunks GROUP BY md5(content)""",
         # Random-walk twin: unrolled md5-picked sorted-neighbor steps.
         "kg_random_walks": _KG_CTE + _walks_sql(),
         # Zipf-slope twin: identical (count desc, token) ranks, the four

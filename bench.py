@@ -132,6 +132,8 @@ def main():
         "kg_modularity",
         "kg_community_cuts",
         "kg_random_walks",
+        "kg_degree_alpha",
+        "kg_chunk_dedup",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",

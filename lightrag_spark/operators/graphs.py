@@ -1132,3 +1132,48 @@ def random_walks(
     for f in out[1:]:
         res = res.unionByName(f)
     return res
+
+
+def degree_alpha(edges: DataFrame, src: str = "src", tgt: str = "tgt") -> DataFrame:
+    """One row: (n_nodes, d_min, d_max, alpha) — the Hill/MLE power-law
+    exponent of the degree distribution, alpha = 1 + n / sum_i
+    ln(d_i/d_min): the one-number hub-risk gauge (alpha below ~2.5 means
+    heavy hubs — expect skew-join pressure and salting needs downstream;
+    SURVEY §4's "United States problem" quantified).
+
+    Determinism: degrees are exact integers; the log-ratio sum folds in
+    (degree, node)-sorted order from a 0.0 seed (sorted-fold pattern);
+    alpha's closed form is a fixed tree, 4dp.  Nodes with d == d_min
+    contribute ln(1) = 0 exactly in both engines.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
+        .union(edges.select(F.col(tgt).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("d"), F.col("a"), F.col("d").cast("double").alias("dd")))
+    )
+    agg = deg.groupBy().agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("d_min"),
+        F.max("d").cast("long").alias("d_max"),
+        lst.alias("l"),
+    )
+    s = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda a, e: a + F.log(e["dd"] / F.col("d_min").cast("double")),
+    )
+    return agg.select(
+        "n_nodes",
+        "d_min",
+        "d_max",
+        F.round(
+            F.when(s > 0, F.lit(1.0) + F.col("n_nodes").cast("double") / s).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("alpha"),
+    )

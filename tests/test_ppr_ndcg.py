@@ -168,3 +168,24 @@ def test_random_walks_follow_edges_and_hash_rule(spark):
             pick = int(h[:8], 16) % len(adj[cur])
             assert seq[s] == adj[cur][pick]  # exact hash-rule replay
             assert seq[s] in adj[cur]  # and a real edge
+
+
+def test_degree_alpha_hill_estimator(spark):
+    import math
+
+    from lightrag_spark.operators.graphs import degree_alpha
+
+    # star + pendant chain: degrees h=4, x0..x3=1 each, so d_min=1
+    edges = spark.createDataFrame(
+        [("h", f"x{i}") for i in range(4)], "src string, tgt string"
+    )
+    row = degree_alpha(edges).collect()[0]
+    degs = [4, 1, 1, 1, 1]
+    s = sum(math.log(d / 1) for d in degs)
+    assert row["n_nodes"] == 5 and row["d_min"] == 1 and row["d_max"] == 4
+    assert row["alpha"] == round(1 + 5 / s, 4)
+    # regular graph (all degrees equal): s == 0 -> alpha sentinel 0.0
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, tgt string"
+    )
+    assert degree_alpha(tri).collect()[0]["alpha"] == 0.0
