@@ -2293,6 +2293,28 @@ def _q_community_cuts(spark, sf):
     return community_cuts(e, label_propagation(e, iterations=_CUT_ITER))
 
 
+def _q_langid_confusion(spark, sf):
+    """Language-ID confusion matrix (datapipe.detect_language vs the
+    table's lang labels) — the evaluation artifact a lang-filter needs."""
+    d = _documents(spark, sf)
+    det = dp.detect_language(d).select("doc_id", "detected_lang")
+    return (
+        d.select("doc_id", "lang")
+        .join(det, "doc_id")
+        .groupBy("lang", "detected_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _q_session_length(spark, sf):
+    """Session-length quantiles (sessionize + group_quantiles): exact
+    p50/p90/p99 of events-per-session, the product-health companion to
+    events_sessions."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    s = dp.sessionize_events(ev).withColumn("scope", F.lit("all"))
+    return dp.group_quantiles(s, group="scope", value="n_events")
+
+
 def _q_degree_alpha(spark, sf):
     """Hill power-law exponent of the KG degree distribution (graphs.
     degree_alpha): the one-number hub-risk gauge for skew planning."""
@@ -2551,6 +2573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interarrival": _q_events_interarrival,
         "kg_degree_alpha": _q_degree_alpha,
         "kg_chunk_dedup": _q_chunk_dedup,
+        "eval_langid_confusion": _q_langid_confusion,
+        "events_session_length": _q_session_length,
     }
 
 
@@ -3118,6 +3142,24 @@ from lightrag_spark.functions.urlnorm import (  # noqa: E402
     TRACKING_PARAM_RE as lk_TRACKING,
     _ANCHORED_URL_PATTERN as lk_ANCHORED,
 )
+
+
+# Gap-sessionization twin, shared by events_sessions and the session-
+# length quantiles.
+_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN pts IS NULL OR (epoch(ts) - epoch(pts)) > 1800 THEN 1 ELSE 0 END AS ns
+  FROM e),
+s AS (
+  SELECT user_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_idx
+  FROM m)
+SELECT user_id, session_idx, count(*)::BIGINT AS n_events FROM s GROUP BY 1, 2"""
 
 
 # Hostile-URL synthesis CTE (shared as a recipe with _url_cases) and the
@@ -4266,20 +4308,7 @@ SELECT doc_id,
        list_min(list_transform(sh, x -> md5(x))) AS fp_min,
        list_max(list_transform(sh, x -> md5(x))) AS fp_max
 FROM s WHERE len(sh) > 0""",
-        "events_sessions": """
-WITH e AS (
-  SELECT user_id, event_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
-  FROM events),
-m AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN pts IS NULL OR (epoch(ts) - epoch(pts)) > 1800 THEN 1 ELSE 0 END AS ns
-  FROM e),
-s AS (
-  SELECT user_id,
-         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_idx
-  FROM m)
-SELECT user_id, session_idx, count(*)::BIGINT AS n_events FROM s GROUP BY 1, 2""",
+        "events_sessions": _SESSIONS_SQL,
         "events_windows": """
 SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
@@ -4664,6 +4693,26 @@ SELECT src_ AS source, cd_tot AS n_tokens,
                        THEN 0.5 * qo * ln(qo / ((po + qo) / 2.0)) ELSE 0.0 END),
              4) AS jsd
 FROM jfin""",
+        # Lang-ID confusion twin: the full detector chain as a subquery
+        # joined back to the labels.
+        "eval_langid_confusion": f"""
+SELECT d.lang, det.detected_lang, count(*)::BIGINT AS n_docs
+FROM documents d JOIN ({_LANG_DETECT_SQL}) det ON d.doc_id = det.doc_id
+GROUP BY 1, 2""",
+        # Session-length quantile twin: the shared sessionization chain +
+        # the exact rank-selection quantile machinery.
+        "events_session_length": f"""
+WITH sess AS ({_SESSIONS_SQL}),
+ranked AS (
+  SELECT 'all' AS gk, n_events AS v,
+         row_number() OVER (ORDER BY n_events) AS rn
+  FROM sess),
+cnts AS (SELECT gk, count(*)::BIGINT AS n FROM ranked GROUP BY gk),
+targets AS (
+  SELECT gk, n, u.q, greatest(1, CAST(ceil(u.q * n) AS BIGINT)) AS rn
+  FROM cnts, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q))
+SELECT t.gk AS scope, t.q, t.n, r.v AS value_at
+FROM targets t JOIN ranked r ON t.gk = r.gk AND t.rn = r.rn""",
         # Hill-exponent twin: degree-sorted fold of ln(d/d_min).
         "kg_degree_alpha": _KG_CTE + """
 , daund AS (

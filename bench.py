@@ -188,6 +188,8 @@ def main():
         "data_weighted_sample",
         "doc_url_dedup",
         "events_interarrival",
+        "eval_langid_confusion",
+        "events_session_length",
     )
 
     def _time(name):
