@@ -1508,6 +1508,13 @@ ppr{k} AS (
     return "".join(parts)
 
 
+def _ppr_chain(iterations: int = _PR_ITER) -> str:
+    """The PPR CTE chain without the final select (labels land in
+    ppr{iterations}) — shared with kg_community_reps."""
+    full = _ppr_sql(iterations)
+    return full[: full.rindex("\nSELECT ")]
+
+
 def _q_kg_pagerank_weighted(spark, sf):
     """Weighted fixed-point PageRank: mass flows proportionally to the
     reference's relation_count edge weights — (r*w) DIV W_u per edge,
@@ -2293,6 +2300,32 @@ def _q_community_cuts(spark, sf):
     return community_cuts(e, label_propagation(e, iterations=_CUT_ITER))
 
 
+def _q_community_reps(spark, sf):
+    """Community representatives: top-3 entities per LPA community by
+    personalized-PageRank mass — the names a community summary leads
+    with.  Pure composition of two gated operators + a WindowGroupLimit
+    rank."""
+    from pyspark.sql.window import Window
+
+    from lightrag_spark.operators.graphs import label_propagation, personalized_pagerank
+
+    r = _build(spark, sf)
+    e = r.kg_edges.select("src", "tgt").localCheckpoint(eager=True)
+    comm = label_propagation(e, iterations=_LPA_ITER).select(
+        F.col("node").alias("entity"), "community"
+    )
+    pr = personalized_pagerank(e, iterations=_PR_ITER, scale=_PR_SCALE).select(
+        "entity", "ppr_fp"
+    )
+    w = Window.partitionBy("community").orderBy(F.desc("ppr_fp"), F.asc("entity"))
+    return (
+        pr.join(comm, "entity")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("community", "entity", "ppr_fp", "rnk")
+    )
+
+
 def _q_langid_confusion(spark, sf):
     """Language-ID confusion matrix (datapipe.detect_language vs the
     table's lang labels) — the evaluation artifact a lang-filter needs."""
@@ -2575,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunk_dedup": _q_chunk_dedup,
         "eval_langid_confusion": _q_langid_confusion,
         "events_session_length": _q_session_length,
+        "kg_community_reps": _q_community_reps,
     }
 
 
@@ -4693,6 +4727,14 @@ SELECT src_ AS source, cd_tot AS n_tokens,
                        THEN 0.5 * qo * ln(qo / ((po + qo) / 2.0)) ELSE 0.0 END),
              4) AS jsd
 FROM jfin""",
+        # Community-reps twin: LPA labels x PPR mass, per-community rank.
+        "kg_community_reps": _KG_CTE + _lpa_cte() + _ppr_chain() + f""",
+reps AS (
+  SELECT l.lbl AS community, p.u AS entity, p.r AS ppr_fp,
+         row_number() OVER (PARTITION BY l.lbl
+                            ORDER BY p.r DESC, p.u)::BIGINT AS rnk
+  FROM ppr{_PR_ITER} p JOIN lp{_LPA_ITER} l ON p.u = l.node)
+SELECT community, entity, ppr_fp, rnk FROM reps WHERE rnk <= 3""",
         # Lang-ID confusion twin: the full detector chain as a subquery
         # joined back to the labels.
         "eval_langid_confusion": f"""

@@ -134,6 +134,7 @@ def main():
         "kg_random_walks",
         "kg_degree_alpha",
         "kg_chunk_dedup",
+        "kg_community_reps",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
