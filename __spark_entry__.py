@@ -2484,8 +2484,86 @@ def _q_eval_ndcg(spark, sf):
     return ndcg_at_k(docs, qdf, k=10)
 
 
+
+
+_BLOOM_PLANT_EVERY = 20
+_BLOOM_PLANT_OFFSET = 1001
+_SEMDEDUP_TWIN_EVERY = 7
+_SEMDEDUP_TWIN_OFFSET = 100000
+
+
+def _q_events_kmv_users(spark, sf):
+    """KMV distinct-user sketch per day (datapipe.kmv_distinct): the
+    order-statistics sibling of events_hll_users — k smallest 48-bit md5
+    fractions per day, estimate (k-1)/kth; the kept values themselves
+    (not just the estimate) replay bit-identically in the twin, and the
+    exact distinct count rides along as the audit column."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    return dp.kmv_distinct(ev, group="day", col="user_id")
+
+
+def _q_dedup_bloom(spark, sf):
+    """Bloom-filter membership pre-filter (datapipe.bloom_prefilter):
+    even-id docs are the ingested build side, odd-id docs probe it.  The
+    corpus has no cross-parity exact duplicates, so every 20th even doc is
+    re-keyed to an odd id (+1001) with its text intact — deterministic
+    planting the twin replays — giving live true_dup hits alongside the
+    false positives the deliberately small m=2048 bit space produces."""
+    docs = _documents(spark, sf).select("doc_id", "text")
+    planted = docs.filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % _BLOOM_PLANT_EVERY == 0)
+    ).withColumn("doc_id", F.col("doc_id") + _BLOOM_PLANT_OFFSET)
+    return dp.bloom_prefilter(docs.unionByName(planted))
+
+
+def _q_retrieval_bm25(spark, sf):
+    """Okapi BM25 top-k (datapipe.bm25_topk): the length-normalized,
+    tf-saturating lexical ranker — same broadcast query-postings x corpus-
+    postings shape as the rrf lexical leg, with idf = ln(1+(N-df+.5)/(df+.5))
+    and the k1=1.2 / b=0.75 document-length discount; sorted-term fold,
+    4dp round, rank on the rounded score."""
+    return dp.bm25_topk(_documents(spark, sf))
+
+
+def _q_dedup_semantic(spark, sf):
+    """SemDedup cluster-bounded near-dup pruning (datapipe.semdedup_pairs):
+    nearest-centroid cells (first-8-by-id centroids) bound the pair space,
+    exact cosine >= 0.6 (4dp-rounded) only within a cell, smaller id kept.
+    The synthetic embeddings are near-orthogonal, so every 7th vector
+    gains a planted twin (element-wise double add with its successor —
+    one IEEE op per element, replayed bit-identically in SQL) at id
+    +100000; twins that land in their base's cell are found, twins that
+    straddle a cell boundary are missed — the documented SemDedup recall
+    trade vs the LSH route (dedup_embedding_near)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("_nx")
+    )
+    twins = (
+        emb.filter(F.col("vec_id") % _SEMDEDUP_TWIN_EVERY == 0)
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + _SEMDEDUP_TWIN_OFFSET).alias("vec_id"),
+            F.zip_with(
+                "embedding", "_nx", lambda x, y: x.cast("double") + y.cast("double")
+            ).alias("embedding"),
+        )
+    )
+    return dp.semdedup_pairs(base.unionByName(twins))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_kmv_users": _q_events_kmv_users,
+        "dedup_bloom": _q_dedup_bloom,
+        "retrieval_bm25_topk": _q_retrieval_bm25,
+        "dedup_semantic": _q_dedup_semantic,
         "kg_chunks": _q_kg_chunks,
         "kg_mentions": _q_kg_mentions,
         "kg_triples": _q_kg_triples,
@@ -3295,7 +3373,127 @@ tscored AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from lightrag_spark.operators.datapipe import (
+        BLOOM_J as _BJ,
+        BLOOM_M as _BM,
+        BM25_B as _BB,
+        BM25_K1 as _BK1,
+        KMV_K as _KK,
+        KMV_DENOM as _KD,
+        KMV_HEX as _KH,
+        SEMDEDUP_K as _SDK,
+        SEMDEDUP_THRESHOLD as _SDT,
+        _BM25_1MB,
+        _BM25_K1P1,
+    )
+
     return {
+        "events_kmv_users": f"""
+WITH v AS (
+  SELECT DISTINCT ts::DATE AS day,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, {_KH}))::BIGINT::DOUBLE
+           / {_KD!r} AS frac
+  FROM events),
+r AS (SELECT day, frac,
+             row_number() OVER (PARTITION BY day ORDER BY frac) AS rn FROM v),
+per AS (SELECT day, count(*)::BIGINT AS n_kept, max(frac) AS kth
+        FROM r WHERE rn <= {_KK} GROUP BY day),
+ex AS (SELECT ts::DATE AS day, count(DISTINCT user_id)::BIGINT AS exact
+       FROM events GROUP BY 1)
+SELECT per.day, n_kept, round(kth, 6) AS kth_frac,
+       round(CASE WHEN n_kept < {_KK} THEN n_kept::DOUBLE
+                  ELSE {float(_KK - 1)!r} / kth END, 4) AS estimate,
+       exact
+FROM per JOIN ex ON per.day = ex.day""",
+        "dedup_bloom": f"""
+WITH all_docs AS (
+  SELECT doc_id, trim(text) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + {_BLOOM_PLANT_OFFSET}, trim(text) FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % {_BLOOM_PLANT_EVERY} = 0),
+base AS (SELECT doc_id, md5(t) AS ch FROM all_docs),
+build AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+probe AS (SELECT * FROM base WHERE doc_id % 2 = 1),
+bpos AS (
+  SELECT DISTINCT
+         (('0x' || substr(md5(i::VARCHAR || ':' || ch), 1, 8))::BIGINT % {_BM}) AS pos
+  FROM build, generate_series(0, {_BJ - 1}) AS g(i)),
+ppos AS (
+  SELECT doc_id, ch,
+         (('0x' || substr(md5(i::VARCHAR || ':' || ch), 1, 8))::BIGINT % {_BM}) AS pos
+  FROM probe, generate_series(0, {_BJ - 1}) AS g(i)),
+hits AS (
+  SELECT p.doc_id, p.ch,
+         sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) = {_BJ} AS bloom_hit
+  FROM ppos p LEFT JOIN bpos b ON p.pos = b.pos GROUP BY p.doc_id, p.ch),
+seen AS (SELECT DISTINCT ch FROM build)
+SELECT h.doc_id, bloom_hit, (s.ch IS NOT NULL) AS true_dup,
+       (bloom_hit AND s.ch IS NULL) AS false_positive
+FROM hits h LEFT JOIN seen s ON h.ch = s.ch""",
+        "retrieval_bm25_topk": f"""
+WITH tok AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents), unnest(t) AS u(term)),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT n FROM nn)::DOUBLE AS avgdl),
+corpus AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + ((SELECT n FROM nn)::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+         * (tf::DOUBLE * {_BM25_K1P1!r})
+         / (tf::DOUBLE + {_BK1!r} * ({_BM25_1MB!r}
+              + {_BB!r} * dl::DOUBLE / (SELECT avgdl FROM ad))) AS wd
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)),
+qw AS (SELECT doc_id AS query_id, term, tf::DOUBLE AS qtf FROM tf WHERE doc_id < 8),
+pairs AS (
+  SELECT query_id, c.doc_id, c.term, qtf * wd AS p
+  FROM qw JOIN corpus c USING (term) WHERE query_id <> c.doc_id),
+agg AS (
+  SELECT query_id, doc_id,
+         round(list_reduce(list_prepend(0.0,
+           list_transform(list(struct_pack(term := term, p := p) ORDER BY term),
+                          s -> s.p)),
+           (a, x) -> a + x), 4) AS score
+  FROM pairs GROUP BY query_id, doc_id),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id)::BIGINT AS rank
+      FROM agg)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5""",
+        "dedup_semantic": f"""
+WITH raw AS (
+  SELECT vec_id::BIGINT AS id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+twins AS (
+  SELECT a.vec_id + {_SEMDEDUP_TWIN_OFFSET} AS id,
+         list_transform(generate_series(1, len(a.embedding)),
+                        i -> a.embedding[i]::DOUBLE + b.embedding[i]::DOUBLE) AS v
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % {_SEMDEDUP_TWIN_EVERY} = 0),
+allv AS (SELECT * FROM raw UNION ALL SELECT * FROM twins),
+c AS (SELECT id AS centroid_id, v AS cv FROM allv ORDER BY id LIMIT {_SDK}),
+d AS (
+  SELECT allv.id, c.centroid_id,
+         list_reduce(list_prepend(0.0, list_transform(
+           generate_series(1, len(v)),
+           i -> (v[i] - cv[i]) * (v[i] - cv[i]))), (a, x) -> a + x) AS d2
+  FROM allv, c),
+best AS (
+  SELECT id, min(struct_pack(d2 := d2, cid := centroid_id)) AS b
+  FROM d GROUP BY id),
+m AS (SELECT allv.id, (b).cid::BIGINT AS centroid_id, v
+      FROM allv JOIN best ON allv.id = best.id),
+p AS (
+  SELECT a.centroid_id, a.id AS keep_id, b.id AS drop_id,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+  FROM m a JOIN m b ON a.centroid_id = b.centroid_id AND a.id < b.id)
+SELECT centroid_id, keep_id, drop_id, cos FROM p WHERE cos >= {_SDT!r}""",
         "kg_chunks": _KG_CTE
         + """
 SELECT chunk_id, doc_key AS doc_id, chunk_order_index, tokens, content FROM chunks""",

@@ -3202,3 +3202,306 @@ def events_ewma(events: DataFrame, alpha_num: int = 1, alpha_den: int = 2) -> Da
             4,
         ).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch, Bloom pre-filter, BM25, SemDedup (session-5 batch)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_HEX = 12                       # 48-bit hash fraction — integer-exact in a double
+KMV_DENOM = float(16 ** KMV_HEX)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group: str,
+    col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group, n_kept, kth_frac, estimate, exact) — K-Minimum-Values
+    distinct-count sketch (Bar-Yossef et al. 2002): hash every value to a
+    uniform fraction in (0,1), keep the k smallest per group, estimate
+    cardinality as (k-1)/max(kept).  The order-statistics sibling of the
+    HLL register sketch (:func:`hll_distinct`) — KMV supports set
+    intersection/union estimates HLL can't, at the cost of k values of
+    state instead of m registers.
+
+    The hash is the first 48 bits of md5 (integer-exact in a double, same
+    ``HASH_HEX_CHARS`` discipline as the samplers), so the SKETCH — not
+    just the estimate — replays bit-identically in the DuckDB twin.
+    When a group has fewer than k distinct hashes the kept set IS the
+    distinct set and the estimate is the exact count (the standard KMV
+    small-set rule).  ``exact`` is the audit column: the true distinct
+    count the sketch approximates (cheap at gate scale; at 100 TB it is
+    precisely the full-shuffle aggregate KMV exists to avoid).
+
+    Shape at scale: distinct-by-hash applies map-side combine; the
+    per-group k-smallest is a rank window whose input WindowGroupLimit
+    prunes to k rows per partition per group before the shuffle, so the
+    state that moves is O(groups * k), independent of input size.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    frac = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, KMV_HEX), 16, 10)
+        .cast("double")
+        / F.lit(KMV_DENOM)
+    )
+    vals = df.select(F.col(group).alias("g"), frac.alias("frac")).distinct()
+    w = Window.partitionBy("g").orderBy("frac")
+    kept = vals.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per = kept.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("frac").alias("kth"),
+    )
+    exact = (
+        df.select(F.col(group).alias("g"), F.col(col).alias("v"))
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("kth")
+    )
+    return (
+        per.join(exact, "g")
+        .select(
+            F.col("g").alias(group),
+            "n_kept",
+            F.round("kth", 6).alias("kth_frac"),
+            F.round(est, 4).alias("estimate"),
+            "exact",
+        )
+    )
+
+
+BLOOM_M = 2048                     # bits — sized so gate-scale runs show FPs
+BLOOM_J = 4                        # hash functions
+
+
+def bloom_positions(ch: Column, j: int = BLOOM_J, m: int = BLOOM_M) -> Column:
+    """array<long> of the j Bloom bit positions for one content hash —
+    position_i = first 32 bits of md5(i ':' hash) mod m.  Shared by the
+    build and probe sides so both fold the identical bit coordinates."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), ch)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+            for i in range(j)
+        ]
+    )
+
+
+def bloom_prefilter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    j: int = BLOOM_J,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """(doc_id, bloom_hit, true_dup, false_positive) — Bloom-filter
+    membership pre-filter for incremental dedup (Bloom 1970): the
+    even-id half of the corpus is the already-ingested build side, the
+    odd-id half probes it.  A probe doc is a *candidate* duplicate iff
+    all j of its bit positions are set by the build side; candidates —
+    and only candidates — would proceed to the exact content-hash
+    anti-join.  ``false_positive`` (hit without a true content match) is
+    the sketch's signature error mode, demonstrated live because m is
+    deliberately small at gate scale (production sizing is ~10 bits per
+    build key for <1% FP; Spark's own runtime bloom-join filter —
+    spark.sql.optimizer.runtime.bloomFilter — is this exact pattern,
+    engine-private; this one is md5-replayable cross-engine).
+
+    Shape at scale: the bit table is at most m DISTINCT position rows
+    regardless of build-corpus size — broadcast territory — and the
+    probe explodes to j rows per doc, so the pre-filter costs one
+    broadcast join instead of shuffling the full build corpus; only the
+    (typically tiny) candidate set pays the exact-match shuffle.
+    """
+    h = F.md5(F.trim(F.col(text)))
+    base = docs.select(F.col(id_col), h.alias("ch"))
+    build = base.filter(F.col(id_col) % 2 == 0)
+    probe = base.filter(F.col(id_col) % 2 == 1)
+    bits = (
+        build.select(F.explode(bloom_positions(F.col("ch"), j, m)).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probed = (
+        probe.select(id_col, "ch", F.explode(bloom_positions(F.col("ch"), j, m)).alias("pos"))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy(id_col, "ch")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == j).alias("bloom_hit"))
+    )
+    seen = build.select("ch").distinct().withColumn("dup", F.lit(True))
+    return (
+        probed.join(seen, "ch", "left")
+        .select(
+            id_col,
+            "bloom_hit",
+            F.coalesce(F.col("dup"), F.lit(False)).alias("true_dup"),
+            (F.col("bloom_hit") & ~F.coalesce(F.col("dup"), F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+_BM25_K1P1 = BM25_K1 + 1.0
+_BM25_1MB = 1.0 - BM25_B
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — Okapi BM25 retrieval (Robertson &
+    Walker 1994): the length-normalized, saturation-weighted successor of
+    :func:`lexical_topk`'s raw tf-idf dot.  Per shared term the
+    contribution is qtf * idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+    with idf = ln(1 + (N-df+0.5)/(df+0.5)) — tf saturates (a 100-mention
+    page is not 100x a 1-mention page) and long documents are discounted
+    toward the corpus mean length, the two corrections that made BM25 the
+    default lexical ranker for three decades (and the hard-negative miner
+    of choice for retrieval training data).
+
+    Determinism: tf/df/dl/N are exact integers; avgdl is ONE division
+    (sum(dl)/N — not a float avg aggregate, whose summation order is
+    engine-private); constants are emitted from the same Python doubles
+    the twin's literals round-trip to; per-term contributions fold in
+    ascending-term order from 0.0 and the fold rounds to 4dp; ranks
+    order by the ROUNDED score then doc_id.
+
+    Shape at scale: identical to lexical_topk — query postings broadcast
+    against corpus postings keyed by term (never doc x doc); dl/avgdl
+    ride along as a scan-side projection + one broadcast scalar.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens_col(text)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.count()
+    sum_dl = dl.agg(F.sum("dl")).collect()[0][0]
+    avgdl = float(sum_dl) / float(n)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n)) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    corpus = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .select(
+            id_col,
+            "term",
+            (
+                idf
+                * (F.col("tf").cast("double") * F.lit(_BM25_K1P1))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(_BM25_1MB)
+                        + F.lit(BM25_B) * F.col("dl").cast("double") / F.lit(avgdl)
+                    )
+                )
+            ).alias("wd"),
+        )
+    )
+    qw = tf.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        "term",
+        F.col("tf").cast("double").alias("qtf"),
+    )
+    pairs = (
+        F.broadcast(qw)
+        .join(corpus, "term")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id", id_col, "term", (F.col("qtf") * F.col("wd")).alias("p")
+        )
+    )
+    agg = pairs.groupBy("query_id", id_col).agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "p"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["p"],
+            ),
+            4,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_THRESHOLD = 0.6
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    k: int = SEMDEDUP_K,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, keep_id, drop_id, cos) — SemDedup (Abbas et al.
+    2023): semantic near-duplicate pruning that bounds the pair space by
+    k-means cells instead of LSH bands.  Every vector is assigned to its
+    nearest centroid (:func:`~lightrag_spark.operators.ivf.
+    assign_nearest_centroid` — deterministic first-k-by-id centroids, the
+    SQL-replayable member of the k-means family); exact cosine runs ONLY
+    within a cell; pairs at or above ``threshold`` (compared on the 4dp
+    ROUNDED cosine, so the cut is engine-stable) report the smaller id as
+    the keeper.  The known recall trade vs the LSH route
+    (near_duplicate_pairs): twins straddling a cell boundary are missed —
+    that loss is the price of the embarrassingly-parallel per-cell plan,
+    and is the documented SemDedup design point (many small cells at
+    production scale: k ~ sqrt(N), cells of ~sqrt(N) vectors).
+
+    Shape at scale: assignment is one broadcast of k centroid rows + a
+    narrow scan; the pair join shuffles once on centroid_id and each
+    cell's cross-pair work is |cell|^2/2, bounded by the cell size the
+    k choice controls — no global all-pairs anywhere.
+    """
+    from lightrag_spark.operators.ann import _cosine
+    from lightrag_spark.operators.ivf import assign_nearest_centroid
+
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    asg = assign_nearest_centroid(
+        embeddings, k=k, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).cast("long").alias("id"), "centroid_id")
+    m = base.join(asg, "id")
+    a = m.select("centroid_id", F.col("id").alias("keep_id"), F.col("v").alias("_va"))
+    b = m.select("centroid_id", F.col("id").alias("drop_id"), F.col("v").alias("_vb"))
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .select(
+            "centroid_id",
+            "keep_id",
+            "drop_id",
+            _cosine(F.col("_va"), F.col("_vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
