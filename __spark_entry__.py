@@ -2529,7 +2529,8 @@ def _q_retrieval_bm25(spark, sf):
 
 def _q_dedup_semantic(spark, sf):
     """SemDedup cluster-bounded near-dup pruning (datapipe.semdedup_pairs):
-    nearest-centroid cells (first-8-by-id centroids) bound the pair space,
+    nearest-centroid cells (first-k-by-id centroids, k = max(8, floor(
+    sqrt(N))) — the SemDedup cell-count rule) bound the pair space,
     exact cosine >= 0.6 (4dp-rounded) only within a cell, smaller id kept.
     The synthetic embeddings are near-orthogonal, so every 7th vector
     gains a planted twin (element-wise double add with its successor —
@@ -3475,7 +3476,10 @@ twins AS (
   FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
   WHERE a.vec_id % {_SEMDEDUP_TWIN_EVERY} = 0),
 allv AS (SELECT * FROM raw UNION ALL SELECT * FROM twins),
-c AS (SELECT id AS centroid_id, v AS cv FROM allv ORDER BY id LIMIT {_SDK}),
+kk AS (SELECT greatest({_SDK}, floor(sqrt(count(*)::DOUBLE)))::BIGINT AS k FROM allv),
+c AS (SELECT id AS centroid_id, v AS cv
+      FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM allv)
+      WHERE rn <= (SELECT k FROM kk)),
 d AS (
   SELECT allv.id, c.centroid_id,
          list_reduce(list_prepend(0.0, list_transform(

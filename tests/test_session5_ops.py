@@ -207,3 +207,32 @@ def test_semdedup_orthogonal_vectors_no_pairs(spark):
     rows = [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(8)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     assert dp.semdedup_pairs(emb, k=2, threshold=0.1).count() == 0
+
+
+def test_semdedup_arrow_equals_expression(spark):
+    # the Arrow einsum path (default) and the interpreted expression fold
+    # (the oracle's independent twin) must agree exactly at the 4dp round
+    emb = _twin_embeddings(spark)
+    fast = {
+        (r["keep_id"], r["drop_id"]): r["cos"]
+        for r in dp.semdedup_pairs(emb, k=4, threshold=0.5, use_arrow=True).collect()
+    }
+    slow = {
+        (r["keep_id"], r["drop_id"]): r["cos"]
+        for r in dp.semdedup_pairs(emb, k=4, threshold=0.5, use_arrow=False).collect()
+    }
+    assert fast == slow
+
+
+def test_semdedup_auto_k_rule(spark):
+    import math
+
+    # 100 vectors -> k = max(8, isqrt(100)) = 10 distinct centroid cells
+    # possible; every emitted centroid_id must be one of the first 10 ids
+    emb = _twin_embeddings(spark, n=100)
+    n = emb.count()
+    k = max(dp.SEMDEDUP_K, math.isqrt(n))
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())[:k]
+    out = dp.semdedup_pairs(emb, threshold=0.5)
+    cents = {r["centroid_id"] for r in out.select("centroid_id").distinct().collect()}
+    assert cents <= set(ids)
