@@ -2559,6 +2559,72 @@ def _q_dedup_semantic(spark, sf):
     return dp.semdedup_pairs(base.unionByName(twins))
 
 
+def _q_events_histogram(spark, sf):
+    """Equi-width value histogram per event_type (datapipe.value_histogram):
+    per-group min/max aggregated once and broadcast back, scan-side binning,
+    (group, bin) count — the OLAP distribution profile DuckDB ships as
+    histogram() and Spark lacks."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return dp.value_histogram(ev, group="event_type", col="value")
+
+
+def _q_events_kmv_overlap(spark, sf):
+    """Day-over-day distinct-user overlap by KMV sketch algebra
+    (datapipe.kmv_day_overlap): the union sketch is the k smallest of the
+    two day sketches' union, est_union=(k-1)/kth, intersection via the
+    Jaccard scale-up; exact distinct-join columns ride along as the audit."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return dp.kmv_day_overlap(ev)
+
+
+def _q_kg_integrity(spark, sf):
+    """KG constraint audit (graphs.graph_integrity): the invariants the
+    merge discipline promises (no self-loops, canonical undirected keys,
+    unique keys, no dangling endpoints) checked as data, plus volume
+    canaries — the cheap post-commit validation of an incremental build."""
+    from lightrag_spark.operators.graphs import graph_integrity
+
+    r = _build(spark, sf)
+    return graph_integrity(r.kg_nodes, r.kg_edges)
+
+
+_BLEU_SELF_EVERY = 3
+_BLEU_CROSS_EVERY = 5
+
+
+def _q_eval_bleu(spark, sf):
+    """Corpus BLEU-2 (evaluation.bleu.bleu2_pairs) over two deterministic
+    pair families: every 3rd doc scored against itself truncated to its
+    first floor(3n/4) tokens (high precision, live brevity penalty) and
+    every 5th doc against its successor (near-disjoint gram sets)."""
+    from lightrag_spark.evaluation.bleu import bleu2_pairs
+
+    d = _documents(spark, sf).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tok")
+    )
+    n_keep = (
+        F.greatest(F.lit(1), F.floor(F.size("tok") * F.lit(3) / F.lit(4)))
+    ).cast("int")
+    selfp = d.filter(F.col("doc_id") % _BLEU_SELF_EVERY == 0).select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("doc_id").alias("ref_id"),
+        F.slice("tok", F.lit(1), n_keep).alias("cand_tokens"),
+        F.col("tok").alias("ref_tokens"),
+    )
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("tok").alias("_nx"))
+    crossp = (
+        d.filter(F.col("doc_id") % _BLEU_CROSS_EVERY == 0)
+        .join(nxt, "doc_id")
+        .select(
+            F.col("doc_id").alias("cand_id"),
+            (F.col("doc_id") + 1).alias("ref_id"),
+            F.col("tok").alias("cand_tokens"),
+            F.col("_nx").alias("ref_tokens"),
+        )
+    )
+    return bleu2_pairs(selfp.unionByName(crossp))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_kmv_users": _q_events_kmv_users,
@@ -2688,6 +2754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_langid_confusion": _q_langid_confusion,
         "events_session_length": _q_session_length,
         "kg_community_reps": _q_community_reps,
+        "events_histogram": _q_events_histogram,
+        "events_kmv_overlap": _q_events_kmv_overlap,
+        "kg_integrity": _q_kg_integrity,
+        "eval_bleu_pairs": _q_eval_bleu,
     }
 
 
@@ -5264,4 +5334,178 @@ targets AS (
   FROM cnts, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q))
 SELECT t.gk AS event_type, t.q, t.n, r.v AS value_at
 FROM targets t JOIN ranked r ON t.gk = r.gk AND t.rn = r.rn""",
+        # Histogram twin: per-group min/max, identical ((x-mn)*10.0)/(mx-mn)
+        # IEEE chain, floor + least clamp, constant group -> bin 0.
+        "events_histogram": f"""
+WITH stats AS (
+  SELECT event_type AS g, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY event_type),
+b AS (
+  SELECT e.event_type AS g, s.mn, s.mx,
+         (CASE WHEN s.mx = s.mn THEN 0
+               ELSE least(floor((e.value - s.mn) * {float(dp.HIST_BINS)!r}
+                                / (s.mx - s.mn)),
+                          {dp.HIST_BINS - 1}) END)::BIGINT AS bin
+  FROM events e JOIN stats s ON e.event_type = s.g)
+SELECT g AS event_type, bin, count(*)::BIGINT AS n,
+       round(mn + bin::DOUBLE * (mx - mn) / {float(dp.HIST_BINS)!r}, 4) AS bin_lo
+FROM b GROUP BY g, bin, mn, mx""",
+        # KMV day-overlap twin: same 48-bit md5 fractions and per-day
+        # k-smallest sketches as events_kmv_users, union sketch = k smallest
+        # of both days' sketches, (k-1)/kth union estimate, Jaccard-style
+        # intersection scale-up; exact distinct-join audit columns.
+        "events_kmv_overlap": f"""
+WITH v AS (
+  SELECT DISTINCT ts::DATE AS day,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, {_KH}))::BIGINT::DOUBLE
+           / {_KD!r} AS frac
+  FROM events),
+s AS (
+  SELECT day, frac FROM (
+    SELECT day, frac, row_number() OVER (PARTITION BY day ORDER BY frac) AS rn
+    FROM v) WHERE rn <= {_KK}),
+days AS (SELECT DISTINCT day FROM v),
+pairs AS (
+  SELECT a.day AS day, b.day AS next_day
+  FROM days a JOIN days b ON b.day = a.day + 1),
+uni AS (
+  SELECT p.day, p.next_day, s.frac,
+         max(CASE WHEN s.day = p.day THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.day = p.next_day THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN s ON s.day = p.day OR s.day = p.next_day
+  GROUP BY p.day, p.next_day, s.frac),
+sk AS (
+  SELECT day, next_day, count(*)::BIGINT AS n_union_sketch, max(frac) AS ku,
+         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT AS m
+  FROM (SELECT *, row_number() OVER (PARTITION BY day ORDER BY frac) AS rn
+        FROM uni)
+  WHERE rn <= {_KK} GROUP BY day, next_day),
+eu AS (
+  SELECT *, CASE WHEN n_union_sketch < {_KK} THEN n_union_sketch::DOUBLE
+                 ELSE {float(_KK - 1)!r} / ku END AS est_u
+  FROM sk),
+du AS (SELECT DISTINCT ts::DATE AS day, user_id AS u FROM events),
+ex_inter AS (
+  SELECT x.day, count(*)::BIGINT AS exact_intersection
+  FROM du x JOIN du y ON y.day = x.day + 1 AND y.u = x.u GROUP BY x.day),
+sizes AS (SELECT day, count(*)::BIGINT AS nd FROM du GROUP BY day),
+ex_union AS (
+  SELECT p.day, (p.nd + q.nd) AS nd_both
+  FROM sizes p JOIN sizes q ON q.day = p.day + 1)
+SELECT eu.day, next_day, n_union_sketch,
+       round(est_u, 4) AS est_union,
+       round((m::DOUBLE / n_union_sketch::DOUBLE) * est_u, 4)
+         AS est_intersection,
+       (nd_both - coalesce(exact_intersection, 0))::BIGINT AS exact_union,
+       coalesce(exact_intersection, 0)::BIGINT AS exact_intersection
+FROM eu LEFT JOIN ex_inter ON eu.day = ex_inter.day
+        LEFT JOIN ex_union ON eu.day = ex_union.day""",
+        # Integrity twin: the same ten (metric, value) audit rows computed
+        # from the shared KG CTE — counts only, no floats.
+        "kg_integrity": _KG_CTE + """
+, nodes2 AS (
+  SELECT m.entity_name AS name, coalesce(d.degree, 0)::BIGINT AS deg
+  FROM (SELECT DISTINCT entity_name FROM mentions) m
+  LEFT JOIN node_degree d ON m.entity_name = d.e),
+es AS (
+  SELECT count(*)::BIGINT AS n_edges,
+         sum(CASE WHEN src = tgt THEN 1 ELSE 0 END)::BIGINT AS self_loops,
+         sum(CASE WHEN src > tgt THEN 1 ELSE 0 END)::BIGINT
+           AS unordered_edge_keys,
+         sum(CASE WHEN weight <= 0 THEN 1 ELSE 0 END)::BIGINT
+           AS nonpositive_weight_edges,
+         (count(*) - count(DISTINCT src || chr(31) || tgt))::BIGINT
+           AS duplicate_edge_keys,
+         sum(relation_count)::BIGINT AS total_relations
+  FROM edges),
+ns AS (
+  SELECT count(*)::BIGINT AS n_nodes,
+         sum(CASE WHEN deg = 0 THEN 1 ELSE 0 END)::BIGINT AS isolated_nodes,
+         coalesce(max(deg), 0)::BIGINT AS max_degree
+  FROM nodes2),
+ep AS (SELECT src AS name FROM edges UNION ALL SELECT tgt FROM edges),
+dang AS (
+  SELECT count(*)::BIGINT AS dangling_edges
+  FROM ep LEFT JOIN nodes2 ON ep.name = nodes2.name
+  WHERE nodes2.name IS NULL),
+wide AS (SELECT * FROM es, ns, dang)
+SELECT 'n_nodes' AS metric, n_nodes AS value FROM wide
+UNION ALL SELECT 'n_edges', n_edges FROM wide
+UNION ALL SELECT 'max_degree', max_degree FROM wide
+UNION ALL SELECT 'total_relations', total_relations FROM wide
+UNION ALL SELECT 'isolated_nodes', isolated_nodes FROM wide
+UNION ALL SELECT 'self_loops', self_loops FROM wide
+UNION ALL SELECT 'unordered_edge_keys', unordered_edge_keys FROM wide
+UNION ALL SELECT 'duplicate_edge_keys', duplicate_edge_keys FROM wide
+UNION ALL SELECT 'nonpositive_weight_edges', nonpositive_weight_edges FROM wide
+UNION ALL SELECT 'dangling_edges', dangling_edges FROM wide""",
+        # BLEU-2 twin: same pair families (self-truncated 3n/4 prefix +
+        # successor cross pairs), clipped modified precisions as exact
+        # integer ratios, bp = exp(1 - ref/cand), bleu = bp*sqrt(p1*p2).
+        "eval_bleu_pairs": f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id AS cand_id, doc_id AS ref_id,
+         list_slice(t, 1, greatest(1, floor(len(t) * 3 / 4))::BIGINT) AS tc,
+         t AS tr
+  FROM d WHERE doc_id % {_BLEU_SELF_EVERY} = 0
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, a.t, b.t
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % {_BLEU_CROSS_EVERY} = 0),
+big AS (
+  SELECT cand_id, ref_id, tc, tr,
+         list_transform(generate_series(1, len(tc) - 1),
+                        i -> tc[i] || ' ' || tc[i + 1]) AS bc,
+         list_transform(generate_series(1, len(tr) - 1),
+                        i -> tr[i] || ' ' || tr[i + 1]) AS br
+  FROM pairs),
+u1 AS (
+  SELECT cand_id, ref_id, u.g, 'c' AS side FROM big, unnest(tc) AS u(g)
+  UNION ALL
+  SELECT cand_id, ref_id, u.g, 'r' FROM big, unnest(tr) AS u(g)),
+g1 AS (
+  SELECT cand_id, ref_id, sum(least(tfc, tfr))::BIGINT AS c1
+  FROM (SELECT cand_id, ref_id, g,
+               sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS tfc,
+               sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS tfr
+        FROM u1 GROUP BY cand_id, ref_id, g)
+  GROUP BY cand_id, ref_id),
+u2 AS (
+  SELECT cand_id, ref_id, u.g, 'c' AS side FROM big, unnest(bc) AS u(g)
+  UNION ALL
+  SELECT cand_id, ref_id, u.g, 'r' FROM big, unnest(br) AS u(g)),
+g2 AS (
+  SELECT cand_id, ref_id, sum(least(tfc, tfr))::BIGINT AS c2
+  FROM (SELECT cand_id, ref_id, g,
+               sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS tfc,
+               sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS tfr
+        FROM u2 GROUP BY cand_id, ref_id, g)
+  GROUP BY cand_id, ref_id),
+lens AS (
+  SELECT cand_id, ref_id, len(tc)::BIGINT AS cand_len, len(tr)::BIGINT AS ref_len,
+         greatest(len(tc) - 1, 0)::BIGINT AS cand_bi
+  FROM pairs),
+j AS (
+  SELECT l.*, coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+  FROM lens l
+  LEFT JOIN g1 USING (cand_id, ref_id)
+  LEFT JOIN g2 USING (cand_id, ref_id)),
+p AS (
+  SELECT cand_id, ref_id, cand_len, ref_len,
+         CASE WHEN cand_len > 0
+              THEN c1::DOUBLE / cand_len::DOUBLE ELSE 0.0 END AS p1,
+         CASE WHEN cand_bi > 0
+              THEN c2::DOUBLE / cand_bi::DOUBLE ELSE 0.0 END AS p2,
+         CASE WHEN cand_len = 0 THEN 0.0
+              WHEN cand_len > ref_len THEN 1.0
+              ELSE exp(1.0 - ref_len::DOUBLE / cand_len::DOUBLE) END AS bp
+  FROM j)
+SELECT cand_id, ref_id, cand_len, ref_len,
+       round(p1, 4) AS p1, round(p2, 4) AS p2, round(bp, 4) AS bp,
+       round(CASE WHEN p1 > 0 AND p2 > 0
+                  THEN bp * sqrt(p1 * p2) ELSE 0.0 END, 4) AS bleu
+FROM p""",
     }

@@ -3526,3 +3526,184 @@ def semdedup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+HIST_BINS = 10
+
+
+def value_histogram(
+    df: DataFrame,
+    group: str = "event_type",
+    col: str = "value",
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """(group, bin, n, bin_lo) — fixed-bin equi-width histogram per group:
+    the classic OLAP distribution profile (DuckDB's histogram(), Spark has
+    no built-in).  Bin edges come from the group's own min/max — two
+    exact selections, so the only float ops are one subtract/multiply/
+    divide chain written identically in the twin; the max value clamps
+    into the last bin (the half-open-interval convention), and a
+    constant-valued group degenerates to one bin 0.
+
+    Shape at scale: the min/max pass is a map-side-combined aggregate
+    producing one row per group (broadcast back), the binning is a
+    scan-side projection, and the final count shuffles (group, bin) —
+    at most groups * bins rows after partial aggregation.
+    """
+    stats = df.groupBy(F.col(group).alias("g")).agg(
+        F.min(col).alias("mn"), F.max(col).alias("mx")
+    )
+    binned = df.select(F.col(group).alias("g"), F.col(col).alias("x")).join(
+        F.broadcast(stats), "g"
+    )
+    bin_col = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("mn"))
+                * F.lit(float(bins))
+                / (F.col("mx") - F.col("mn"))
+            ),
+            F.lit(bins - 1),
+        )
+    )
+    return (
+        binned.withColumn("bin", bin_col.cast("long"))
+        .groupBy("g", "bin", "mn", "mx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("g").alias(group),
+            "bin",
+            "n",
+            F.round(
+                F.col("mn")
+                + F.col("bin").cast("double")
+                * (F.col("mx") - F.col("mn"))
+                / F.lit(float(bins)),
+                4,
+            ).alias("bin_lo"),
+        )
+    )
+
+
+def kmv_day_overlap(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    k: int = KMV_K,
+) -> DataFrame:
+    """(day, next_day, n_union_sketch, est_union, est_intersection,
+    exact_union, exact_intersection) — day-over-day distinct-user overlap
+    estimated by KMV SKETCH ALGEBRA (Beyer et al. 2007): the set-
+    expression capability that distinguishes KMV from HLL registers.
+    Per day keep the k smallest hash fractions (:func:`kmv_distinct`'s
+    sketch); for each consecutive-day pair the union sketch is the k
+    smallest of the two sketches' union, est_union = (k-1)/kth, and the
+    intersection estimate is the Jaccard-style scale-up
+    (|union-sketch members seen in BOTH day sketches| / n_union) *
+    est_union.  Exact columns ride along as the audit — at 100 TB they
+    are the full (day x day) distinct-join the sketches exist to avoid:
+    retention/overlap dashboards keep only the k-value sketches
+    (O(days * k) state) and answer any pairwise overlap from them.
+
+    Small-set rule: when the union has fewer than k distinct hashes the
+    sketch IS the union and the estimates collapse to near-exact counts.
+    """
+    frac = (
+        F.conv(F.substring(F.md5(F.col(user_col).cast("string")), 1, KMV_HEX), 16, 10)
+        .cast("double")
+        / F.lit(KMV_DENOM)
+    )
+    day = F.to_date(ts_col)
+    v = events.select(day.alias("day"), frac.alias("frac")).distinct()
+    w = Window.partitionBy("day").orderBy("frac")
+    s = (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("day", "frac")
+        .localCheckpoint(eager=True)  # consumed 3x below (a/b sides + union)
+    )
+    days = v.select("day").distinct()
+    pairs = days.alias("a").join(
+        days.alias("b"),
+        F.col("b.day") == F.date_add(F.col("a.day"), 1),
+    ).select(F.col("a.day").alias("day"), F.col("b.day").alias("next_day"))
+    # Explode each pair to its two member days so the sketch join is an
+    # equi-join (broadcast hash), never an OR-predicate nested loop.
+    mem = pairs.select(
+        "day", "next_day", F.explode(F.array("day", "next_day")).alias("mday")
+    )
+    uni = (
+        s.alias("s")
+        .join(F.broadcast(mem).alias("p"), F.col("s.day") == F.col("p.mday"))
+        .groupBy(
+            F.col("p.day").alias("day"),
+            F.col("p.next_day").alias("next_day"),
+            F.col("s.frac").alias("frac"),
+        )
+        .agg(
+            F.max((F.col("p.mday") == F.col("p.day")).cast("int")).alias("in_a"),
+            F.max((F.col("p.mday") == F.col("p.next_day")).cast("int")).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("day").orderBy("frac")
+    sk = (
+        uni.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+        .groupBy("day", "next_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+            F.max("frac").alias("ku"),
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias(
+                "m"
+            ),
+        )
+    )
+    est_union = F.when(
+        F.col("n_union_sketch") < k, F.col("n_union_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("ku"))
+    du = events.select(day.alias("day"), F.col(user_col).alias("u")).distinct()
+    ex_inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("y.day") == F.date_add(F.col("x.day"), 1))
+            & (F.col("y.u") == F.col("x.u")),
+        )
+        .groupBy(F.col("x.day").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    sizes = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    ex_union = (
+        sizes.alias("p")
+        .join(
+            sizes.alias("q"),
+            F.col("q.day") == F.date_add(F.col("p.day"), 1),
+        )
+        .select(
+            F.col("p.day").alias("day"),
+            (F.col("p.nd") + F.col("q.nd")).alias("both"),
+        )
+    )
+    out = (
+        sk.withColumn("eu", est_union)
+        .join(ex_inter, "day", "left")
+        .join(ex_union, "day", "left")
+        .select(
+            "day",
+            "next_day",
+            "n_union_sketch",
+            F.round("eu", 4).alias("est_union"),
+            F.round(
+                (F.col("m").cast("double") / F.col("n_union_sketch").cast("double"))
+                * F.col("eu"),
+                4,
+            ).alias("est_intersection"),
+            (
+                F.col("both") - F.coalesce(F.col("exact_intersection"), F.lit(0))
+            ).alias("exact_union"),
+            F.coalesce(F.col("exact_intersection"), F.lit(0)).alias(
+                "exact_intersection"
+            ),
+        )
+    )
+    return out

@@ -1177,3 +1177,84 @@ def degree_alpha(edges: DataFrame, src: str = "src", tgt: str = "tgt") -> DataFr
             4,
         ).alias("alpha"),
     )
+
+
+def graph_integrity(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "entity_name",
+    degree_col: str = "degree",
+) -> DataFrame:
+    """(metric, value) — constraint audit over a materialized KG: the
+    invariants the build pipeline (reference lightrag/operate.py merge
+    discipline) promises, checked as data instead of trusted.  Violations
+    are the first thing to look at after any storage migration or
+    incremental upsert:
+
+    - self_loops / unordered_edge_keys: merge canonicalizes undirected
+      keys as (least, greatest) and drops subj==obj — both must be 0.
+    - dangling_edges: edge endpoints missing from the node table (broken
+      referential integrity after a partial write).
+    - duplicate_edge_keys: the undirected key must be unique post-merge.
+    - isolated_nodes: degree-0 entities (mentioned, never related) — a
+      legitimate population worth monitoring, not an error.
+    - n_nodes / n_edges / max_degree / total_relations: volume canaries.
+
+    Shape at scale: three aggregate passes (edge stats, node stats, one
+    endpoint anti-join for dangling), each map-side combined; the output
+    is a handful of rows regardless of graph size, so this runs as the
+    cheap post-commit validation step of an incremental build.
+    """
+    e = edges.select(
+        F.col("src"),
+        F.col("tgt"),
+        F.col("weight").cast("double").alias("w"),
+        (
+            F.col("relation_count").cast("long")
+            if "relation_count" in edges.columns
+            else F.lit(1).cast("long")
+        ).alias("rc"),
+    )
+    edge_stats = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum((F.col("src") == F.col("tgt")).cast("long")).alias("self_loops"),
+        F.sum((F.col("src") > F.col("tgt")).cast("long")).alias(
+            "unordered_edge_keys"
+        ),
+        F.sum((F.col("w") <= 0).cast("long")).alias("nonpositive_weight_edges"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("src"), F.col("tgt")))
+        .cast("long")
+        .alias("duplicate_edge_keys"),
+        F.sum("rc").cast("long").alias("total_relations"),
+    )
+    n = nodes.select(
+        F.col(node_col).alias("name"), F.col(degree_col).cast("long").alias("deg")
+    )
+    node_stats = n.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum((F.col("deg") == 0).cast("long")).alias("isolated_nodes"),
+        F.coalesce(F.max("deg"), F.lit(0)).cast("long").alias("max_degree"),
+    )
+    endpoints = e.select(F.col("src").alias("name")).unionAll(
+        e.select(F.col("tgt").alias("name"))
+    )
+    dangling = endpoints.join(n.select("name"), "name", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("dangling_edges")
+    )
+    wide = edge_stats.crossJoin(node_stats).crossJoin(dangling)
+    metrics = [
+        "n_nodes",
+        "n_edges",
+        "max_degree",
+        "total_relations",
+        "isolated_nodes",
+        "self_loops",
+        "unordered_edge_keys",
+        "duplicate_edge_keys",
+        "nonpositive_weight_edges",
+        "dangling_edges",
+    ]
+    stacked = ", ".join(f"'{m}', {m}" for m in metrics)
+    return wide.selectExpr(
+        f"stack({len(metrics)}, {stacked}) AS (metric, value)"
+    )

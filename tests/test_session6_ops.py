@@ -1,0 +1,125 @@
+"""Unit coverage for the session-6 operators: value histogram, KMV
+day-overlap sketch algebra, KG integrity audit, corpus BLEU-2."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightrag_spark.evaluation.bleu import bleu2_pairs
+from lightrag_spark.operators import datapipe as dp
+from lightrag_spark.operators.graphs import graph_integrity
+
+
+def test_value_histogram_bins(spark):
+    rows = [("a", float(i)) for i in range(10)] + [("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = dp.value_histogram(df, group="g", col="value").collect()
+    a = {r["bin"]: r for r in out if r["g"] == "a"}
+    # mn=0, mx=9: each integer value lands in its own bin, max clamps to 9
+    assert sorted(a) == list(range(10))
+    assert all(a[b]["n"] == 1 for b in a)
+    assert a[0]["bin_lo"] == 0.0
+    assert a[9]["bin_lo"] == pytest.approx(8.1)
+    # constant-valued group degenerates to a single bin 0
+    b = [r for r in out if r["g"] == "b"]
+    assert len(b) == 1 and b[0]["bin"] == 0 and b[0]["n"] == 2
+    assert b[0]["bin_lo"] == 5.0
+
+
+def test_kmv_day_overlap_small_set_exact(spark):
+    rows = []
+    for d, users in [(1, [1, 2, 3]), (2, [2, 3, 4, 5]), (3, [9])]:
+        for u in users:
+            rows.append((datetime.datetime(2024, 1, d, 12, 0, 0), u))
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = {
+        (str(r["day"]), str(r["next_day"])): r
+        for r in dp.kmv_day_overlap(ev).collect()
+    }
+    assert set(out) == {("2024-01-01", "2024-01-02"), ("2024-01-02", "2024-01-03")}
+    r = out[("2024-01-01", "2024-01-02")]
+    # below k the sketch IS the union: estimates collapse to exact counts
+    assert r["exact_union"] == 5 and r["exact_intersection"] == 2
+    assert r["est_union"] == 5.0 and r["est_intersection"] == 2.0
+    r2 = out[("2024-01-02", "2024-01-03")]
+    assert r2["exact_union"] == 5 and r2["exact_intersection"] == 0
+    assert r2["est_intersection"] == 0.0
+
+
+def test_kmv_day_overlap_estimate_tracks_exact(spark):
+    # two days of 600 users with 50% overlap; k=256 (the default k=64 is
+    # ~2.3 sigma high on this fixed md5 draw) — estimates within 25%/35%
+    rows = []
+    for u in range(600):
+        rows.append((datetime.datetime(2024, 2, 1, 6, 0, 0), u))
+        rows.append((datetime.datetime(2024, 2, 2, 6, 0, 0), u + 300))
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    r = dp.kmv_day_overlap(ev, k=256).collect()[0]
+    assert r["exact_union"] == 900 and r["exact_intersection"] == 300
+    assert abs(r["est_union"] - 900) / 900 < 0.25
+    assert abs(r["est_intersection"] - 300) / 300 < 0.35
+
+
+def test_graph_integrity_flags_planted_violations(spark):
+    nodes = spark.createDataFrame(
+        [("a", 2), ("b", 1), ("c", 0)], "entity_name string, degree long"
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0, 2),
+            ("a", "b", 1.0, 1),   # duplicate undirected key
+            ("b", "a", 1.0, 1),   # unordered key (src > tgt)
+            ("c", "c", 0.0, 1),   # self loop + nonpositive weight
+            ("a", "zz", 1.0, 1),  # dangling endpoint
+        ],
+        "src string, tgt string, weight double, relation_count long",
+    )
+    m = {r["metric"]: r["value"] for r in graph_integrity(nodes, edges).collect()}
+    assert m["n_nodes"] == 3 and m["n_edges"] == 5
+    assert m["self_loops"] == 1
+    assert m["unordered_edge_keys"] == 1
+    assert m["duplicate_edge_keys"] == 1
+    assert m["nonpositive_weight_edges"] == 1
+    assert m["dangling_edges"] == 1
+    assert m["isolated_nodes"] == 1
+    assert m["max_degree"] == 2 and m["total_relations"] == 6
+
+
+def test_bleu2_identity_disjoint_and_brevity(spark):
+    rows = [
+        (1, 1, ["a", "b", "c", "d"], ["a", "b", "c", "d"]),
+        (2, 2, ["x", "x"], ["a", "b", "c", "d"]),
+        (3, 3, ["a", "b"], ["a", "b", "c", "d"]),
+        (4, 4, ["a", "b", "c", "d", "e"], ["a", "b"]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cand_id long, ref_id long, cand_tokens array<string>, "
+        "ref_tokens array<string>",
+    )
+    out = {r["cand_id"]: r for r in bleu2_pairs(df).collect()}
+    # identical pair: all precisions 1, no brevity penalty
+    assert out[1]["bleu"] == 1.0 and out[1]["bp"] == 1.0
+    # fully disjoint candidate: zero precision at order 1 -> BLEU 0
+    assert out[2]["p1"] == 0.0 and out[2]["bleu"] == 0.0
+    # perfect half-length prefix: p1=p2=1, bp=exp(1-4/2)
+    assert out[3]["p1"] == 1.0 and out[3]["p2"] == 1.0
+    assert out[3]["bleu"] == pytest.approx(round(math.exp(-1.0), 4))
+    # longer-than-reference candidate: bp clamps to 1, clipping bounds p1
+    assert out[4]["bp"] == 1.0
+    assert out[4]["p1"] == pytest.approx(0.4)  # clipped 2 matches / 5
+
+
+def test_bleu2_clipping_counts_repeats_once(spark):
+    # candidate repeats 'a' 4x but reference has it twice -> clipped tf=2
+    df = spark.createDataFrame(
+        [(1, 1, ["a", "a", "a", "a"], ["a", "b", "a", "c"])],
+        "cand_id long, ref_id long, cand_tokens array<string>, "
+        "ref_tokens array<string>",
+    )
+    r = bleu2_pairs(df).collect()[0]
+    assert r["p1"] == pytest.approx(0.5)  # min(4,2)/4
+    # candidate bigrams: 'a a' x3, reference has none -> p2 = 0 -> bleu 0
+    assert r["p2"] == 0.0 and r["bleu"] == 0.0
