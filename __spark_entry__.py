@@ -2592,13 +2592,11 @@ _BLEU_SELF_EVERY = 3
 _BLEU_CROSS_EVERY = 5
 
 
-def _q_eval_bleu(spark, sf):
-    """Corpus BLEU-2 (evaluation.bleu.bleu2_pairs) over two deterministic
-    pair families: every 3rd doc scored against itself truncated to its
-    first floor(3n/4) tokens (high precision, live brevity penalty) and
-    every 5th doc against its successor (near-disjoint gram sets)."""
-    from lightrag_spark.evaluation.bleu import bleu2_pairs
-
+def _eval_token_pairs(spark, sf):
+    """Shared deterministic pair families for the paired-text metrics
+    (BLEU-2 / ROUGE-2): every 3rd doc scored against itself truncated to
+    its first floor(3n/4) tokens (high overlap, live length asymmetry)
+    and every 5th doc against its successor (near-disjoint gram sets)."""
     d = _documents(spark, sf).select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("tok")
     )
@@ -2622,7 +2620,93 @@ def _q_eval_bleu(spark, sf):
             F.col("_nx").alias("ref_tokens"),
         )
     )
-    return bleu2_pairs(selfp.unionByName(crossp))
+    return selfp.unionByName(crossp)
+
+
+def _q_eval_bleu(spark, sf):
+    """Corpus BLEU-2 (evaluation.bleu.bleu2_pairs) over the shared
+    deterministic pair families of :func:`_eval_token_pairs`."""
+    from lightrag_spark.evaluation.bleu import bleu2_pairs
+
+    return bleu2_pairs(_eval_token_pairs(spark, sf))
+
+
+def _q_eval_rouge(spark, sf):
+    """ROUGE-2 P/R/F1 (evaluation.rouge.rouge2_pairs) over the same pair
+    families as eval_bleu_pairs — the recall-oriented complement (BLEU's
+    truncated-self family scores p2=1 here but r2<1; the successor family
+    exposes near-zero overlap symmetrically)."""
+    from lightrag_spark.evaluation.rouge import rouge2_pairs
+
+    return rouge2_pairs(_eval_token_pairs(spark, sf))
+
+
+_CHRF_SELF_EVERY = 6
+_CHRF_CROSS_EVERY = 7
+_CHRF_SELF_CHARS = 300
+_CHRF_CHARS = 400
+
+
+def _q_eval_chrf(spark, sf):
+    """chrF (evaluation.chrf.chrf_pairs, char 1..3-grams, beta=2) over two
+    deterministic pair families: every 6th doc's first 300 chars against
+    its own first 400 (high precision, partial recall) and every 7th doc's
+    first 400 chars against its successor's."""
+    from lightrag_spark.evaluation.chrf import chrf_pairs
+
+    d = _documents(spark, sf).select("doc_id", F.trim("text").alias("t"))
+    selfp = d.filter(F.col("doc_id") % _CHRF_SELF_EVERY == 0).select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("doc_id").alias("ref_id"),
+        F.substring("t", 1, _CHRF_SELF_CHARS).alias("cand_text"),
+        F.substring("t", 1, _CHRF_CHARS).alias("ref_text"),
+    )
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("t").alias("_nx"))
+    crossp = (
+        d.filter(F.col("doc_id") % _CHRF_CROSS_EVERY == 0)
+        .join(nxt, "doc_id")
+        .select(
+            F.col("doc_id").alias("cand_id"),
+            (F.col("doc_id") + 1).alias("ref_id"),
+            F.substring("t", 1, _CHRF_CHARS).alias("cand_text"),
+            F.substring("_nx", 1, _CHRF_CHARS).alias("ref_text"),
+        )
+    )
+    return chrf_pairs(selfp.unionByName(crossp))
+
+
+def _q_bigram_logprob(spark, sf):
+    """Laplace-smoothed bigram LM scoring (datapipe.bigram_logprob): the
+    second-order member of the CCNet perplexity family — sorted-fold ln
+    sums over corpus transition counts, same determinism discipline as
+    text_unigram_logprob."""
+    return dp.bigram_logprob(_documents(spark, sf))
+
+
+def _q_events_sliding(spark, sf):
+    """Sliding-window event counts (streaming.incremental.
+    sliding_ingest_counts, 10-minute windows every 5): the overlapping-
+    window face of events_windows — one Expand node in batch, bounded
+    (keys x open windows) state in streaming."""
+    from lightrag_spark.streaming.incremental import sliding_ingest_counts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return sliding_ingest_counts(
+        ev, window_minutes=10, slide_minutes=5, key_col="event_type"
+    ).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def _q_sim_mmr(spark, sf):
+    """MMR diversified top-k (datapipe.mmr_topk, lambda=0.7, pool=20, k=5):
+    greedy relevance-minus-redundancy selection over the sim_cosine_topk
+    query family; the DuckDB twin unrolls the same 5 greedy steps."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return dp.mmr_topk(emb)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2758,6 +2842,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_overlap": _q_events_kmv_overlap,
         "kg_integrity": _q_kg_integrity,
         "eval_bleu_pairs": _q_eval_bleu,
+        "eval_rouge_pairs": _q_eval_rouge,
+        "eval_chrf_pairs": _q_eval_chrf,
+        "text_bigram_logprob": _q_bigram_logprob,
+        "events_sliding": _q_events_sliding,
+        "sim_mmr_topk": _q_sim_mmr,
     }
 
 
@@ -3441,6 +3530,77 @@ tscored AS (
          ({_transe_score_sql("src", "tgt")})::BIGINT AS pos_score,
          ({_transe_score_sql("src", "neg_tgt")})::BIGINT AS neg_score
   FROM neg)"""
+
+
+
+def _mmr_sql() -> str:
+    """Unrolled-greedy MMR twin: pool/pairwise CTEs then one (div, pick,
+    selall) CTE triple per greedy step — the same rounded-4dp cosines and
+    the identical lam*sim - (1-lam)*max_pair score chain as
+    datapipe.mmr_topk (constants formatted from the shared values so the
+    IEEE literals match bit-for-bit, incl. repr(1.0-0.7))."""
+    lam = repr(float(dp.MMR_LAMBDA))
+    om = repr(1.0 - float(dp.MMR_LAMBDA))
+    parts = [f"""
+WITH qv AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 8),
+cv AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+pool AS (
+  SELECT query_id, neighbor_id, sim FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM (SELECT query_id, neighbor_id,
+                 round(list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+          FROM qv q, cv c WHERE query_id <> neighbor_id))
+  WHERE rnk <= {dp.MMR_POOL}),
+mem AS (
+  SELECT p.query_id, p.neighbor_id AS vid, c.v
+  FROM pool p JOIN cv c ON c.neighbor_id = p.neighbor_id),
+pair AS (
+  SELECT a.query_id, a.vid AS a, b.vid AS b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 4) AS psim
+  FROM mem a JOIN mem b ON a.query_id = b.query_id AND a.vid <> b.vid),
+pick1 AS (
+  SELECT query_id, 1::BIGINT AS step, neighbor_id, sim,
+         floor(({lam} * sim) * 10000.0 + 0.5) / 10000.0 AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM pool) WHERE rn = 1),
+selall1 AS (SELECT query_id, neighbor_id FROM pick1)"""]
+    for t in range(2, dp.MMR_K + 1):
+        parts.append(f""",
+div{t} AS (
+  SELECT r.query_id, r.neighbor_id, r.sim, max(pr.psim) AS mp
+  FROM pool r
+  LEFT JOIN selall{t - 1} x
+    ON x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id
+  JOIN selall{t - 1} s ON s.query_id = r.query_id
+  JOIN pair pr ON pr.query_id = r.query_id AND pr.a = r.neighbor_id
+              AND pr.b = s.neighbor_id
+  WHERE x.neighbor_id IS NULL
+  GROUP BY 1, 2, 3),
+pick{t} AS (
+  SELECT query_id, {t}::BIGINT AS step, neighbor_id, sim,
+         floor(({lam} * sim - {om} * mp) * 10000.0 + 0.5) / 10000.0 AS mmr_score
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY ({lam} * sim - {om} * mp) DESC, neighbor_id) AS rn
+        FROM div{t}) WHERE rn = 1),
+selall{t} AS (
+  SELECT * FROM selall{t - 1}
+  UNION ALL SELECT query_id, neighbor_id FROM pick{t})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM pick{t}" for t in range(1, dp.MMR_K + 1)
+    )
+    return "".join(parts) + "\n" + union
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5508,4 +5668,166 @@ SELECT cand_id, ref_id, cand_len, ref_len,
        round(CASE WHEN p1 > 0 AND p2 > 0
                   THEN bp * sqrt(p1 * p2) ELSE 0.0 END, 4) AS bleu
 FROM p""",
+        # ROUGE-2 twin: same pair families and clipped-bigram machinery as
+        # the BLEU twin; integer ratios, one F1 multiply/divide chain.
+        "eval_rouge_pairs": f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id AS cand_id, doc_id AS ref_id,
+         list_slice(t, 1, greatest(1, floor(len(t) * 3 / 4))::BIGINT) AS tc,
+         t AS tr
+  FROM d WHERE doc_id % {_BLEU_SELF_EVERY} = 0
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, a.t, b.t
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % {_BLEU_CROSS_EVERY} = 0),
+big AS (
+  SELECT cand_id, ref_id,
+         list_transform(generate_series(1, len(tc) - 1),
+                        i -> tc[i] || ' ' || tc[i + 1]) AS bc,
+         list_transform(generate_series(1, len(tr) - 1),
+                        i -> tr[i] || ' ' || tr[i + 1]) AS br
+  FROM pairs),
+u2 AS (
+  SELECT cand_id, ref_id, u.g, 'c' AS side FROM big, unnest(bc) AS u(g)
+  UNION ALL
+  SELECT cand_id, ref_id, u.g, 'r' FROM big, unnest(br) AS u(g)),
+g2 AS (
+  SELECT cand_id, ref_id, sum(least(tfc, tfr))::BIGINT AS c2
+  FROM (SELECT cand_id, ref_id, g,
+               sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS tfc,
+               sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS tfr
+        FROM u2 GROUP BY cand_id, ref_id, g)
+  GROUP BY cand_id, ref_id),
+lens AS (
+  SELECT cand_id, ref_id,
+         greatest(len(tc) - 1, 0)::BIGINT AS cand_bi,
+         greatest(len(tr) - 1, 0)::BIGINT AS ref_bi
+  FROM pairs),
+j AS (
+  SELECT l.*, coalesce(c2, 0)::BIGINT AS overlap
+  FROM lens l LEFT JOIN g2 USING (cand_id, ref_id)),
+p AS (
+  SELECT cand_id, ref_id, cand_bi, ref_bi, overlap,
+         CASE WHEN cand_bi > 0
+              THEN overlap::DOUBLE / cand_bi::DOUBLE ELSE 0.0 END AS p2,
+         CASE WHEN ref_bi > 0
+              THEN overlap::DOUBLE / ref_bi::DOUBLE ELSE 0.0 END AS r2
+  FROM j)
+SELECT cand_id, ref_id, cand_bi, ref_bi, overlap,
+       round(p2, 4) AS p2, round(r2, 4) AS r2,
+       round(CASE WHEN p2 + r2 > 0
+                  THEN 2.0 * p2 * r2 / (p2 + r2) ELSE 0.0 END, 4) AS f2
+FROM p""",
+        # chrF twin: whitespace-stripped char 1..3-grams, clipped counts,
+        # per-order pivot then fixed-order (p1+p2+p3)/3 averages, beta=2
+        # F-score written as the identical 5.0/4.0 literal chain.
+        "eval_chrf_pairs": f"""
+WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+pairs AS (
+  SELECT doc_id AS cand_id, doc_id AS ref_id,
+         substr(t, 1, {_CHRF_SELF_CHARS}) AS ct,
+         substr(t, 1, {_CHRF_CHARS}) AS rt
+  FROM d WHERE doc_id % {_CHRF_SELF_EVERY} = 0
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, substr(a.t, 1, {_CHRF_CHARS}),
+         substr(b.t, 1, {_CHRF_CHARS})
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % {_CHRF_CROSS_EVERY} = 0),
+s AS (
+  SELECT cand_id, ref_id,
+         regexp_replace(ct, '\\s+', '', 'g') AS sc,
+         regexp_replace(rt, '\\s+', '', 'g') AS sr
+  FROM pairs),
+ord AS (SELECT * FROM s, (VALUES (1), (2), (3)) AS o(n)),
+u AS (
+  SELECT cand_id, ref_id, n, u.g, 'c' AS side
+  FROM ord, unnest(list_transform(generate_series(1, greatest(len(sc) - n + 1, 0)),
+                                  i -> substr(sc, i, n))) AS u(g)
+  UNION ALL
+  SELECT cand_id, ref_id, n, u.g, 'r'
+  FROM ord, unnest(list_transform(generate_series(1, greatest(len(sr) - n + 1, 0)),
+                                  i -> substr(sr, i, n))) AS u(g)),
+go AS (
+  SELECT cand_id, ref_id, n, sum(least(tfc, tfr))::BIGINT AS clip
+  FROM (SELECT cand_id, ref_id, n, g,
+               sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS tfc,
+               sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS tfr
+        FROM u GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2, 3),
+scaf AS (
+  SELECT cand_id, ref_id, len(sc)::BIGINT AS cand_chars,
+         len(sr)::BIGINT AS ref_chars, n,
+         greatest(len(sc) - n + 1, 0)::BIGINT AS cn,
+         greatest(len(sr) - n + 1, 0)::BIGINT AS rn
+  FROM ord),
+jj AS (
+  SELECT scaf.*, coalesce(go.clip, 0)::BIGINT AS clip
+  FROM scaf LEFT JOIN go USING (cand_id, ref_id, n)),
+pr AS (
+  SELECT cand_id, ref_id, cand_chars, ref_chars, n,
+         CASE WHEN cn > 0 THEN clip::DOUBLE / cn::DOUBLE ELSE 0.0 END AS p,
+         CASE WHEN rn > 0 THEN clip::DOUBLE / rn::DOUBLE ELSE 0.0 END AS r
+  FROM jj),
+piv AS (
+  SELECT cand_id, ref_id, max(cand_chars) AS cand_chars,
+         max(ref_chars) AS ref_chars,
+         max(CASE WHEN n = 1 THEN p END) AS p1,
+         max(CASE WHEN n = 2 THEN p END) AS p2,
+         max(CASE WHEN n = 3 THEN p END) AS p3,
+         max(CASE WHEN n = 1 THEN r END) AS r1,
+         max(CASE WHEN n = 2 THEN r END) AS r2,
+         max(CASE WHEN n = 3 THEN r END) AS r3
+  FROM pr GROUP BY 1, 2),
+ag AS (
+  SELECT cand_id, ref_id, cand_chars, ref_chars,
+         (p1 + p2 + p3) / 3.0 AS chrp, (r1 + r2 + r3) / 3.0 AS chrr
+  FROM piv)
+SELECT cand_id, ref_id, cand_chars, ref_chars,
+       round(chrp, 4) AS chrp, round(chrr, 4) AS chrr,
+       round(CASE WHEN 4.0 * chrp + chrr > 0
+                  THEN 5.0 * chrp * chrr / (4.0 * chrp + chrr)
+                  ELSE 0.0 END, 4) AS chrf
+FROM ag""",
+        # Bigram-LM twin: one order above _UNIGRAM_SQL — corpus bigram and
+        # context counts, Laplace (c+1)/(ctx+V), sorted-bigram fold.
+        "text_bigram_logprob": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+tt AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+big AS (
+  SELECT doc_id, t[u.i] AS w1, t[u.i] || ' ' || t[u.i + 1] AS b
+  FROM tt, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+cb AS (SELECT b, count(*)::BIGINT AS cb FROM big GROUP BY b),
+cw AS (SELECT w1, count(*)::BIGINT AS cw FROM big GROUP BY w1),
+voc AS (SELECT count(DISTINCT u.w)::BIGINT AS v FROM toks, unnest(t) AS u(w)),
+tf AS (SELECT doc_id, b, w1, count(*)::BIGINT AS tf FROM big GROUP BY 1, 2, 3),
+agg AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_bigrams,
+         list(struct_pack(tf := tf.tf, cb := cb.cb, cw := cw.cw)
+              ORDER BY tf.b) AS l
+  FROM tf JOIN cb USING (b) JOIN cw USING (w1) GROUP BY tf.doc_id),
+aggv AS (SELECT a.*, voc.v FROM agg a, voc)
+SELECT doc_id, n_bigrams,
+       round(list_reduce(
+               list_prepend(0.0, list_transform(
+                 l, s -> s.tf::DOUBLE * ln((s.cb + 1)::DOUBLE
+                                           / (s.cw + v)::DOUBLE))),
+               (a, x) -> a + x) / n_bigrams, 4) AS avg_logprob
+FROM aggv""",
+        # Sliding-window twin: each event expands to exactly window/slide
+        # slide-aligned starts (base bucket minus i*slide).
+        "events_sliding": """
+WITH x AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 5 MINUTE, ts::TIMESTAMP)
+           - i.i * INTERVAL 5 MINUTE AS ws
+  FROM events, (VALUES (0), (1)) AS i(i))
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, count(*)::BIGINT AS n_events
+FROM x GROUP BY 1, 2, 3""",
+        "sim_mmr_topk": _mmr_sql(),
     }

@@ -3707,3 +3707,215 @@ def kmv_day_overlap(
         )
     )
     return out
+
+
+def bigram_logprob(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — second-order language-model
+    quality proxy: mean log P(w2|w1) of each document's adjacent token
+    pairs under a Laplace-smoothed bigram LM trained on the corpus itself
+    (the KenLM-free member of the CCNet perplexity family one order above
+    :func:`unigram_logprob` — repetitive boilerplate scores HIGH here
+    because its transitions are predictable, so the unigram and bigram
+    scores together separate "rare words" from "rare transitions").
+
+      P(w2|w1) = (c(w1,w2) + 1) / (ctx(w1) + V)
+
+    with c the corpus bigram count, ctx(w1) the number of bigrams starting
+    with w1, and V the corpus distinct-token vocabulary (add-one keeps the
+    estimator proper; every scored bigram is in-corpus so counts are >=1).
+    Documents with fewer than two tokens have no bigrams and are absent
+    from the output (twin-consistent).
+
+    Determinism across engines: counts are exact integers; each doc folds
+    tf * ln((c+1)/(ctx+V)) over its DISTINCT bigrams in sorted-bigram
+    order with a 0.0 seed — the identical IEEE sequence the DuckDB twin
+    replays via list_reduce(list_prepend(0.0, ...)) — then divides by
+    n_bigrams and rounds 4dp.
+
+    Shape at corpus scale: one bigram explode feeding two map-side-
+    combined count aggregates (bigram, context), a bigram-keyed join
+    whose build rows are 1-per-key (AQE skew split applies to Zipf-hot
+    transitions), and a per-doc sorted fold — no global sort, no Python.
+    """
+    toks = docs.select(F.col(id_col), tokens_col(text).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.concat(
+                        F.element_at("t", i + 1),
+                        F.lit(" "),
+                        F.element_at("t", i + 2),
+                    ).alias("b"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.w1").alias("w1"), F.col("s.b").alias("b"))
+    cb = big.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    cw = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    vocab = (
+        docs.select(F.explode(tokens_col(text)).alias("w"))
+        .agg(F.count_distinct("w").cast("long").alias("v"))
+    )
+    tf = big.groupBy(id_col, "b", "w1").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    per = (
+        tf.join(cb, "b")
+        .join(cw, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sort_array(F.collect_list(F.struct("b", "tf", "cb", "cw"))).alias("l"),
+        )
+        .crossJoin(F.broadcast(vocab))
+    )
+    fold = F.aggregate(
+        "l",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["tf"].cast("double")
+        * F.log(
+            (s["cb"] + F.lit(1)).cast("double")
+            / (s["cw"] + F.col("v")).cast("double")
+        ),
+    )
+    return per.select(
+        id_col,
+        "n_bigrams",
+        F.round(fold / F.col("n_bigrams"), 4).alias("avg_logprob"),
+    )
+
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+MMR_K = 5
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = MMR_K,
+    pool_k: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, step, neighbor_id, sim, mmr_score) — Maximal Marginal
+    Relevance (Carbonell & Goldstein 1998): greedy diversified top-k.
+    Step 1 takes the most similar candidate; each later step takes
+
+      argmax_d  lam * sim(q, d) - (1-lam) * max_{s in selected} sim(d, s)
+
+    so near-duplicates of already-selected items are penalized — the
+    redundancy control a RAG context builder applies after vector top-k
+    (the reference's rerank stage reorders but never diversifies; MMR is
+    the standard missing piece).
+
+    Determinism contract (DuckDB twin ``oracle_sql()[sim_mmr_topk]``):
+    query/pairwise cosines round 4dp FIRST (both engines), the MMR score
+    is one multiply/subtract chain over rounded inputs, ties break by
+    neighbor_id, and the twin unrolls the same k greedy steps as CTEs.
+
+    Shape at scale: the greedy loop runs over a bounded per-query pool
+    (top ``pool_k`` by cosine), so the pairwise-similarity table is
+    pool_k^2 rows per query — never corpus x corpus; each unrolled step
+    is an anti-join + max-aggregate + 1-row window pick over that pool.
+    The pool and pairwise tables are localCheckpointed once and reused by
+    every step (the no-CSE rule: k consumers of a wide expression tree).
+    """
+    pool = cosine_topk(
+        embeddings, n_queries=n_queries, k=pool_k, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    v = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+    members = pool.select("query_id", F.col("neighbor_id").alias("vid")).join(
+        v, "vid"
+    )
+    pair = (
+        members.select("query_id", F.col("vid").alias("a"), F.col("vv").alias("va"))
+        .join(
+            members.select(
+                "query_id", F.col("vid").alias("b"), F.col("vv").alias("vb")
+            ),
+            "query_id",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                4,
+            ).alias("psim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Score quantization is floor(x*1e4 + 0.5)/1e4, NOT F.round: Spark's
+    # round goes through the double's shortest decimal repr (BigDecimal.
+    # valueOf), DuckDB rounds the true binary value, and lam*sim lands
+    # exactly on .xxxx5 boundaries (0.7*0.3985) where the two disagree.
+    # The floor chain is the same IEEE ops in both engines.
+    q4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    first = pool.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.lit(1).cast("long").alias("step"),
+        "neighbor_id",
+        "sim",
+        q4(F.lit(lam) * F.col("sim")).alias("mmr_score"),
+    )
+    sel = first.localCheckpoint(eager=True)
+    for t in range(2, k + 1):
+        chosen = sel.select("query_id", "neighbor_id")
+        remaining = pool.join(chosen, ["query_id", "neighbor_id"], "left_anti")
+        # pair shares attribute lineage with pool, so the join MUST be
+        # alias-qualified — unqualified pair["query_id"]==remaining[...]
+        # resolves both sides to the same attribute (trivially true).
+        expanded = remaining.join(
+            chosen.select("query_id", F.col("neighbor_id").alias("s")),
+            "query_id",
+        ).alias("L")
+        div = (
+            expanded.join(
+                pair.alias("P"),
+                (F.col("P.query_id") == F.col("L.query_id"))
+                & (F.col("P.a") == F.col("L.neighbor_id"))
+                & (F.col("P.b") == F.col("L.s")),
+            )
+            .select(
+                F.col("L.query_id").alias("query_id"),
+                F.col("L.neighbor_id").alias("neighbor_id"),
+                F.col("L.sim").alias("sim"),
+                F.col("P.psim").alias("psim"),
+            )
+            .groupBy("query_id", "neighbor_id", "sim")
+            .agg(F.max("psim").alias("mp"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        pick = (
+            div.withColumn(
+                "score",
+                F.lit(lam) * F.col("sim") - F.lit(1.0 - lam) * F.col("mp"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(t).cast("long").alias("step"),
+                "neighbor_id",
+                "sim",
+                q4(F.col("score")).alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel

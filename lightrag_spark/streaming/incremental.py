@@ -112,6 +112,53 @@ def windowed_ingest_counts(
     )
 
 
+def sliding_ingest_counts(
+    events: DataFrame,
+    window_minutes: int = 10,
+    slide_minutes: int = 5,
+    watermark_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked SLIDING-window event counts — the overlapping-window
+    face of :func:`windowed_ingest_counts` (rate monitors and rolling
+    activity dashboards want a point every slide, smoothed over the full
+    window length).  ``window_minutes`` must be a multiple of
+    ``slide_minutes``; every event then lands in exactly
+    window/slide overlapping windows, which is also how the DuckDB twin
+    replays it (slide-aligned base start minus i*slide for
+    i in [0, window/slide)).
+
+    State at scale is bounded by (keys x open windows) = window/slide
+    times the tumbling case — still independent of stream length; in
+    batch the expansion is one Expand node (no join, no explode shuffle),
+    then a single (window, key) aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    if window_minutes % slide_minutes != 0:
+        raise ValueError("window_minutes must be a multiple of slide_minutes")
+    withered = events.select(
+        F.col(key_col),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).withWatermark("_ts", f"{watermark_minutes} minutes")
+    return (
+        withered.groupBy(
+            F.window(
+                "_ts", f"{window_minutes} minutes", f"{slide_minutes} minutes"
+            ).alias("win"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def stream_near_dup_probe(
     spark: SparkSession,
     docs_dir: str,

@@ -123,3 +123,120 @@ def test_bleu2_clipping_counts_repeats_once(spark):
     assert r["p1"] == pytest.approx(0.5)  # min(4,2)/4
     # candidate bigrams: 'a a' x3, reference has none -> p2 = 0 -> bleu 0
     assert r["p2"] == 0.0 and r["bleu"] == 0.0
+
+
+def test_rouge2_identity_disjoint_prefix_clipping(spark):
+    rows = [
+        (1, 1, ["a", "b", "c", "d"], ["a", "b", "c", "d"]),
+        (2, 2, ["x", "x"], ["a", "b", "c", "d"]),
+        (3, 3, ["a", "b"], ["a", "b", "c", "d"]),
+        (4, 4, ["a", "b", "a", "b"], ["a", "b"]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cand_id long, ref_id long, cand_tokens array<string>, "
+        "ref_tokens array<string>",
+    )
+    from lightrag_spark.evaluation.rouge import rouge2_pairs
+
+    out = {r["cand_id"]: r for r in rouge2_pairs(df).collect()}
+    assert out[1]["p2"] == 1.0 and out[1]["r2"] == 1.0 and out[1]["f2"] == 1.0
+    assert out[2]["overlap"] == 0 and out[2]["f2"] == 0.0
+    # prefix: cand bigrams {ab}, ref {ab,bc,cd} -> p2=1, r2=1/3, f2=0.5
+    assert out[3]["p2"] == 1.0
+    assert out[3]["r2"] == pytest.approx(0.3333)
+    assert out[3]["f2"] == pytest.approx(0.5)
+    # clipping: cand has 'a b' twice, ref once -> overlap clipped to 1
+    assert out[4]["overlap"] == 1 and out[4]["p2"] == pytest.approx(0.3333)
+
+
+def test_chrf_identity_whitespace_and_disjoint(spark):
+    from lightrag_spark.evaluation.chrf import chrf_pairs
+
+    rows = [
+        (1, 1, "spark engine", "spark engine"),
+        (2, 2, "spark  engine", "sp ark engine"),  # same chars, diff spacing
+        (3, 3, "aaaa", "zzzz"),
+        (4, 4, "ab", "ab"),  # shorter than max order: order-3 p=r=0
+    ]
+    df = spark.createDataFrame(
+        rows, "cand_id long, ref_id long, cand_text string, ref_text string"
+    )
+    out = {r["cand_id"]: r for r in chrf_pairs(df).collect()}
+    assert out[1]["chrf"] == 1.0
+    # whitespace stripped -> identical gram multisets -> perfect score
+    assert out[2]["chrf"] == 1.0 and out[2]["cand_chars"] == 11
+    assert out[3]["chrf"] == 0.0
+    # 'ab': p1=p2=1, p3=0 -> chrP=chrR=2/3, chrF=2/3
+    assert out[4]["chrp"] == pytest.approx(0.6667)
+    assert out[4]["chrf"] == pytest.approx(0.6667)
+
+
+def test_bigram_logprob_manual(spark):
+    import math
+
+    # corpus: doc1 "a b a b", doc2 "a b" ; doc3 "x" has no bigrams
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dp.bigram_logprob(df).collect()}
+    assert 3 not in out
+    # corpus bigrams: 'a b' x3, 'b a' x1; ctx a=3, b=1; V = {a,b,x} = 3
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (1 + 3)
+    exp1 = (2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(round(exp1, 4), abs=1e-4)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_logprob"] == pytest.approx(round(math.log(p_ab), 4), abs=1e-4)
+
+
+def test_sliding_windows_expand_and_count(spark):
+    from lightrag_spark.streaming.incremental import sliding_ingest_counts
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, 10, 7, 0), "a"),
+        (datetime.datetime(2024, 1, 1, 10, 8, 0), "a"),
+        (datetime.datetime(2024, 1, 1, 10, 11, 0), "a"),
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in sliding_ingest_counts(
+            ev, window_minutes=10, slide_minutes=5, key_col="event_type"
+        ).collect()
+    }
+    # events at :07/:08 live in [10:00,10:10) and [10:05,10:15);
+    # the :11 event lives in [10:05,10:15) and [10:10,10:20)
+    assert out[("2024-01-01 10:00:00", "a")] == 2
+    assert out[("2024-01-01 10:05:00", "a")] == 3
+    assert out[("2024-01-01 10:10:00", "a")] == 1
+    with pytest.raises(ValueError):
+        sliding_ingest_counts(ev, window_minutes=10, slide_minutes=4)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    # query 0; candidates: 1 and 2 nearly identical (both ~q), 3 orthogonal-ish
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),
+        (2, [0.98, 0.199, 0.0]),
+        (3, [0.5, 0.0, 0.87]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # lam=0.5: redundancy penalty strong enough that the near-duplicate of
+    # pick 1 (psim ~0.998) scores below the diverse candidate 3
+    out = (
+        dp.mmr_topk(df, n_queries=1, k=3, pool_k=3, lam=0.5)
+        .orderBy("step")
+        .collect()
+    )
+    picks = [r["neighbor_id"] for r in out]
+    # plain cosine order is [1, 2, 3]; MMR keeps 1 then jumps to diverse 3
+    assert picks[0] == 1
+    assert picks[1] == 3
+    assert picks[2] == 2
+    assert [r["step"] for r in out] == [1, 2, 3]
+    # relevance-dominant lam leaves the cosine order untouched
+    greedy = dp.mmr_topk(df, n_queries=1, k=2, pool_k=3, lam=1.0)
+    assert [r["neighbor_id"] for r in greedy.orderBy("step").collect()] == [1, 2]
