@@ -2701,6 +2701,46 @@ def _q_events_sliding(spark, sf):
     )
 
 
+def _q_rake_keywords(spark, sf):
+    """RAKE keyword extraction (datapipe.rake_keywords): the deterministic
+    stand-in for the reference's LLM keyword pass (prompt.py:482-520
+    high/low-level keywords) — phrase runs between stopword delimiters,
+    deg/freq word scores, position-ordered phrase-score folds."""
+    return dp.rake_keywords(_documents(spark, sf))
+
+
+_ENC_EVERY = 40
+_ENC_JUNK = " café �"
+
+
+from lightrag_spark.evaluation import STOPWORDS as _RAKE_STOP
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+
+def _q_encoding_stats(spark, sf):
+    """Encoding-health profile (datapipe.encoding_stats) with planted
+    corruption: every 40th doc gains a deterministic mojibake suffix
+    (non-ASCII + U+FFFD + a C0 control) so the suspect flag and counts
+    exercise both branches at gate scale."""
+    d = _documents(spark, sf)
+    corrupted = F.when(
+        F.col("doc_id") % _ENC_EVERY == 0,
+        F.concat(F.col("text"), F.lit(_ENC_JUNK)),
+    ).otherwise(F.col("text"))
+    return dp.encoding_stats(d.withColumn("text", corrupted))
+
+
+def _q_kg_type_pairs(spark, sf):
+    """KG schema-level profile (graphs.graph_type_pairs): undirected
+    entity-type pair -> edge count, relation total, weight sum — the
+    extraction-drift monitor over the merged graph."""
+    from lightrag_spark.operators.graphs import graph_type_pairs
+
+    r = _build(spark, sf)
+    return graph_type_pairs(r.kg_nodes, r.kg_edges)
+
+
 def _q_sim_mmr(spark, sf):
     """MMR diversified top-k (datapipe.mmr_topk, lambda=0.7, pool=20, k=5):
     greedy relevance-minus-redundancy selection over the sim_cosine_topk
@@ -2847,6 +2887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": _q_bigram_logprob,
         "events_sliding": _q_events_sliding,
         "sim_mmr_topk": _q_sim_mmr,
+        "text_rake_keywords": _q_rake_keywords,
+        "text_encoding_stats": _q_encoding_stats,
+        "kg_type_pairs": _q_kg_type_pairs,
     }
 
 
@@ -5830,4 +5873,89 @@ SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*)::BIGINT AS n_events
 FROM x GROUP BY 1, 2, 3""",
         "sim_mmr_topk": _mmr_sql(),
+        # RAKE twin: positional token explode, cumulative delimiter sum to
+        # number phrases, deg/freq integer ratios, position-ordered phrase
+        # fold, floor-quantized score.
+        "text_rake_keywords": f"""
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+tok AS (
+  SELECT doc_id, u.i::BIGINT AS i,
+         regexp_replace(t[u.i], '[^a-z0-9]', '', 'g') AS w
+  FROM raw, unnest(generate_series(1, len(t))) AS u(i)),
+mark AS (
+  SELECT doc_id, i, w,
+         (w = '' OR w IN ({_RAKE_STOP_SQL})) AS d
+  FROM tok),
+ph AS (
+  SELECT doc_id, i, w, d,
+         sum(CASE WHEN d THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS pid
+  FROM mark),
+wrd AS (SELECT doc_id, pid, i, w FROM ph WHERE NOT d),
+plen AS (SELECT doc_id, pid, count(*)::BIGINT AS L FROM wrd GROUP BY 1, 2),
+freq AS (SELECT doc_id, w, count(*)::BIGINT AS f FROM wrd GROUP BY 1, 2),
+deg AS (
+  SELECT wrd.doc_id, wrd.w, sum(plen.L)::BIGINT AS dg
+  FROM wrd JOIN plen USING (doc_id, pid) GROUP BY 1, 2),
+ws AS (
+  SELECT freq.doc_id, freq.w, dg::DOUBLE / f::DOUBLE AS s
+  FROM freq JOIN deg ON freq.doc_id = deg.doc_id AND freq.w = deg.w),
+pw AS (
+  SELECT wrd.doc_id, wrd.pid, wrd.i, wrd.w, ws.s
+  FROM wrd JOIN ws ON wrd.doc_id = ws.doc_id AND wrd.w = ws.w),
+pa AS (
+  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY i) AS phrase,
+         count(*)::BIGINT AS n_words,
+         list_reduce(list_prepend(0.0, list(s ORDER BY i)),
+                     (a, x) -> a + x) AS score
+  FROM pw GROUP BY 1, 2),
+dd AS (SELECT DISTINCT doc_id, phrase, n_words, score FROM pa),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, phrase) AS rank
+  FROM dd)
+SELECT doc_id, rank::BIGINT AS rank, phrase, n_words,
+       floor(score * 10000.0 + 0.5) / 10000.0 AS score
+FROM r WHERE rank <= {dp.RAKE_TOP_K}""",
+        # Encoding-stats twin: identical planted-corruption CASE, counts as
+        # length differences of the same regex strips.
+        "text_encoding_stats": f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_ENC_EVERY} = 0
+              THEN text || '{_ENC_JUNK}' ELSE text END AS s
+  FROM documents),
+m AS (
+  SELECT doc_id, len(s)::BIGINT AS n_chars,
+         (len(s) - len(regexp_replace(s, '[^\\x00-\\x7F]', '', 'g')))::BIGINT
+           AS non_ascii,
+         (len(s) - len(regexp_replace(
+            s, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))::BIGINT
+           AS control,
+         (len(s) - len(regexp_replace(s, '�', '', 'g')))::BIGINT
+           AS replacement
+  FROM d)
+SELECT doc_id, n_chars, non_ascii, control, replacement,
+       round(CASE WHEN n_chars > 0
+                  THEN non_ascii::DOUBLE / n_chars::DOUBLE
+                  ELSE 0.0 END, 4) AS non_ascii_frac,
+       (control > 0 OR replacement > 0) AS suspect
+FROM m""",
+        # Type-pair twin: the shared KG CTE's mention names typed by the
+        # same md5-indexed TYPE_LIST, (least, greatest) unordered pair key.
+        "kg_type_pairs": _KG_CTE + f"""
+, nt AS (
+  SELECT entity_name AS name,
+         ({_TYPE_LIST})[(('0x' || substr(md5(entity_name), 1, 8))::BIGINT
+                         % {len(TYPES)}) + 1] AS ty
+  FROM (SELECT DISTINCT entity_name FROM mentions)),
+te AS (
+  SELECT least(a.ty, b.ty) AS type_a, greatest(a.ty, b.ty) AS type_b,
+         e.weight AS w, e.relation_count AS rc
+  FROM edges e JOIN nt a ON e.src = a.name JOIN nt b ON e.tgt = b.name)
+SELECT type_a, type_b, count(*)::BIGINT AS n_edges,
+       sum(rc)::BIGINT AS relations, round(sum(w), 4) AS weight_sum
+FROM te GROUP BY 1, 2""",
     }

@@ -3919,3 +3919,142 @@ def mmr_topk(
         )
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel
+
+
+RAKE_TOP_K = 5
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = RAKE_TOP_K,
+    stopwords: list | None = None,
+) -> DataFrame:
+    """(doc_id, rank, phrase, n_words, score) — RAKE keyword extraction
+    (Rose et al. 2010): the deterministic stand-in for the reference's
+    LLM keyword pass (prompt.py keyword extraction feeds kg_query's
+    high/low-level keywords — RAKE gives the offline pipeline the same
+    capability with no model).  Candidate phrases are maximal runs of
+    non-stopword tokens; each word scores deg(w)/freq(w) where deg sums
+    the lengths of the phrases containing it (co-occurrence degree,
+    including itself) and freq counts its occurrences; a phrase scores
+    the sum of its member word scores; top-k phrases per doc by
+    (score desc, phrase asc).
+
+    Normalization (documented simplification vs classic RAKE): tokens
+    are lowercased and stripped of non-[a-z0-9] chars; a token that
+    empties or matches the stopword list is a phrase DELIMITER —
+    punctuation inside a surviving token never breaks a phrase.
+
+    Determinism contract (DuckDB twin ``oracle_sql()[text_rake_keywords]``):
+    deg/freq are exact integers; the word score is one int/int division;
+    the phrase score folds member scores in PHRASE POSITION order with a
+    0.0 seed (list fold in both engines — a float SUM would accumulate
+    in engine-dependent order); output quantizes floor(x*1e4+0.5)/1e4
+    (the Spark-round shortest-repr trap).
+
+    Shape at scale: a positional token explode, one cumulative-sum window
+    PER DOC (never global) to number phrases, two doc-keyed aggregates
+    (freq, deg) joined back token-keyed, and a per-doc top-k window —
+    all shuffles are keyed by doc_id or (doc_id, word); nothing is
+    corpus-global.
+    """
+    stop = list(stopwords) if stopwords is not None else None
+    if stop is None:
+        from ..evaluation import STOPWORDS as _SW
+
+        stop = list(_SW)
+    raw = docs.select(
+        F.col(id_col), F.split(F.trim(F.lower(F.col(text))), r"\s+").alias("t")
+    )
+    tok = raw.select(
+        id_col, F.posexplode("t").alias("i", "w0")
+    ).select(
+        id_col,
+        "i",
+        F.regexp_replace("w0", "[^a-z0-9]", "").alias("w"),
+    )
+    mark = tok.withColumn("d", (F.col("w") == "") | F.col("w").isin(stop))
+    wdoc = Window.partitionBy(id_col).orderBy("i")
+    ph = mark.withColumn(
+        "pid", F.sum(F.col("d").cast("long")).over(wdoc)
+    ).filter(~F.col("d"))
+    plen = ph.groupBy(id_col, "pid").agg(F.count(F.lit(1)).cast("long").alias("L"))
+    freq = ph.groupBy(id_col, "w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    deg = (
+        ph.join(plen, [id_col, "pid"])
+        .groupBy(id_col, "w")
+        .agg(F.sum("L").cast("long").alias("dg"))
+    )
+    ws = freq.join(deg, [id_col, "w"]).select(
+        id_col,
+        "w",
+        (F.col("dg").cast("double") / F.col("f").cast("double")).alias("s"),
+    )
+    pw = ph.join(ws, [id_col, "w"])
+    pa = pw.groupBy(id_col, "pid").agg(
+        F.sort_array(F.collect_list(F.struct("i", "w", "s"))).alias("l")
+    )
+    score = F.aggregate("l", F.lit(0.0), lambda acc, x: acc + x["s"])
+    phrase = F.concat_ws(" ", F.transform("l", lambda x: x["w"]))
+    pa = pa.select(
+        id_col,
+        phrase.alias("phrase"),
+        F.size("l").cast("long").alias("n_words"),
+        score.alias("score"),
+    ).distinct()
+    wr = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        pa.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "rank",
+            "phrase",
+            "n_words",
+            (F.floor(F.col("score") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0))
+            .alias("score"),
+        )
+    )
+
+
+def encoding_stats(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_chars, non_ascii, control, replacement, non_ascii_frac,
+    suspect) — encoding-health profile of webtext: mojibake and truncated
+    transcodes show up as replacement chars (U+FFFD), stray C0 controls
+    (anything < 0x20 other than tab/newline/carriage-return), and
+    anomalous non-ASCII density.  ``suspect`` flags any replacement or
+    control occurrence — the rows a crawl-cleaning pass quarantines.
+
+    Counts are length-difference expressions (len(s) - len(strip(s))) —
+    pure projections, exact integers; the only float is one int/int
+    division written identically in the DuckDB twin.
+
+    Shape at scale: a single scan-side projection per document; no
+    shuffle at all.
+    """
+    s = F.col(text)
+    n_chars = F.length(s)
+    non_ascii = n_chars - F.length(F.regexp_replace(s, "[^\\x00-\\x7F]", ""))
+    control = n_chars - F.length(
+        F.regexp_replace(s, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    )
+    replacement = n_chars - F.length(F.regexp_replace(s, "�", ""))
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        non_ascii.cast("long").alias("non_ascii"),
+        control.cast("long").alias("control"),
+        replacement.cast("long").alias("replacement"),
+        F.round(
+            F.when(
+                n_chars > 0,
+                non_ascii.cast("double") / n_chars.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("non_ascii_frac"),
+        ((control > 0) | (replacement > 0)).alias("suspect"),
+    )

@@ -1258,3 +1258,52 @@ def graph_integrity(
     return wide.selectExpr(
         f"stack({len(metrics)}, {stacked}) AS (metric, value)"
     )
+
+
+def graph_type_pairs(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "entity_name",
+    type_col: str = "entity_type",
+) -> DataFrame:
+    """(type_a, type_b, n_edges, relations, weight_sum) — the KG's
+    schema-level profile: how entity TYPES relate (person-organization,
+    event-location, ...), the aggregate view a KG-construction pipeline
+    monitors for extraction drift (a sudden new hot type pair usually
+    means the extractor's typing regressed).  The pair key is unordered
+    — (least, greatest) of the endpoint types — matching the undirected
+    edge discipline.
+
+    weight_sum stays exact across engines because merge builds weights
+    as sums of 1.0 contributions (operators/merge.py:244) — integral
+    doubles add exactly in any order; relations is the exact long count.
+
+    Shape at scale: two broadcast-able joins against the (small) node
+    type table and one (type_a, type_b) aggregate — the output is
+    |types|^2 rows at most.
+    """
+    t = nodes.select(
+        F.col(node_col).alias("name"), F.col(type_col).alias("ty")
+    )
+    typed = (
+        edges.select("src", "tgt", F.col("weight").cast("double").alias("w"),
+                     (F.col("relation_count").cast("long")
+                      if "relation_count" in edges.columns
+                      else F.lit(1).cast("long")).alias("rc"))
+        .join(t.select(F.col("name").alias("src"), F.col("ty").alias("ta0")), "src")
+        .join(t.select(F.col("name").alias("tgt"), F.col("ty").alias("tb0")), "tgt")
+    )
+    return (
+        typed.select(
+            F.least("ta0", "tb0").alias("type_a"),
+            F.greatest("ta0", "tb0").alias("type_b"),
+            "w",
+            "rc",
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum("rc").cast("long").alias("relations"),
+            F.round(F.sum("w"), 4).alias("weight_sum"),
+        )
+    )

@@ -240,3 +240,65 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     # relevance-dominant lam leaves the cosine order untouched
     greedy = dp.mmr_topk(df, n_queries=1, k=2, pool_k=3, lam=1.0)
     assert [r["neighbor_id"] for r in greedy.orderBy("step").collect()] == [1, 2]
+
+
+def test_rake_scores_multiword_phrases_highest(spark):
+    # classic RAKE behavior: co-occurring content words outscore singles
+    df = spark.createDataFrame(
+        [(1, "deep learning is the study of deep networks and learning")],
+        "doc_id long, text string",
+    )
+    out = dp.rake_keywords(df).collect()
+    by_phrase = {r["phrase"]: r for r in out}
+    # phrases: 'deep learning' | 'study' | 'deep networks' | 'learning'
+    # freq: deep=2, learning=2, networks=1, study=1
+    # deg:  deep=2+2=4, learning=2+1=3, networks=2, study=1
+    assert by_phrase["deep networks"]["score"] == 4.0  # 2.0 + 2.0
+    assert by_phrase["deep learning"]["score"] == 3.5  # 2.0 + 1.5
+    assert by_phrase["learning"]["score"] == 1.5
+    assert by_phrase["study"]["score"] == 1.0
+    ranks = {r["rank"]: r["phrase"] for r in out}
+    assert ranks[1] == "deep networks"
+    assert ranks[2] == "deep learning"
+
+
+def test_rake_punctuation_stripped_and_stopword_breaks(spark):
+    df = spark.createDataFrame(
+        [(1, "Spark, and FAST engines!")], "doc_id long, text string"
+    )
+    out = {r["phrase"] for r in dp.rake_keywords(df).collect()}
+    # 'spark,' -> 'spark'; 'and' breaks; 'fast engines!' -> 'fast engines'
+    assert out == {"spark", "fast engines"}
+
+
+def test_encoding_stats_detects_planted_junk(spark):
+    df = spark.createDataFrame(
+        [(1, "plain ascii"), (2, "café �" + chr(7))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dp.encoding_stats(df).collect()}
+    assert out[1]["non_ascii"] == 0 and not out[1]["suspect"]
+    r = out[2]
+    assert r["non_ascii"] == 2  # é and U+FFFD
+    assert r["replacement"] == 1
+    assert r["control"] == 1  # BEL; tab/newline/CR would not count
+    assert r["suspect"]
+
+
+def test_graph_type_pairs_unordered_key(spark):
+    nodes = spark.createDataFrame(
+        [("a", "person"), ("b", "org"), ("c", "person")],
+        "entity_name string, entity_type string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0, 1), ("b", "c", 2.0, 2), ("a", "c", 1.0, 1)],
+        "src string, tgt string, weight double, relation_count long",
+    )
+    from lightrag_spark.operators.graphs import graph_type_pairs
+
+    out = {(r["type_a"], r["type_b"]): r for r in graph_type_pairs(nodes, edges).collect()}
+    # a-b (person,org) and b-c (org,person) collapse to the same pair
+    assert out[("org", "person")]["n_edges"] == 2
+    assert out[("org", "person")]["relations"] == 3
+    assert out[("org", "person")]["weight_sum"] == 3.0
+    assert out[("person", "person")]["n_edges"] == 1
