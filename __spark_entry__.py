@@ -2741,6 +2741,20 @@ def _q_kg_type_pairs(spark, sf):
     return graph_type_pairs(r.kg_nodes, r.kg_edges)
 
 
+def _q_rank_corr(spark, sf):
+    """Kendall tau-b per source (datapipe.rank_correlation) between char
+    length and whitespace token count — exact integer pair counts over a
+    deterministic per-group cap (first 64 doc_ids), one sqrt chain."""
+    return dp.rank_correlation(_documents(spark, sf))
+
+
+def _q_events_rank_shift(spark, sf):
+    """Day-over-day leaderboard movement (datapipe.daily_rank_shift):
+    per-day event-type count ranks joined to the previous day's ranks."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return dp.daily_rank_shift(ev)
+
+
 def _q_sim_mmr(spark, sf):
     """MMR diversified top-k (datapipe.mmr_topk, lambda=0.7, pool=20, k=5):
     greedy relevance-minus-redundancy selection over the sim_cosine_topk
@@ -2890,6 +2904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rake_keywords": _q_rake_keywords,
         "text_encoding_stats": _q_encoding_stats,
         "kg_type_pairs": _q_kg_type_pairs,
+        "eval_rank_corr": _q_rank_corr,
+        "events_rank_shift": _q_events_rank_shift,
     }
 
 
@@ -5958,4 +5974,53 @@ te AS (
 SELECT type_a, type_b, count(*)::BIGINT AS n_edges,
        sum(rc)::BIGINT AS relations, round(sum(w), 4) AS weight_sum
 FROM te GROUP BY 1, 2""",
+        # Kendall tau-b twin: identical per-group cap, integer pair-sign
+        # counts, one (C-D)/sqrt((C+D+Tx)(C+D+Ty)) chain, floor-quantized.
+        "eval_rank_corr": f"""
+WITH base AS (
+  SELECT source AS g, doc_id AS i, n_chars::BIGINT AS x,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS y
+  FROM documents),
+capd AS (
+  SELECT g, i, x, y FROM (
+    SELECT *, row_number() OVER (PARTITION BY g ORDER BY i) AS rn FROM base)
+  WHERE rn <= {dp.RANKCORR_CAP}),
+p AS (
+  SELECT a.g, a.x - b.x AS dx, a.y - b.y AS dy
+  FROM capd a JOIN capd b ON a.g = b.g AND a.i < b.i),
+agg AS (
+  SELECT g,
+         sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+                  THEN 1 ELSE 0 END)::BIGINT AS concordant,
+         sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+                  THEN 1 ELSE 0 END)::BIGINT AS discordant,
+         sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)::BIGINT AS tied_x,
+         sum(CASE WHEN dx <> 0 AND dy = 0 THEN 1 ELSE 0 END)::BIGINT AS tied_y,
+         sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)::BIGINT AS tied_both
+  FROM p GROUP BY g),
+nd AS (SELECT g, count(*)::BIGINT AS n_docs FROM capd GROUP BY g)
+SELECT agg.g AS source, n_docs, concordant, discordant, tied_x, tied_y,
+       tied_both,
+       CASE WHEN concordant + discordant + tied_x > 0
+             AND concordant + discordant + tied_y > 0
+            THEN floor(((concordant - discordant)::DOUBLE
+                        / sqrt((concordant + discordant + tied_x)::DOUBLE
+                               * (concordant + discordant + tied_y)::DOUBLE))
+                       * 10000.0 + 0.5) / 10000.0
+       END AS tau_b
+FROM agg JOIN nd ON agg.g = nd.g""",
+        # Rank-shift twin: per-day count ranks, previous-day self-join.
+        "events_rank_shift": f"""
+WITH daily AS (
+  SELECT ts::DATE AS day, event_type AS k, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT day, k, n,
+         row_number() OVER (PARTITION BY day ORDER BY n DESC, k)::BIGINT AS rnk
+  FROM daily),
+prev AS (SELECT day + 1 AS day, k, rnk AS prev_rnk FROM ranked)
+SELECT r.day, r.k AS event_type, r.n, r.rnk, p.prev_rnk,
+       p.prev_rnk - r.rnk AS delta
+FROM ranked r LEFT JOIN prev p ON r.day = p.day AND r.k = p.k
+WHERE r.rnk <= {dp.TOPN_SHIFT_K}""",
     }

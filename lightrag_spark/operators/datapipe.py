@@ -4058,3 +4058,145 @@ def encoding_stats(
         ).alias("non_ascii_frac"),
         ((control > 0) | (replacement > 0)).alias("suspect"),
     )
+
+
+RANKCORR_CAP = 64
+
+
+def rank_correlation(
+    docs: DataFrame,
+    group: str = "source",
+    id_col: str = "doc_id",
+    text: str = "text",
+    x_col: str = "n_chars",
+    cap: int = RANKCORR_CAP,
+) -> DataFrame:
+    """(source, n_docs, concordant, discordant, tied_x, tied_y, tied_both,
+    tau_b) — Kendall tau-b between two per-document metrics within each
+    group: the agreement check a curation pipeline runs between ranking
+    signals (does char-length order agree with token-count order per
+    domain? a source where they diverge has anomalous tokenization —
+    CJK-like scripts, minified markup, concatenated words).
+
+    x is the ``x_col`` column as-is; y is the whitespace token count.
+    tau_b = (C - D) / sqrt((C + D + Tx) * (C + D + Ty)) with exact
+    integer pair counts (ties in x only, y only, and both tracked
+    separately; tau_b is NULL when either denominator leg is 0).
+
+    Scale contract: pair enumeration is quadratic, so each group is
+    CAPPED to its first ``cap`` docs by id (deterministic sample) —
+    O(cap^2) pairs per group regardless of corpus size, and the
+    pair join is an equi-join on the group key (co-partitioned, never
+    a global cross).  The DuckDB twin replays the identical cap.
+    """
+    base = docs.select(
+        F.col(group).alias("g"),
+        F.col(id_col).alias("i"),
+        F.col(x_col).cast("long").alias("x"),
+        F.size(tokens_col(text)).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("g").orderBy("i")
+    s = base.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= cap
+    ).drop("rn")
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g")) & (F.col("a.i") < F.col("b.i")),
+    ).select(
+        F.col("a.g").alias("g"),
+        (F.col("a.x") - F.col("b.x")).alias("dx"),
+        (F.col("a.y") - F.col("b.y")).alias("dy"),
+    )
+    agg = pairs.groupBy("g").agg(
+        F.sum(((F.col("dx") > 0) & (F.col("dy") > 0)).cast("long")).alias("cc1"),
+        F.sum(((F.col("dx") < 0) & (F.col("dy") < 0)).cast("long")).alias("cc2"),
+        F.sum(((F.col("dx") > 0) & (F.col("dy") < 0)).cast("long")).alias("dd1"),
+        F.sum(((F.col("dx") < 0) & (F.col("dy") > 0)).cast("long")).alias("dd2"),
+        F.sum(((F.col("dx") == 0) & (F.col("dy") != 0)).cast("long")).alias(
+            "tied_x"
+        ),
+        F.sum(((F.col("dx") != 0) & (F.col("dy") == 0)).cast("long")).alias(
+            "tied_y"
+        ),
+        F.sum(((F.col("dx") == 0) & (F.col("dy") == 0)).cast("long")).alias(
+            "tied_both"
+        ),
+    )
+    n_docs = s.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    cd = F.col("concordant") + F.col("discordant")
+    denom_x = (cd + F.col("tied_x")).cast("double")
+    denom_y = (cd + F.col("tied_y")).cast("double")
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.sqrt(
+        denom_x * denom_y
+    )
+    return (
+        agg.select(
+            "g",
+            (F.col("cc1") + F.col("cc2")).alias("concordant"),
+            (F.col("dd1") + F.col("dd2")).alias("discordant"),
+            "tied_x",
+            "tied_y",
+            "tied_both",
+        )
+        .join(n_docs, "g")
+        .select(
+            F.col("g").alias(group),
+            "n_docs",
+            "concordant",
+            "discordant",
+            "tied_x",
+            "tied_y",
+            "tied_both",
+            F.when(
+                (denom_x > 0) & (denom_y > 0),
+                F.floor(tau * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0),
+            ).alias("tau_b"),
+        )
+    )
+
+
+TOPN_SHIFT_K = 10
+
+
+def daily_rank_shift(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    top_k: int = TOPN_SHIFT_K,
+) -> DataFrame:
+    """(day, event_type, n, rnk, prev_rnk, delta) — day-over-day leaderboard
+    movement: each day's keys ranked by event count (ties by key), joined to
+    the previous day's rank; delta = prev_rnk - rnk (positive = climbed),
+    NULL prev/delta for keys absent the previous day.  Top ``top_k`` of
+    each day emitted — the trend-monitor view over the events stream.
+
+    Shape at scale: one (day, key) count aggregate (map-side combined),
+    one per-day rank window (partition = day, never global), and a
+    self-join on (prev day, key) — both sides already aggregated to
+    (days x keys) rows.
+    """
+    daily = (
+        events.select(F.to_date(ts_col).alias("day"), F.col(key_col).alias("k"))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("k"))
+    ranked = daily.withColumn("rnk", F.row_number().over(w).cast("long"))
+    prev = ranked.select(
+        F.date_add("day", 1).alias("day"),
+        F.col("k"),
+        F.col("rnk").alias("prev_rnk"),
+    )
+    return (
+        ranked.join(prev, ["day", "k"], "left")
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            "day",
+            F.col("k").alias(key_col),
+            "n",
+            "rnk",
+            "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).alias("delta"),
+        )
+    )

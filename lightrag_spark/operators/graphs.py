@@ -1282,16 +1282,25 @@ def graph_type_pairs(
     type table and one (type_a, type_b) aggregate — the output is
     |types|^2 rows at most.
     """
+    # The type table feeds BOTH endpoint joins — materialize it once
+    # (its lineage is the full node merge; two consumers would run the
+    # extraction twice) and broadcast (|entities| rows of two strings).
     t = nodes.select(
         F.col(node_col).alias("name"), F.col(type_col).alias("ty")
-    )
+    ).localCheckpoint(eager=True)
     typed = (
         edges.select("src", "tgt", F.col("weight").cast("double").alias("w"),
                      (F.col("relation_count").cast("long")
                       if "relation_count" in edges.columns
                       else F.lit(1).cast("long")).alias("rc"))
-        .join(t.select(F.col("name").alias("src"), F.col("ty").alias("ta0")), "src")
-        .join(t.select(F.col("name").alias("tgt"), F.col("ty").alias("tb0")), "tgt")
+        .join(
+            F.broadcast(t.select(F.col("name").alias("src"), F.col("ty").alias("ta0"))),
+            "src",
+        )
+        .join(
+            F.broadcast(t.select(F.col("name").alias("tgt"), F.col("ty").alias("tb0"))),
+            "tgt",
+        )
     )
     return (
         typed.select(

@@ -302,3 +302,59 @@ def test_graph_type_pairs_unordered_key(spark):
     assert out[("org", "person")]["relations"] == 3
     assert out[("org", "person")]["weight_sum"] == 3.0
     assert out[("person", "person")]["n_edges"] == 1
+
+
+def test_rank_correlation_perfect_and_inverted(spark):
+    # group g1: y order follows x exactly; g2: perfectly inverted
+    rows = []
+    for i, (nc, nw) in enumerate([(10, 2), (20, 4), (30, 6)]):
+        rows.append((i, "g1", nc, "w " * nw))
+    for i, (nc, nw) in enumerate([(10, 6), (20, 4), (30, 2)]):
+        rows.append((10 + i, "g2", nc, "w " * nw))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long, text string"
+    )
+    out = {r["source"]: r for r in dp.rank_correlation(df).collect()}
+    assert out["g1"]["tau_b"] == 1.0 and out["g1"]["concordant"] == 3
+    assert out["g2"]["tau_b"] == -1.0 and out["g2"]["discordant"] == 3
+
+
+def test_rank_correlation_ties_and_cap(spark):
+    rows = [
+        (0, "g", 10, "a b"),
+        (1, "g", 10, "a b c"),   # tied x
+        (2, "g", 20, "a b c"),   # tied y with doc 1
+        (99, "g", 5, "a"),       # beyond cap=3 -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long, text string"
+    )
+    r = dp.rank_correlation(df, cap=3).collect()[0]
+    assert r["n_docs"] == 3
+    assert r["tied_x"] == 1 and r["tied_y"] == 1 and r["concordant"] == 1
+    # tau_b = (1-0)/sqrt((1+0+1)*(1+0+1)) = 0.5
+    assert r["tau_b"] == pytest.approx(0.5)
+
+
+def test_daily_rank_shift_tracks_movers(spark):
+    rows = []
+    for _ in range(3):
+        rows.append((datetime.datetime(2024, 1, 1, 9, 0), "x"))
+    rows.append((datetime.datetime(2024, 1, 1, 9, 0), "y"))
+    # next day y overtakes x; z debuts
+    for _ in range(5):
+        rows.append((datetime.datetime(2024, 1, 2, 9, 0), "y"))
+    rows.append((datetime.datetime(2024, 1, 2, 9, 0), "x"))
+    rows.append((datetime.datetime(2024, 1, 2, 9, 0), "z"))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {
+        (str(r["day"]), r["event_type"]): r
+        for r in dp.daily_rank_shift(ev).collect()
+    }
+    assert out[("2024-01-01", "x")]["rnk"] == 1
+    assert out[("2024-01-01", "x")]["prev_rnk"] is None
+    y2 = out[("2024-01-02", "y")]
+    assert y2["rnk"] == 1 and y2["prev_rnk"] == 2 and y2["delta"] == 1
+    x2 = out[("2024-01-02", "x")]
+    assert x2["rnk"] == 2 and x2["delta"] == -1
+    assert out[("2024-01-02", "z")]["prev_rnk"] is None
