@@ -170,3 +170,61 @@ def test_watermarked_window_counts_drop_late_events(spark, tmp_path):
     # watermark, so no second W0 row appears after batch 2
     w0 = [r for r in rows2 if r.window_start.timestamp() == t0 - t0 % 600]
     assert len(w0) == 1 and w0[0].n_events == 2
+
+
+def test_sliding_window_counts_stream_equals_batch(spark, tmp_path):
+    """Sliding windows (10 min / 5 min slide): every event lands in exactly
+    two windows; the streaming append-mode result over finalized windows
+    equals the batch face on the same frame."""
+    from lightrag_spark.streaming.incremental import sliding_ingest_counts
+
+    src = str(tmp_path / "slsrc")
+    ckpt = str(tmp_path / "slckpt")
+    os.makedirs(src)
+    t0 = 1_700_000_400  # divisible by 600 -> aligned on both window grids
+
+    def ts(sec):
+        return time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(sec))
+
+    rows = [
+        {"user_id": 1, "event_id": 1, "ts": ts(t0 + 10)},
+        {"user_id": 1, "event_id": 2, "ts": ts(t0 + 20)},
+        {"user_id": 1, "event_id": 3, "ts": ts(t0 + 310)},
+        # watermark advancer: its own windows stay open / unemitted
+        {"user_id": 1, "event_id": 4, "ts": ts(t0 + 7200)},
+    ]
+    _write_batch(src, "b1.json", rows)
+    out_dir = str(tmp_path / "slout")
+    q = (
+        sliding_ingest_counts(
+            spark.readStream.schema(SCHEMA).json(src),
+            window_minutes=10,
+            slide_minutes=5,
+            watermark_minutes=30,
+        )
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.timestamp(), r.user_id): r.n_events
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        (float(t0 - 300), 1): 2,   # [t0-300, t0+300): e1, e2
+        (float(t0), 1): 3,         # [t0, t0+600): e1, e2, e3
+        (float(t0 + 300), 1): 1,   # [t0+300, t0+900): e3
+    }
+    # batch face over the same rows agrees on those windows
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["event_id"], r["ts"]) for r in rows], SCHEMA
+    )
+    want = {
+        (r.window_start.timestamp(), r.user_id): r.n_events
+        for r in sliding_ingest_counts(
+            batch, window_minutes=10, slide_minutes=5
+        ).collect()
+    }
+    for k, v in got.items():
+        assert want[k] == v
