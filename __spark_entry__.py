@@ -2755,6 +2755,31 @@ def _q_events_rank_shift(spark, sf):
     return dp.daily_rank_shift(ev)
 
 
+_METAPATH_MAXDEG = 64
+
+
+def _q_sim_norm_hist(spark, sf):
+    """Embedding-norm distribution per label (composition: _norm fold ->
+    datapipe.value_histogram): the embedding-health profile — zero/huge
+    norms flag broken encoders before any similarity op consumes them."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    norms = emb.select(
+        F.col("label").cast("long").alias("label"),
+        dp._norm(F.col("embedding")).alias("norm"),
+    )
+    return dp.value_histogram(norms, group="label", col="norm")
+
+
+def _q_kg_metapaths(spark, sf):
+    """2-hop metapath census (graphs.graph_metapaths, hub middles pruned
+    at degree 64): (endpoint-type, middle-type, endpoint-type) path
+    counts — the heterogeneous-graph structure profile."""
+    from lightrag_spark.operators.graphs import graph_metapaths
+
+    r = _build(spark, sf)
+    return graph_metapaths(r.kg_nodes, r.kg_edges, max_degree=_METAPATH_MAXDEG)
+
+
 def _q_sim_mmr(spark, sf):
     """MMR diversified top-k (datapipe.mmr_topk, lambda=0.7, pool=20, k=5):
     greedy relevance-minus-redundancy selection over the sim_cosine_topk
@@ -2906,6 +2931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_pairs": _q_kg_type_pairs,
         "eval_rank_corr": _q_rank_corr,
         "events_rank_shift": _q_events_rank_shift,
+        "sim_norm_histogram": _q_sim_norm_hist,
+        "kg_metapaths": _q_kg_metapaths,
     }
 
 
@@ -6023,4 +6050,50 @@ SELECT r.day, r.k AS event_type, r.n, r.rnk, p.prev_rnk,
        p.prev_rnk - r.rnk AS delta
 FROM ranked r LEFT JOIN prev p ON r.day = p.day AND r.k = p.k
 WHERE r.rnk <= {dp.TOPN_SHIFT_K}""",
+        # Norm-histogram twin: the same sequential square-sum fold as _norm
+        # (NOT list_dot_product — its summation order is not guaranteed),
+        # then the events_histogram binning chain per label.
+        "sim_norm_histogram": f"""
+WITH n AS (
+  SELECT label::BIGINT AS g,
+         sqrt(list_reduce(
+           list_prepend(0.0, list_transform(embedding,
+                                            x -> x::DOUBLE * x::DOUBLE)),
+           (a, x) -> a + x)) AS x
+  FROM embeddings),
+stats AS (SELECT g, min(x) AS mn, max(x) AS mx FROM n GROUP BY g),
+b AS (
+  SELECT n.g, s.mn, s.mx,
+         (CASE WHEN s.mx = s.mn THEN 0
+               ELSE least(floor((n.x - s.mn) * {float(dp.HIST_BINS)!r}
+                                / (s.mx - s.mn)),
+                          {dp.HIST_BINS - 1}) END)::BIGINT AS bin
+  FROM n JOIN stats s ON n.g = s.g)
+SELECT g AS label, bin, count(*)::BIGINT AS n,
+       round(mn + bin::DOUBLE * (mx - mn) / {float(dp.HIST_BINS)!r}, 4) AS bin_lo
+FROM b GROUP BY g, bin, mn, mx""",
+        # Metapath twin: direction-expanded edges, hub-middle prune at the
+        # same cap, u < v path identity, (least, greatest) endpoint types.
+        "kg_metapaths": _KG_CTE + f"""
+, nt AS (
+  SELECT entity_name AS name,
+         ({_TYPE_LIST})[(('0x' || substr(md5(entity_name), 1, 8))::BIGINT
+                         % {len(TYPES)}) + 1] AS ty
+  FROM (SELECT DISTINCT entity_name FROM mentions)),
+und AS (SELECT src, tgt FROM edges UNION ALL SELECT tgt, src FROM edges),
+dg AS (SELECT src AS m, count(*)::BIGINT AS d FROM und GROUP BY 1),
+mid_ok AS (SELECT m FROM dg WHERE d <= {_METAPATH_MAXDEG}),
+p AS (
+  SELECT a.src AS u, a.tgt AS m, b.tgt AS v
+  FROM und a JOIN mid_ok ON a.tgt = mid_ok.m
+  JOIN und b ON b.src = a.tgt
+  WHERE a.src < b.tgt),
+ty AS (
+  SELECT least(tu.ty, tv.ty) AS type_a, tm.ty AS type_mid,
+         greatest(tu.ty, tv.ty) AS type_b
+  FROM p JOIN nt tu ON p.u = tu.name
+  JOIN nt tm ON p.m = tm.name
+  JOIN nt tv ON p.v = tv.name)
+SELECT type_a, type_mid, type_b, count(*)::BIGINT AS n_paths
+FROM ty GROUP BY 1, 2, 3""",
     }

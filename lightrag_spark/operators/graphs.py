@@ -1316,3 +1316,78 @@ def graph_type_pairs(
             F.round(F.sum("w"), 4).alias("weight_sum"),
         )
     )
+
+
+def graph_metapaths(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "entity_name",
+    type_col: str = "entity_type",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """(type_a, type_mid, type_b, n_paths) — 2-hop METAPATH census: how
+    many length-2 paths u—m—v exist per (endpoint-type, middle-type,
+    endpoint-type) pattern.  The schema-level structure signal one level
+    above :func:`graph_type_pairs` — heterogeneous-graph methods
+    (metapath2vec, HAN) consume exactly these patterns, and a KG builder
+    watches the census for extraction drift (person—event—person
+    exploding usually means the extractor started linking everything
+    through a hub event).
+
+    Path identity: undirected edges are expanded to both directions, a
+    path is (u, m, v) with u < v by name (each path counted once), and
+    the endpoint-type pair is canonicalized (least, greatest) to match
+    the undirected discipline.  ``max_degree`` prunes hub MIDDLES first
+    (same convention as neighborhood2) — the middle join is quadratic in
+    the middle's degree, so at corpus scale the cap bounds the join fanout
+    at |nodes| * max_degree^2 while the census over non-hub structure
+    stays exact.
+
+    Shape at scale: one self-join of the direction-expanded edge list on
+    the middle node (equi-join, AQE skew split applies), two broadcast
+    joins against the materialized type table, one aggregate over at most
+    |types|^3 output rows.
+    """
+    t = nodes.select(
+        F.col(node_col).alias("name"), F.col(type_col).alias("ty")
+    ).localCheckpoint(eager=True)
+    und = edges.select("src", "tgt").unionAll(
+        edges.select(F.col("tgt").alias("src"), F.col("src").alias("tgt"))
+    )
+    if max_degree is not None:
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        mid_ok = deg.filter(F.col("_d") <= max_degree).select(
+            F.col("src").alias("m")
+        )
+    else:
+        mid_ok = und.select(F.col("src").alias("m")).distinct()
+    a = und.select(F.col("tgt").alias("m"), F.col("src").alias("u"))
+    b = und.select(F.col("src").alias("m"), F.col("tgt").alias("v"))
+    paths = (
+        a.join(F.broadcast(mid_ok), "m")
+        .join(b, "m")
+        .filter(F.col("u") < F.col("v"))
+    )
+    typed = (
+        paths.join(
+            F.broadcast(t.select(F.col("name").alias("u"), F.col("ty").alias("tu"))),
+            "u",
+        )
+        .join(
+            F.broadcast(t.select(F.col("name").alias("m"), F.col("ty").alias("tm"))),
+            "m",
+        )
+        .join(
+            F.broadcast(t.select(F.col("name").alias("v"), F.col("ty").alias("tv"))),
+            "v",
+        )
+    )
+    return (
+        typed.select(
+            F.least("tu", "tv").alias("type_a"),
+            F.col("tm").alias("type_mid"),
+            F.greatest("tu", "tv").alias("type_b"),
+        )
+        .groupBy("type_a", "type_mid", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )

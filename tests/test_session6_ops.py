@@ -358,3 +358,35 @@ def test_daily_rank_shift_tracks_movers(spark):
     x2 = out[("2024-01-02", "x")]
     assert x2["rnk"] == 2 and x2["delta"] == -1
     assert out[("2024-01-02", "z")]["prev_rnk"] is None
+
+
+def test_graph_metapaths_counts_and_hub_prune(spark):
+    nodes = spark.createDataFrame(
+        [("a", "person"), ("b", "org"), ("c", "person"), ("h", "event"),
+         ("d", "person"), ("e", "person")],
+        "entity_name string, entity_type string",
+    )
+    # path a-b-c plus a hub h connected to a, c, d, e
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "h"), ("c", "h"), ("d", "h"), ("e", "h")],
+        "src string, tgt string",
+    )
+    from lightrag_spark.operators.graphs import graph_metapaths
+
+    out = {
+        (r["type_a"], r["type_mid"], r["type_b"]): r["n_paths"]
+        for r in graph_metapaths(nodes, edges).collect()
+    }
+    # through b: a-b-c -> (person, org, person) x1
+    assert out[("person", "org", "person")] == 1
+    # through h (deg 4): C(4,2)=6 person-event-person paths
+    assert out[("person", "event", "person")] == 6
+    # endpoint paths through a and c (deg-2 middles): b-a-h, b-c-h
+    assert out[("event", "person", "org")] == 2
+    # hub prune at max_degree=3 removes every path through h
+    pruned = {
+        (r["type_a"], r["type_mid"], r["type_b"]): r["n_paths"]
+        for r in graph_metapaths(nodes, edges, max_degree=3).collect()
+    }
+    assert ("person", "event", "person") not in pruned
+    assert pruned[("person", "org", "person")] == 1
