@@ -135,6 +135,9 @@ def main():
         "kg_degree_alpha",
         "kg_chunk_dedup",
         "kg_community_reps",
+        "kg_integrity",
+        "kg_type_pairs",
+        "kg_metapaths",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -191,6 +194,26 @@ def main():
         "events_interarrival",
         "eval_langid_confusion",
         "events_session_length",
+        "retrieval_rrf_hybrid",
+        "text_winnow_fingerprints",
+        "data_epoch_shuffle",
+        "events_kmv_users",
+        "dedup_bloom",
+        "retrieval_bm25_topk",
+        "dedup_semantic",
+        "events_histogram",
+        "events_kmv_overlap",
+        "eval_bleu_pairs",
+        "eval_rouge_pairs",
+        "eval_chrf_pairs",
+        "text_bigram_logprob",
+        "events_sliding",
+        "sim_mmr_topk",
+        "text_rake_keywords",
+        "text_encoding_stats",
+        "eval_rank_corr",
+        "events_rank_shift",
+        "sim_norm_histogram",
     )
 
     def _time(name):
