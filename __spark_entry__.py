@@ -2780,6 +2780,88 @@ def _q_kg_metapaths(spark, sf):
     return graph_metapaths(r.kg_nodes, r.kg_edges, max_degree=_METAPATH_MAXDEG)
 
 
+def _q_langid_f1(spark, sf):
+    """Per-class precision/recall/F1 derived from the lang-ID confusion
+    matrix (one checkpointed confusion scan feeds truth totals, predicted
+    totals and the diagonal) — the per-class report card next to
+    eval_langid_confusion's raw matrix."""
+    cm = _q_langid_confusion(spark, sf).localCheckpoint(eager=True)
+    t_n = cm.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("truth_docs")
+    )
+    p_n = cm.groupBy(F.col("detected_lang").alias("lang")).agg(
+        F.sum("n_docs").cast("long").alias("predicted_docs")
+    )
+    tp = cm.filter(F.col("lang") == F.col("detected_lang")).select(
+        "lang", F.col("n_docs").cast("long").alias("tp")
+    )
+    j = (
+        t_n.join(p_n, "lang", "full")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("truth_docs", F.lit(0)).alias("truth_docs"),
+            F.coalesce("predicted_docs", F.lit(0)).alias("predicted_docs"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    q4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    p_raw = F.col("tp").cast("double") / F.col("predicted_docs").cast("double")
+    r_raw = F.col("tp").cast("double") / F.col("truth_docs").cast("double")
+    ok = (F.col("predicted_docs") > 0) & (F.col("truth_docs") > 0) & (
+        F.col("tp") > 0
+    )
+    return j.select(
+        "lang",
+        "truth_docs",
+        "predicted_docs",
+        "tp",
+        (F.col("predicted_docs") - F.col("tp")).alias("fp"),
+        (F.col("truth_docs") - F.col("tp")).alias("fn"),
+        F.when(F.col("predicted_docs") > 0, q4(p_raw)).alias("prec"),
+        F.when(F.col("truth_docs") > 0, q4(r_raw)).alias("rec"),
+        F.when(
+            ok, q4(F.lit(2.0) * p_raw * r_raw / (p_raw + r_raw))
+        ).alias("f1"),
+    )
+
+
+def _q_dup_rate_source(spark, sf):
+    """Near-duplicate incidence per source (near_duplicate_pairs members
+    rolled up to the source dimension): the per-domain dedup dashboard a
+    crawl pipeline watches — a source whose dup_rate jumps is mirroring
+    or republishing."""
+    d = _documents(spark, sf).select("doc_id", "source")
+    pairs = dp.near_duplicate_pairs(_documents(spark, sf))
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dup = (
+        members.join(d, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_docs"))
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return tot.join(dup, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+        (
+            F.floor(
+                (
+                    F.coalesce("n_dup_docs", F.lit(0)).cast("double")
+                    / F.col("n_docs").cast("double")
+                )
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("dup_rate"),
+    )
+
+
 def _q_sim_mmr(spark, sf):
     """MMR diversified top-k (datapipe.mmr_topk, lambda=0.7, pool=20, k=5):
     greedy relevance-minus-redundancy selection over the sim_cosine_topk
@@ -2933,6 +3015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rank_shift": _q_events_rank_shift,
         "sim_norm_histogram": _q_sim_norm_hist,
         "kg_metapaths": _q_kg_metapaths,
+        "eval_langid_f1": _q_langid_f1,
+        "dedup_rate_by_source": _q_dup_rate_source,
     }
 
 
@@ -6096,4 +6180,55 @@ ty AS (
   JOIN nt tv ON p.v = tv.name)
 SELECT type_a, type_mid, type_b, count(*)::BIGINT AS n_paths
 FROM ty GROUP BY 1, 2, 3""",
+        # Per-class P/R/F1 twin over the confusion matrix; identical
+        # tp>0 guard and floor-quantized ratio chains.
+        "eval_langid_f1": f"""
+WITH cm AS (
+  SELECT d.lang, det.detected_lang, count(*)::BIGINT AS n_docs
+  FROM documents d JOIN ({_LANG_DETECT_SQL}) det ON d.doc_id = det.doc_id
+  GROUP BY 1, 2),
+tn AS (SELECT lang, sum(n_docs)::BIGINT AS truth_docs FROM cm GROUP BY 1),
+pn AS (SELECT detected_lang AS lang, sum(n_docs)::BIGINT AS predicted_docs
+       FROM cm GROUP BY 1),
+tpc AS (SELECT lang, n_docs AS tp FROM cm WHERE lang = detected_lang),
+j AS (
+  SELECT coalesce(tn.lang, pn.lang) AS lang,
+         coalesce(truth_docs, 0)::BIGINT AS truth_docs,
+         coalesce(predicted_docs, 0)::BIGINT AS predicted_docs
+  FROM tn FULL JOIN pn ON tn.lang = pn.lang),
+k AS (
+  SELECT j.*, coalesce(tpc.tp, 0)::BIGINT AS tp
+  FROM j LEFT JOIN tpc ON j.lang = tpc.lang)
+SELECT lang, truth_docs, predicted_docs, tp,
+       (predicted_docs - tp)::BIGINT AS fp,
+       (truth_docs - tp)::BIGINT AS fn,
+       CASE WHEN predicted_docs > 0
+            THEN floor((tp::DOUBLE / predicted_docs::DOUBLE) * 10000.0 + 0.5)
+                 / 10000.0 END AS prec,
+       CASE WHEN truth_docs > 0
+            THEN floor((tp::DOUBLE / truth_docs::DOUBLE) * 10000.0 + 0.5)
+                 / 10000.0 END AS rec,
+       CASE WHEN predicted_docs > 0 AND truth_docs > 0 AND tp > 0
+            THEN floor((2.0 * (tp::DOUBLE / predicted_docs::DOUBLE)
+                            * (tp::DOUBLE / truth_docs::DOUBLE)
+                        / ((tp::DOUBLE / predicted_docs::DOUBLE)
+                           + (tp::DOUBLE / truth_docs::DOUBLE)))
+                       * 10000.0 + 0.5) / 10000.0 END AS f1
+FROM k""",
+        # Dup-rate rollup twin: the shared minhash chain's pairs, member
+        # union, source join, floor-quantized rate.
+        "dedup_rate_by_source": _MINHASH_CTE + _NEARDUP_CHAIN + f""",
+pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {dp.NEARDUP_THRESHOLD}),
+mem AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b FROM pairs)),
+dup AS (
+  SELECT d.source, count(*)::BIGINT AS n_dup_docs
+  FROM mem JOIN documents d ON mem.doc_id = d.doc_id GROUP BY 1),
+tot AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1)
+SELECT tot.source, n_docs, coalesce(n_dup_docs, 0)::BIGINT AS n_dup_docs,
+       floor((coalesce(n_dup_docs, 0)::DOUBLE / n_docs::DOUBLE) * 10000.0
+             + 0.5) / 10000.0 AS dup_rate
+FROM tot LEFT JOIN dup ON tot.source = dup.source""",
     }
