@@ -2862,6 +2862,19 @@ def _q_dup_rate_source(spark, sf):
     )
 
 
+def _q_stratified_sample(spark, sf):
+    """Exact deterministic stratified sample (datapipe.stratified_sample):
+    md5-permuted per-source quota of ceil(0.2 * n) — exact strata sizes,
+    reproducible across engines/runs."""
+    return dp.stratified_sample(_documents(spark, sf))
+
+
+def _q_events_seasonality(spark, sf):
+    """Hour-of-day activity profile per event type (datapipe.
+    hourly_seasonality): lift vs a uniform clock."""
+    return dp.hourly_seasonality(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def _q_sim_mmr(spark, sf):
     """MMR diversified top-k (datapipe.mmr_topk, lambda=0.7, pool=20, k=5):
     greedy relevance-minus-redundancy selection over the sim_cosine_topk
@@ -3017,6 +3030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metapaths": _q_kg_metapaths,
         "eval_langid_f1": _q_langid_f1,
         "dedup_rate_by_source": _q_dup_rate_source,
+        "data_stratified_sample": _q_stratified_sample,
+        "events_seasonality": _q_events_seasonality,
     }
 
 
@@ -6231,4 +6246,29 @@ SELECT tot.source, n_docs, coalesce(n_dup_docs, 0)::BIGINT AS n_dup_docs,
        floor((coalesce(n_dup_docs, 0)::DOUBLE / n_docs::DOUBLE) * 10000.0
              + 0.5) / 10000.0 AS dup_rate
 FROM tot LEFT JOIN dup ON tot.source = dup.source""",
+        # Stratified-sample twin: identical md5 permutation, per-group
+        # ceil(frac*n) quota.
+        "data_stratified_sample": f"""
+WITH base AS (
+  SELECT source AS g, doc_id AS i, md5(doc_id::VARCHAR) AS k
+  FROM documents),
+sizes AS (SELECT g, count(*)::BIGINT AS n_group FROM base GROUP BY g),
+ranked AS (
+  SELECT g, i, row_number() OVER (PARTITION BY g ORDER BY k, i)::BIGINT AS rnk
+  FROM base)
+SELECT r.i AS doc_id, r.g AS source, r.rnk, s.n_group
+FROM ranked r JOIN sizes s ON r.g = s.g
+WHERE r.rnk <= CAST(ceil(s.n_group::DOUBLE * {float(dp.STRATIFIED_FRAC)!r})
+                    AS BIGINT)""",
+        # Seasonality twin: (key, hour) counts, per-key totals, the same
+        # n*24/total lift chain floor-quantized.
+        "events_seasonality": """
+WITH base AS (
+  SELECT event_type AS k, extract(hour FROM ts)::BIGINT AS hour FROM events),
+per AS (SELECT k, hour, count(*)::BIGINT AS n FROM base GROUP BY 1, 2),
+tot AS (SELECT k, count(*)::BIGINT AS total FROM base GROUP BY 1)
+SELECT per.k AS event_type, hour, n,
+       floor((n::DOUBLE * 24.0 / total::DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS ratio
+FROM per JOIN tot ON per.k = tot.k""",
     }

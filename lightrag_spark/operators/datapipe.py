@@ -4200,3 +4200,79 @@ def daily_rank_shift(
             (F.col("prev_rnk") - F.col("rnk")).alias("delta"),
         )
     )
+
+
+STRATIFIED_FRAC = 0.2
+
+
+def stratified_sample(
+    docs: DataFrame,
+    group: str = "source",
+    id_col: str = "doc_id",
+    frac: float = STRATIFIED_FRAC,
+) -> DataFrame:
+    """(doc_id, source, rnk, n_group) — EXACT deterministic stratified
+    sample: within each group, rows ordered by md5(id) (a fixed uniform
+    permutation, reproducible across engines and runs) and the first
+    ceil(frac * n_group) kept.  Unlike Bernoulli df.sample, strata sizes
+    are exact (every group contributes exactly its quota — the property
+    mixture construction needs) and re-runs are identical.
+
+    Shape at scale: one per-group count (map-side combined, broadcast
+    back) and one per-group rank window (partition = group, never a
+    global sort).  The md5 order key is computed scan-side.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("g").orderBy("k", "i")
+    base = docs.select(
+        F.col(group).alias("g"), F.col(id_col).alias("i"), key.alias("k")
+    )
+    sizes = base.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_group"))
+    quota = F.ceil(F.col("n_group").cast("double") * F.lit(float(frac))).cast(
+        "long"
+    )
+    return (
+        base.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(sizes), "g")
+        .filter(F.col("rnk") <= quota)
+        .select(
+            F.col("i").alias(id_col),
+            F.col("g").alias(group),
+            "rnk",
+            "n_group",
+        )
+    )
+
+
+def hourly_seasonality(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, hour, n, ratio) — hour-of-day activity profile per
+    key: ratio = n * 24 / total is the lift vs a uniform clock (1.0 =
+    flat; a crawler's synthetic traffic shows flat, human traffic shows
+    diurnal swing — the signal bot-filtering and capacity planning both
+    read).  Hours with no events for a key are absent (twin-consistent).
+
+    Shape at scale: one (key, hour) count + one per-key total, broadcast
+    joined — output bounded by keys x 24.
+    """
+    base = events.select(
+        F.col(key_col).alias("k"), F.hour(ts_col).cast("long").alias("hour")
+    )
+    per = base.groupBy("k", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = base.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("total"))
+    ratio = (
+        F.col("n").cast("double") * F.lit(24.0) / F.col("total").cast("double")
+    )
+    return per.join(F.broadcast(tot), "k").select(
+        F.col("k").alias(key_col),
+        "hour",
+        "n",
+        (F.floor(ratio * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "ratio"
+        ),
+    )

@@ -390,3 +390,36 @@ def test_graph_metapaths_counts_and_hub_prune(spark):
     }
     assert ("person", "event", "person") not in pruned
     assert pruned[("person", "org", "person")] == 1
+
+
+def test_stratified_sample_exact_quotas_and_determinism(spark):
+    rows = [(i, "s" + str(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = dp.stratified_sample(df, frac=0.2).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # 10 docs per stratum -> exactly ceil(2.0) = 2 kept each
+    assert {k: len(v) for k, v in by_src.items()} == {"s0": 2, "s1": 2, "s2": 2}
+    assert all(r["n_group"] == 10 for r in out)
+    # deterministic: a second run picks the identical ids
+    again = {r["doc_id"] for r in dp.stratified_sample(df, frac=0.2).collect()}
+    assert {r["doc_id"] for r in out} == again
+
+
+def test_hourly_seasonality_lift(spark):
+    rows = []
+    # type 'a': 12 events at hour 3, 12 at hour 9 -> ratio 12*24/24 = 12
+    for _ in range(12):
+        rows.append((datetime.datetime(2024, 3, 1, 3, 5), "a"))
+        rows.append((datetime.datetime(2024, 3, 1, 9, 5), "a"))
+    # type b: 2 events in 2 distinct hours -> each hour lift 1*24/2 = 12
+    rows.append((datetime.datetime(2024, 3, 1, 0, 0), "b"))
+    rows.append((datetime.datetime(2024, 3, 1, 12, 0), "b"))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {
+        (r["event_type"], r["hour"]): r for r in dp.hourly_seasonality(ev).collect()
+    }
+    assert out[("a", 3)]["n"] == 12 and out[("a", 3)]["ratio"] == 12.0
+    assert out[("b", 0)]["ratio"] == 12.0  # 1 * 24 / 2
+    assert ("a", 4) not in out  # absent hours emit nothing
