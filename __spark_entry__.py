@@ -2875,6 +2875,93 @@ def _q_events_seasonality(spark, sf):
     return dp.hourly_seasonality(spark.read.parquet(f"{sf}/events.parquet"))
 
 
+def _q_events_markov(spark, sf):
+    """First-order Markov transition matrix of user behaviour (datapipe.
+    markov_transitions): per-user time-ordered next-event pairs, counts +
+    per-source-state probabilities."""
+    return dp.markov_transitions(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _q_events_cusum(spark, sf):
+    """One-sided CUSUM drift monitor over daily per-type counts
+    (datapipe.cusum_daily): exact-integer deviation units, closed-form
+    prefix-min recursion, alarm at 2 average-days of cumulative excess."""
+    return dp.cusum_daily(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _q_events_gini(spark, sf):
+    """Gini coefficient of per-user activity per event type (datapipe.
+    activity_gini): exact rank formula, integers until one division."""
+    return dp.activity_gini(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _q_crawl_schedule(spark, sf):
+    """Politeness-aware crawl-frontier schedule (datapipe.crawl_schedule):
+    per-host serialized fetch slots + host-affine worker sharding."""
+    return dp.crawl_schedule(_documents(spark, sf))
+
+
+def _q_eval_token_f1(spark, sf):
+    """SQuAD-style token-overlap P/R/F1 (evaluation.tokenf1.token_f1_pairs)
+    over the shared deterministic pair families of _eval_token_pairs."""
+    from lightrag_spark.evaluation.tokenf1 import token_f1_pairs
+
+    return token_f1_pairs(_eval_token_pairs(spark, sf))
+
+
+_HITS_ITER = 4
+_HITS_SCALE = 10**6
+
+
+def _q_kg_hits(spark, sf):
+    """HITS authorities over the chunk->entity mention bipartite graph
+    (graphs.hits_bipartite): fixed-point integer half-steps with L1
+    normalization, bit-exact vs the unrolled-CTE twin."""
+    from lightrag_spark.operators.graphs import hits_bipartite
+
+    r = _build(spark, sf)
+    return hits_bipartite(
+        r.mentions.select("chunk_id", "entity_name"),
+        iterations=_HITS_ITER,
+        scale=_HITS_SCALE,
+    )
+
+
+def _q_sim_label_centroids(spark, sf):
+    """Per-label embedding centroid + cohesion report (datapipe.
+    label_centroids): exact integer quantized pipeline (see operator
+    docstring for the order-independence argument)."""
+    return dp.label_centroids(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+
+def _hits_sql(iterations: int = _HITS_ITER, scale: int = _HITS_SCALE) -> str:
+    """Unrolled-iteration HITS oracle chain over the typed_mentions CTE:
+    alternating integer sum + L1 floor-normalization, mirroring
+    graphs.hits_bipartite exactly."""
+    parts = [f"""
+, bi AS (SELECT DISTINCT chunk_id AS c, entity_name AS e FROM typed_mentions),
+h0 AS (SELECT DISTINCT c, {scale}::BIGINT AS h FROM bi)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+a{k}r AS (
+  SELECT e, sum(h)::BIGINT AS ar
+  FROM bi JOIN h{k - 1} USING (c) GROUP BY e),
+a{k} AS (
+  SELECT e, ((ar * {scale}) // (SELECT sum(ar) FROM a{k}r))::BIGINT AS a
+  FROM a{k}r),
+h{k}r AS (
+  SELECT c, sum(a)::BIGINT AS hr
+  FROM bi JOIN a{k} USING (e) GROUP BY c),
+h{k} AS (
+  SELECT c, ((hr * {scale}) // (SELECT sum(hr) FROM h{k}r))::BIGINT AS h
+  FROM h{k}r)""")
+    parts.append(
+        f"\nSELECT e AS entity_name, a AS auth_fp,"
+        f" a / {float(scale)!r} AS authority FROM a{iterations}"
+    )
+    return "".join(parts)
+
+
 def _q_sim_mmr(spark, sf):
     """MMR diversified top-k (datapipe.mmr_topk, lambda=0.7, pool=20, k=5):
     greedy relevance-minus-redundancy selection over the sim_cosine_topk
@@ -3032,6 +3119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": _q_dup_rate_source,
         "data_stratified_sample": _q_stratified_sample,
         "events_seasonality": _q_events_seasonality,
+        "events_markov": _q_events_markov,
+        "events_cusum": _q_events_cusum,
+        "events_gini": _q_events_gini,
+        "crawl_schedule": _q_crawl_schedule,
+        "eval_token_f1": _q_eval_token_f1,
+        "kg_hits": _q_kg_hits,
+        "sim_label_centroids": _q_sim_label_centroids,
     }
 
 
@@ -6271,4 +6365,170 @@ SELECT per.k AS event_type, hour, n,
        floor((n::DOUBLE * 24.0 / total::DOUBLE) * 10000.0 + 0.5) / 10000.0
          AS ratio
 FROM per JOIN tot ON per.k = tot.k""",
+        # Markov twin: lead() per user (ties broken by event_id), counts,
+        # one integer/integer division floor-quantized.
+        "events_markov": """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+per AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(n)::BIGINT AS tot FROM per GROUP BY 1)
+SELECT per.from_type, to_type, n,
+       floor((n::DOUBLE / tot::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS prob
+FROM per JOIN tot ON per.from_type = tot.from_type""",
+        # CUSUM twin: same integer deviation units and the same
+        # closed-form prefix-min recursion (two cumulative windows).
+        "events_cusum": f"""
+WITH daily AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT k, sum(n)::BIGINT AS T, count(*)::BIGINT AS d
+        FROM daily GROUP BY 1),
+dev AS (
+  SELECT daily.k, day, n, T, (n * d - T)::BIGINT AS dev_fp
+  FROM daily JOIN tot ON daily.k = tot.k),
+run AS (
+  SELECT k, day, n, T, dev_fp,
+         sum(dev_fp) OVER (PARTITION BY k ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c
+  FROM dev),
+m AS (
+  SELECT k, day, n, T, dev_fp, c,
+         least(0, min(c) OVER (PARTITION BY k ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)) AS cmin
+  FROM run)
+SELECT k AS event_type, day, n, dev_fp, (c - cmin)::BIGINT AS cusum_fp,
+       (c - cmin) > {dp.CUSUM_ALARM_MULT} * T AS alarm
+FROM m""",
+        # Gini twin: identical rank assignment (ties by user id) and the
+        # exact rank formula, integers until the final quantized division.
+        "events_gini": """
+WITH per AS (
+  SELECT event_type AS k, user_id AS u, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT k, x,
+         row_number() OVER (PARTITION BY k ORDER BY x, u)::BIGINT AS i
+  FROM per),
+a AS (
+  SELECT k, count(*)::BIGINT AS n_users, sum(x)::BIGINT AS total_events,
+         sum(i * x)::BIGINT AS ix
+  FROM r GROUP BY 1)
+SELECT k AS event_type, n_users, total_events,
+       floor(((2.0 * ix::DOUBLE
+               - (n_users + 1)::DOUBLE * total_events::DOUBLE)
+              / (n_users::DOUBLE * total_events::DOUBLE)) * 10000.0 + 0.5)
+         / 10000.0 AS gini
+FROM a""",
+        # Crawl-schedule twin: per-host doc_id-ordered slots, worker =
+        # (host rank in name order - 1) % workers.
+        "crawl_schedule": f"""
+WITH base AS (SELECT doc_id, source AS host FROM documents),
+hr AS (
+  SELECT host,
+         (((row_number() OVER (ORDER BY host)) - 1)
+          % {dp.CRAWL_WORKERS})::BIGINT AS worker
+  FROM (SELECT DISTINCT host FROM base)),
+s AS (
+  SELECT doc_id, host,
+         (row_number() OVER (PARTITION BY host ORDER BY doc_id)
+          - 1)::BIGINT AS slot
+  FROM base)
+SELECT s.doc_id, s.host, slot, worker,
+       (slot * {dp.CRAWL_DELAY_S})::BIGINT AS fetch_offset_s
+FROM s JOIN hr ON s.host = hr.host""",
+        # Token-F1 twin: the BLEU pair families + unigram clipped overlap;
+        # each score is one integer/integer division floor-quantized.
+        "eval_token_f1": f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id AS cand_id, doc_id AS ref_id,
+         list_slice(t, 1, greatest(1, floor(len(t) * 3 / 4))::BIGINT) AS tc,
+         t AS tr
+  FROM d WHERE doc_id % {_BLEU_SELF_EVERY} = 0
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, a.t, b.t
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % {_BLEU_CROSS_EVERY} = 0),
+u1 AS (
+  SELECT cand_id, ref_id, u.g, 'c' AS side FROM pairs, unnest(tc) AS u(g)
+  UNION ALL
+  SELECT cand_id, ref_id, u.g, 'r' FROM pairs, unnest(tr) AS u(g)),
+g1 AS (
+  SELECT cand_id, ref_id, sum(least(tfc, tfr))::BIGINT AS c1
+  FROM (SELECT cand_id, ref_id, g,
+               sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS tfc,
+               sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS tfr
+        FROM u1 GROUP BY cand_id, ref_id, g)
+  GROUP BY cand_id, ref_id),
+lens AS (
+  SELECT cand_id, ref_id, len(tc)::BIGINT AS cand_len,
+         len(tr)::BIGINT AS ref_len
+  FROM pairs),
+j AS (
+  SELECT l.*, coalesce(c1, 0)::BIGINT AS overlap
+  FROM lens l LEFT JOIN g1 USING (cand_id, ref_id))
+SELECT cand_id, ref_id, cand_len, ref_len, overlap,
+       floor((CASE WHEN cand_len > 0
+                   THEN overlap::DOUBLE / cand_len::DOUBLE
+                   ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS "precision",
+       floor((CASE WHEN ref_len > 0
+                   THEN overlap::DOUBLE / ref_len::DOUBLE
+                   ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS recall,
+       floor((CASE WHEN cand_len + ref_len > 0
+                   THEN 2.0 * overlap::DOUBLE
+                        / (cand_len + ref_len)::DOUBLE
+                   ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS f1
+FROM j""",
+        # HITS twin: unrolled integer half-steps over the mention
+        # bipartite graph (see _hits_sql).
+        "kg_hits": _KG_CTE + _hits_sql(),
+        # Label-centroid twin: the identical integer quantized pipeline
+        # (component q, biased floor centroid, integer dot/norms, per-row
+        # 4dp quantization BEFORE the per-label mean).
+        "sim_label_centroids": f"""
+WITH q AS (
+  SELECT vec_id AS i, label::BIGINT AS g, u.pos,
+         floor(embedding[u.pos]::DOUBLE
+               * {float(dp.CENTROID_QSCALE)!r})::BIGINT AS q
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS u(pos)),
+nby AS (SELECT label::BIGINT AS g, count(*)::BIGINT AS n
+        FROM embeddings GROUP BY 1),
+cent AS (
+  SELECT s.g, s.pos,
+         ((S + n * {dp.CENTROID_QSCALE}) // n
+          - {dp.CENTROID_QSCALE})::BIGINT AS c
+  FROM (SELECT g, pos, sum(q)::BIGINT AS S FROM q GROUP BY 1, 2) s
+  JOIN nby ON s.g = nby.g),
+cn AS (SELECT g, sum(c * c)::BIGINT AS cc FROM cent GROUP BY g),
+rowa AS (
+  SELECT q.i, q.g,
+         sum(q.q * cent.c)::BIGINT AS dot,
+         sum(q.q * q.q)::BIGINT AS qq
+  FROM q JOIN cent ON q.g = cent.g AND q.pos = cent.pos
+  GROUP BY q.i, q.g),
+cf AS (
+  SELECT rowa.g,
+         (CASE WHEN qq > 0 AND cc > 0
+               THEN floor((dot::DOUBLE
+                           / (sqrt(qq::DOUBLE) * sqrt(cc::DOUBLE)))
+                          * 10000.0 + 0.5)
+               ELSE 0 END)::BIGINT AS cf
+  FROM rowa JOIN cn ON rowa.g = cn.g),
+per AS (SELECT g, sum(cf)::BIGINT AS sf, count(*)::BIGINT AS n
+        FROM cf GROUP BY g)
+SELECT per.g AS label, per.n AS n,
+       floor(sqrt(cc::DOUBLE) / {float(dp.CENTROID_QSCALE)!r} * 10000.0
+             + 0.5) / 10000.0 AS centroid_norm,
+       floor(sf::DOUBLE / per.n::DOUBLE + 0.5) / 10000.0 AS mean_intra_cos
+FROM per JOIN cn ON per.g = cn.g""",
     }

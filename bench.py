@@ -138,6 +138,7 @@ def main():
         "kg_integrity",
         "kg_type_pairs",
         "kg_metapaths",
+        "kg_hits",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -214,6 +215,14 @@ def main():
         "eval_rank_corr",
         "events_rank_shift",
         "sim_norm_histogram",
+        "data_stratified_sample",
+        "events_seasonality",
+        "events_markov",
+        "events_cusum",
+        "events_gini",
+        "crawl_schedule",
+        "eval_token_f1",
+        "sim_label_centroids",
     )
 
     def _time(name):

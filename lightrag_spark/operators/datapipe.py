@@ -4276,3 +4276,317 @@ def hourly_seasonality(
             "ratio"
         ),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, n, prob) — first-order Markov transition
+    model of user behaviour: for each user's time-ordered event stream,
+    count consecutive (event, next-event) pairs and normalize per source
+    state.  The next-action model session replay, funnel repair, and
+    bot fingerprinting (bots have near-deterministic rows) all start from.
+
+    Determinism: ordering ties on ts are broken by event_id; prob is one
+    integer/integer division floor-quantized to 4dp (the engine-identical
+    chain, see bench-discipline).
+
+    Shape at scale: lead() over (user, ts) — one shuffle by user, no
+    self-join; the transition matrix output is |types|^2-bounded.
+    """
+    w = Window.partitionBy("u").orderBy("t", "i")
+    pairs = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(type_col).alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    per = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    prob = F.col("n").cast("double") / F.col("tot").cast("double")
+    return per.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.floor(prob * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "prob"
+        ),
+    )
+
+
+CUSUM_ALARM_MULT = 2
+
+
+def cusum_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, day, n, dev_fp, cusum_fp, alarm) — one-sided upper
+    CUSUM change-point statistic over daily event counts per type: the
+    drift monitor that catches a crawler source going hot (or an error
+    type ramping) earlier than any single-day threshold.
+
+    EXACT integer arithmetic: with per-type daily counts x_i over d
+    observed days and total T, the deviation is dev_i = x_i*d - T
+    (count-minus-mean scaled by d — integers, no float mean).  The CUSUM
+    recursion S_i = max(0, S_{i-1} + dev_i) is computed CLOSED-FORM as
+    S_i = C_i - min(0, min_{j<=i} C_j) with C the running deviation sum
+    (induction: both sides reset to 0 exactly when the prefix minimum
+    moves) — two window passes, no recursion, bit-exact in both engines.
+    alarm = S_i > 2*T, i.e. cumulative excess beyond two average days.
+
+    Shape at scale: one (type, day) count, one per-type total, two
+    cumulative windows partitioned by type — day cardinality per type is
+    bounded (365/ year), so the windows never see wide partitions.
+    """
+    base = events.select(
+        F.col(type_col).alias("k"), F.to_date(ts_col).alias("day")
+    )
+    daily = base.groupBy("k", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = daily.groupBy("k").agg(
+        F.sum("n").cast("long").alias("T"), F.count(F.lit(1)).cast("long").alias("d")
+    )
+    wrun = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = daily.join(F.broadcast(tot), "k").select(
+        "k",
+        "day",
+        "n",
+        "T",
+        (F.col("n") * F.col("d") - F.col("T")).cast("long").alias("dev_fp"),
+    )
+    run = dev.withColumn("c", F.sum("dev_fp").over(wrun)).withColumn(
+        "cmin", F.least(F.lit(0).cast("long"), F.min("c").over(wrun))
+    )
+    return run.select(
+        F.col("k").alias(type_col),
+        "day",
+        "n",
+        "dev_fp",
+        (F.col("c") - F.col("cmin")).cast("long").alias("cusum_fp"),
+        (
+            (F.col("c") - F.col("cmin"))
+            > F.lit(int(CUSUM_ALARM_MULT)) * F.col("T")
+        ).alias("alarm"),
+    )
+
+
+def activity_gini(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, n_users, total_events, gini) — Gini coefficient of
+    per-user activity per event type: the inequality number that says
+    whether traffic is broad-based (g~0) or a handful of heavy accounts
+    (g->1) — the first split between organic usage and bot/abuse
+    concentration, and the skew early-warning for any per-user shuffle key.
+
+    Exact rank formula G = (2*SUM(i*x_(i)) - (n+1)*SUM x) / (n*SUM x)
+    with ascending ranks i (ties broken by user id — the formula is
+    tie-order-invariant on the value but the rank assignment must be
+    deterministic for the twin): integers throughout, one final division
+    floor-quantized to 4dp.
+
+    Shape at scale: one (type, user) count, one rank window partitioned
+    by type, one per-type aggregate — no joins wider than the broadcastable
+    per-type totals.
+    """
+    per = events.select(
+        F.col(type_col).alias("k"), F.col(user_col).alias("u")
+    ).groupBy("k", "u").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("k").orderBy("x", "u")
+    ranked = per.withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("ix"),
+    )
+    g = (
+        F.lit(2.0) * F.col("ix").cast("double")
+        - (F.col("n_users") + F.lit(1)).cast("double")
+        * F.col("total_events").cast("double")
+    ) / (F.col("n_users").cast("double") * F.col("total_events").cast("double"))
+    return agg.select(
+        F.col("k").alias(type_col),
+        "n_users",
+        "total_events",
+        (F.floor(g * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "gini"
+        ),
+    )
+
+
+CRAWL_DELAY_S = 10
+CRAWL_WORKERS = 8
+
+
+def crawl_schedule(
+    docs: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    delay_s: int = CRAWL_DELAY_S,
+    workers: int = CRAWL_WORKERS,
+) -> DataFrame:
+    """(doc_id, host, slot, worker, fetch_offset_s) — politeness-aware
+    crawl-frontier schedule: per host, fetches are serialized delay_s
+    apart (slot k fetches at k*delay_s); hosts are sharded across workers
+    by their rank in host-name order so one worker owns a host end-to-end
+    (per-host rate limits need no cross-worker coordination — the same
+    co-location argument as bucketing a join key).
+
+    Deterministic: within a host the fetch order is doc_id ascending
+    (stable priority); worker = (host_rank - 1) % workers over the sorted
+    distinct host list.
+
+    Shape at scale: one rank window partitioned by host (never a global
+    sort over docs) plus a window over DISTINCT hosts — cardinality
+    |hosts| << |docs| — broadcast back onto the assignment.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(host_col).alias("host"))
+    wh = Window.partitionBy("host").orderBy("doc_id")
+    hosts = base.select("host").distinct()
+    wr = Window.orderBy("host")
+    hostrank = hosts.select(
+        "host",
+        ((F.row_number().over(wr) - 1) % F.lit(int(workers)))
+        .cast("long")
+        .alias("worker"),
+    )
+    return (
+        base.withColumn("slot", (F.row_number().over(wh) - 1).cast("long"))
+        .join(F.broadcast(hostrank), "host")
+        .select(
+            "doc_id",
+            "host",
+            "slot",
+            "worker",
+            (F.col("slot") * F.lit(int(delay_s))).cast("long").alias(
+                "fetch_offset_s"
+            ),
+        )
+    )
+
+
+CENTROID_QSCALE = 10**5
+
+
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    qscale: int = CENTROID_QSCALE,
+) -> DataFrame:
+    """(label, n, centroid_norm, mean_intra_cos) — embedding-space health
+    report per class: centroid magnitude and mean cosine of members to
+    their own centroid (cluster cohesion).  A label whose cohesion sags is
+    mislabeled/noisy training data; tracked per ingest epoch it is the
+    embedding-drift alarm.
+
+    EXACT integer pipeline so the DuckDB twin hash-matches (float vector
+    sums accumulate in shuffle order — see bench-discipline): components
+    quantize to q = floor(x*qscale); per-label component sums S_k are
+    integer (order-free); the centroid re-quantizes to c_k =
+    (S_k + n*qscale) DIV n - qscale (bias keeps the numerator
+    non-negative so Spark DIV == DuckDB // == floor); per-row cosine uses
+    integer dot/norm sums q.c, q.q, c.c with the only floats one sqrt and
+    one division per row, floor-quantized to 4dp BEFORE the per-label
+    mean (an integer sum again).  Overflow: |q|,|c| <= qscale so the
+    per-row products stay < dim*qscale^2 ~ 6.4e11; S_k < n*qscale caps n
+    at ~9e13 rows per label.
+
+    Shape at scale: posexplode -> two map-side-combinable integer
+    aggregates (label,pos and row) + one broadcast join of the
+    (labels x dim)-sized centroid table.  No pairwise anything.
+    """
+    base = emb.select(
+        F.col(id_col).alias("i"),
+        F.col(label_col).cast("long").alias("g"),
+        F.col(vec_col).alias("v"),
+    )
+    n_by = base.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q = base.select(
+        "i",
+        "g",
+        F.posexplode("v").alias("pos", "x"),
+    ).select(
+        "i",
+        "g",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(float(qscale)))
+        .cast("long")
+        .alias("q"),
+    )
+    cent = (
+        q.groupBy("g", "pos")
+        .agg(F.sum("q").cast("long").alias("S"))
+        .join(F.broadcast(n_by), "g")
+        .select(
+            "g",
+            "pos",
+            F.expr(f"(S + n * {int(qscale)}) DIV n - {int(qscale)}")
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    cnorm = cent.groupBy("g").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("cc")
+    )
+    row = (
+        q.join(F.broadcast(cent), ["g", "pos"])
+        .groupBy("i", "g")
+        .agg(
+            F.sum(F.col("q") * F.col("c")).cast("long").alias("dot"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("qq"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("qq").cast("double")) * F.sqrt(F.col("cc").cast("double"))
+    )
+    cos_fp = F.when(
+        (F.col("qq") > 0) & (F.col("cc") > 0),
+        F.floor(cos * F.lit(10000.0) + F.lit(0.5)),
+    ).otherwise(F.lit(0)).cast("long")
+    per_label = (
+        row.join(F.broadcast(cnorm), "g")
+        .select("g", cos_fp.alias("cf"))
+        .groupBy("g")
+        .agg(F.sum("cf").cast("long").alias("sf"), F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        per_label.join(F.broadcast(cnorm), "g")
+        .select(
+            F.col("g").alias(label_col),
+            "n",
+            (
+                F.floor(
+                    F.sqrt(F.col("cc").cast("double"))
+                    / F.lit(float(qscale))
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("centroid_norm"),
+            (
+                F.floor(F.col("sf").cast("double") / F.col("n").cast("double") + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("mean_intra_cos"),
+        )
+    )

@@ -1391,3 +1391,74 @@ def graph_metapaths(
         .groupBy("type_a", "type_mid", "type_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
     )
+
+
+def hits_bipartite(
+    mentions: DataFrame,
+    hub_col: str = "chunk_id",
+    auth_col: str = "entity_name",
+    iterations: int = 4,
+    scale: int = 10**6,
+) -> DataFrame:
+    """(entity_name, auth_fp, authority) — HITS (Kleinberg 1999) over the
+    chunk->entity mention bipartite graph: an entity is authoritative when
+    good hub chunks mention it; a chunk is a good hub when it mentions
+    authoritative entities.  Salience signal for retrieval seeds that, unlike
+    raw degree (the reference's only centrality — SURVEY §2.10), discounts
+    entities mentioned only by entity-sparse chunks.
+
+    FIXED-POINT integers, same contract as :func:`pagerank_fixedpoint`:
+    each half-step is  a_raw(e) = SUM_{c ~ e} h(c)  followed by L1
+    normalization  a(e) = (a_raw * scale) // A_tot  (then symmetrically for
+    hubs).  Integer sums are shuffle-order-independent and the floor
+    divisions are identical in both engines on non-negatives, so the DuckDB
+    oracle replays the recursion as unrolled CTEs bit-exactly.
+
+    Overflow headroom: after normalization SUM of scores = ~scale, so
+    a_raw <= deg_max * scale and the normalizer product a_raw * scale <=
+    deg_max * scale^2 must stay < 2^63 — at scale 1e6 that admits degrees
+    to ~9e6 (document-scale safe; raise scale only with the bound in view).
+
+    Shape at scale: one distinct projection of the mention table, then per
+    iteration two (join + map-side-combinable sum) passes and two scalar
+    totals; each half-step localCheckpointed (module-docstring lesson).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    bi = (
+        mentions.select(F.col(hub_col).alias("c"), F.col(auth_col).alias("e"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = bi.select("c").distinct().select(
+        "c", F.lit(int(scale)).cast("long").alias("h")
+    )
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            bi.join(hubs, "c")
+            .groupBy("e")
+            .agg(F.sum("h").cast("long").alias("ar"))
+        )
+        a_tot = a_raw.agg(F.sum("ar").cast("long").alias("t"))
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_tot))
+            .select("e", F.expr(f"(ar * {int(scale)}) DIV t").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            bi.join(auth, "e")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("hr"))
+        )
+        h_tot = h_raw.agg(F.sum("hr").cast("long").alias("t"))
+        hubs = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select("c", F.expr(f"(hr * {int(scale)}) DIV t").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return auth.select(
+        F.col("e").alias(auth_col),
+        F.col("a").alias("auth_fp"),
+        (F.col("a") / F.lit(float(scale))).alias("authority"),
+    )

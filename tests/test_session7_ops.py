@@ -1,0 +1,186 @@
+"""Unit coverage for the session-7 operators: Markov transitions, CUSUM
+drift monitor, activity Gini, crawl-frontier schedule, token-overlap F1,
+bipartite HITS, label-centroid cohesion report."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightrag_spark.evaluation.tokenf1 import token_f1_pairs
+from lightrag_spark.operators import datapipe as dp
+from lightrag_spark.operators.graphs import hits_bipartite
+
+
+def _ts(day, hour=0, minute=0):
+    return datetime.datetime(2024, 3, day, hour, minute)
+
+
+def test_markov_transitions_counts_and_probs(spark):
+    # user 1: a -> b -> a -> b ; user 2: a -> a  (cross-user pairs must NOT
+    # count: last event of user 1 has no successor)
+    rows = [
+        (1, _ts(1, 1), 10, "a"),
+        (1, _ts(1, 2), 11, "b"),
+        (1, _ts(1, 3), 12, "a"),
+        (1, _ts(1, 4), 13, "b"),
+        (2, _ts(1, 5), 14, "a"),
+        (2, _ts(1, 6), 15, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {(r["from_type"], r["to_type"]): r for r in dp.markov_transitions(ev).collect()}
+    assert out[("a", "b")]["n"] == 2
+    assert out[("b", "a")]["n"] == 1
+    assert out[("a", "a")]["n"] == 1
+    # from 'a': 3 transitions total -> p(a->b)=2/3 quantized
+    assert out[("a", "b")]["prob"] == pytest.approx(0.6667)
+    assert out[("b", "a")]["prob"] == 1.0
+    assert ("b", "b") not in out
+
+
+def test_markov_ties_broken_by_event_id(spark):
+    # two events at the identical timestamp: order must follow event_id
+    rows = [(1, _ts(1), 1, "x"), (1, _ts(1), 2, "y"), (1, _ts(2), 3, "z")]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {(r["from_type"], r["to_type"]) for r in dp.markov_transitions(ev).collect()}
+    assert out == {("x", "y"), ("y", "z")}
+
+
+def _cusum_reference(counts):
+    """Direct S_i = max(0, S_{i-1} + dev_i) recursion in integer units."""
+    d, total = len(counts), sum(counts)
+    s, out = 0, []
+    for x in counts:
+        s = max(0, s + (x * d - total))
+        out.append(s)
+    return out
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    # a ramp with a burst: the closed-form prefix-min trick must equal the
+    # direct recursion on every prefix
+    counts = [5, 5, 5, 40, 5, 5, 60, 60, 5, 5]
+    rows = []
+    for day, n in enumerate(counts, start=1):
+        rows += [(_ts(day), "t")] * n
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {
+        r["day"].day: r for r in dp.cusum_daily(ev).collect()
+    }
+    ref = _cusum_reference(counts)
+    for day, expect in enumerate(ref, start=1):
+        assert got[day]["cusum_fp"] == expect
+    # alarm fires exactly where cumulative excess > 2 * total
+    total = sum(counts)
+    for day, expect in enumerate(ref, start=1):
+        assert got[day]["alarm"] == (expect > 2 * total)
+    # the burst days must alarm, the early flat days must not
+    assert not got[1]["alarm"] and got[8]["alarm"]
+
+
+def test_gini_uniform_and_concentrated(spark):
+    # uniform: 4 users x 5 events each -> G = 0
+    rows = [(u, "flat") for u in range(4) for _ in range(5)]
+    # concentrated: user 0 has 97 events, three others 1 each
+    rows += [(0, "skew")] * 97 + [(1, "skew"), (2, "skew"), (3, "skew")]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["event_type"]: r for r in dp.activity_gini(ev).collect()}
+    assert out["flat"]["gini"] == 0.0
+    assert out["flat"]["n_users"] == 4 and out["flat"]["total_events"] == 20
+    # exact rank formula: x=(1,1,1,97) -> G=(2*(1+2+3+4*97)-5*100)/(4*100)
+    assert out["skew"]["gini"] == pytest.approx((2 * (1 + 2 + 3 + 4 * 97) - 500) / 400)
+
+
+def test_crawl_schedule_politeness_and_sharding(spark):
+    rows = [(i, "h" + str(i % 3)) for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = dp.crawl_schedule(docs, delay_s=10, workers=2).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        # doc_id order -> consecutive slots, delay_s apart
+        assert [r["slot"] for r in rs] == [0, 1, 2]
+        assert [r["fetch_offset_s"] for r in rs] == [0, 10, 20]
+        # one worker owns the whole host
+        assert len({r["worker"] for r in rs}) == 1
+    # hosts h0,h1,h2 in name order -> workers 0,1,0
+    assert [by_host["h" + str(k)][0]["worker"] for k in range(3)] == [0, 1, 0]
+
+
+def test_token_f1_hand_computed(spark):
+    pairs = spark.createDataFrame(
+        [
+            (1, 1, ["a", "b", "b", "c"], ["a", "b", "d"]),   # overlap 2
+            (2, 2, ["x", "y"], ["x", "y"]),                   # exact match
+            (3, 3, ["p"], ["q"]),                             # disjoint
+        ],
+        "cand_id long, ref_id long, cand_tokens array<string>, "
+        "ref_tokens array<string>",
+    )
+    out = {r["cand_id"]: r for r in token_f1_pairs(pairs).collect()}
+    # clipped: min(2,1) for 'b' clips to 1 -> overlap = a(1)+b(1) = 2
+    assert out[1]["overlap"] == 2
+    assert out[1]["precision"] == 0.5
+    assert out[1]["recall"] == pytest.approx(0.6667)
+    assert out[1]["f1"] == pytest.approx(round(2 * 2 / 7, 4), abs=1e-9)
+    assert out[2]["precision"] == out[2]["recall"] == out[2]["f1"] == 1.0
+    assert out[3]["overlap"] == 0 and out[3]["f1"] == 0.0
+
+
+def test_hits_bipartite_matches_float_reference(spark):
+    # chunk c1 mentions {e1,e2,e3}; c2 {e1,e2}; c3 {e1}: authority must
+    # order e1 > e2 > e3 and track the float HITS fixpoint closely
+    edges = [
+        ("c1", "e1"), ("c1", "e2"), ("c1", "e3"),
+        ("c2", "e1"), ("c2", "e2"),
+        ("c3", "e1"),
+    ]
+    m = spark.createDataFrame(edges, "chunk_id string, entity_name string")
+    out = {r["entity_name"]: r for r in hits_bipartite(m, iterations=4).collect()}
+    assert out["e1"]["authority"] > out["e2"]["authority"] > out["e3"]["authority"]
+    # L1 normalization: auth_fp sums to ~scale (floor leak < n units)
+    total = sum(r["auth_fp"] for r in out.values())
+    assert 10**6 - 3 <= total <= 10**6
+
+    # float reference recursion with L1 normalization
+    import collections
+
+    h = {c: 1.0 for c, _ in edges}
+    by_c = collections.defaultdict(list)
+    by_e = collections.defaultdict(list)
+    for c, e in edges:
+        by_c[c].append(e)
+        by_e[e].append(c)
+    a = {}
+    for _ in range(4):
+        a = {e: sum(h[c] for c in cs) for e, cs in by_e.items()}
+        at = sum(a.values())
+        a = {e: v / at for e, v in a.items()}
+        h = {c: sum(a[e] for e in es) for c, es in by_c.items()}
+        ht = sum(h.values())
+        h = {c: v / ht for c, v in h.items()}
+    for e, v in a.items():
+        assert out[e]["authority"] == pytest.approx(v, abs=1e-4)
+
+
+def test_label_centroids_cohesion(spark):
+    # label 0: four identical vectors -> cohesion exactly 1.0, norm = |v|
+    # label 1: two opposite vectors -> centroid ~0, cohesion ~0
+    v = [0.3, -0.4, 0.0, 0.1]
+    rows = [(i, v, 0) for i in range(4)]
+    rows += [(10, [0.2, 0.2, 0.2, 0.2], 1), (11, [-0.2, -0.2, -0.2, -0.2], 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in dp.label_centroids(emb).collect()}
+    assert out[0]["n"] == 4 and out[1]["n"] == 2
+    assert out[0]["mean_intra_cos"] == pytest.approx(1.0, abs=1e-3)
+    assert out[0]["centroid_norm"] == pytest.approx(0.5099, abs=1e-3)
+    assert out[1]["centroid_norm"] == pytest.approx(0.0, abs=1e-3)
+    assert abs(out[1]["mean_intra_cos"]) <= 0.01
