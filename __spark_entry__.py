@@ -406,6 +406,68 @@ def _q_knn_vote(spark, sf):
     return ann.knn_label_vote_lsh(emb)
 
 
+def _q_knn_confusion(spark, sf):
+    """Confusion matrix of the LSH k-NN classifier (ann.knn_label_vote_lsh
+    grouped by actual x predicted): per-actual row shares expose which
+    classes the embedding space conflates — the label-noise audit."""
+    knn = ann.knn_label_vote_lsh(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    per = knn.groupBy("actual_label", "predicted_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per.groupBy("actual_label").agg(F.sum("n").cast("long").alias("t"))
+    share = F.col("n").cast("double") / F.col("t").cast("double")
+    return per.join(F.broadcast(tot), "actual_label").select(
+        "actual_label",
+        "predicted_label",
+        "n",
+        (F.floor(share * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "share"
+        ),
+    )
+
+
+def _q_knn_calibration(spark, sf):
+    """Calibration report + ECE of the LSH k-NN classifier: with k=5 the
+    winner's vote count IS the confidence bucket (conf = votes/5 exactly —
+    no float binning), per-bucket accuracy vs confidence gap, and the
+    expected calibration error as an n-weighted integer sum (order-free)."""
+    knn = ann.knn_label_vote_lsh(
+        spark.read.parquet(f"{sf}/embeddings.parquet"), with_votes=True
+    )
+    b = knn.groupBy("votes").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("correct").cast("long")).cast("long").alias("nc"),
+    )
+    g = b.select(
+        "votes",
+        "n",
+        "nc",
+        F.floor(
+            F.col("nc").cast("double") / F.col("n").cast("double") * F.lit(10000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("acc_fp"),
+        (F.col("votes") * F.lit(2000)).cast("long").alias("conf_fp"),
+    ).withColumn("gap_fp", F.abs(F.col("acc_fp") - F.col("conf_fp")).cast("long"))
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.col("n") * F.col("gap_fp")).cast("long").alias("wg"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "votes",
+        (F.col("conf_fp") / F.lit(10000.0)).alias("confidence"),
+        "n",
+        F.col("nc").alias("n_correct"),
+        (F.col("acc_fp") / F.lit(10000.0)).alias("accuracy"),
+        (F.col("gap_fp") / F.lit(10000.0)).alias("gap"),
+        (
+            F.floor(F.col("wg").cast("double") / F.col("nt").cast("double") + F.lit(0.5))
+            / F.lit(10000.0)
+        ).alias("ece"),
+    )
+
+
 def _q_ann_topk(spark, sf):
     """Approximate cosine top-k over LSH band buckets — the scale path for
     sim_cosine_topk (recall vs brute force measured in tests/test_ann.py)."""
@@ -3126,6 +3188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_token_f1": _q_eval_token_f1,
         "kg_hits": _q_kg_hits,
         "sim_label_centroids": _q_sim_label_centroids,
+        "sim_knn_confusion": _q_knn_confusion,
+        "eval_knn_calibration": _q_knn_calibration,
     }
 
 
@@ -3134,6 +3198,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TYPE_LIST = "[" + ", ".join(f"'{t}'" for t in TYPES) + "]"
+
+# Shared LSH k-NN oracle chain (candidates -> cosine -> top-5 -> votes ->
+# winner), appended to ann.duckdb_pruned_bands_cte(64); sim_knn_label_vote,
+# sim_knn_confusion, and eval_knn_calibration all terminate it differently.
+_KNN_CHAIN_SQL = """
+, cand AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+  FROM pruned a JOIN pruned b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+s AS (
+  SELECT c.qid, va.label AS actual_label, c.nid, vb.label AS nlabel,
+         round(list_dot_product(va.dv, vb.dv)
+               / (sqrt(list_dot_product(va.dv, va.dv)) * sqrt(list_dot_product(vb.dv, vb.dv))), 4) AS sim
+  FROM cand c JOIN v va ON va.vec_id = c.qid JOIN v vb ON vb.vec_id = c.nid),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+    FROM s) r WHERE rnk <= 5),
+votes AS (
+  SELECT qid, actual_label, nlabel, count(*) AS votes
+  FROM topk GROUP BY 1, 2, 3),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS vr
+  FROM votes)"""
 
 # Shared CTE prefix: enqueue (trim + doc-md5 + first-wins dedup) -> token
 # arrays -> token windows -> chunks -> entity streams.  ``doc_pred``
@@ -4439,30 +4527,48 @@ r AS (
   FROM s)
 SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""",
         "sim_knn_label_vote": ann.duckdb_pruned_bands_cte(64)
+        + _KNN_CHAIN_SQL
         + """
-, cand AS (
-  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-  FROM pruned a JOIN pruned b
-    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-s AS (
-  SELECT c.qid, va.label AS actual_label, c.nid, vb.label AS nlabel,
-         round(list_dot_product(va.dv, vb.dv)
-               / (sqrt(list_dot_product(va.dv, va.dv)) * sqrt(list_dot_product(vb.dv, vb.dv))), 4) AS sim
-  FROM cand c JOIN v va ON va.vec_id = c.qid JOIN v vb ON vb.vec_id = c.nid),
-topk AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
-    FROM s) r WHERE rnk <= 5),
-votes AS (
-  SELECT qid, actual_label, nlabel, count(*) AS votes
-  FROM topk GROUP BY 1, 2, 3),
-win AS (
-  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS vr
-  FROM votes)
 SELECT qid AS vec_id, actual_label::BIGINT AS actual_label,
        nlabel::BIGINT AS predicted_label,
        (nlabel = actual_label) AS correct
 FROM win WHERE vr = 1""",
+        # Confusion twin: the shared knn chain + actual x predicted counts
+        # and per-actual row shares.
+        "sim_knn_confusion": ann.duckdb_pruned_bands_cte(64)
+        + _KNN_CHAIN_SQL
+        + """,
+final AS (
+  SELECT qid, actual_label::BIGINT AS a, nlabel::BIGINT AS p
+  FROM win WHERE vr = 1),
+per AS (SELECT a, p, count(*)::BIGINT AS n FROM final GROUP BY 1, 2),
+tot AS (SELECT a, sum(n)::BIGINT AS t FROM per GROUP BY 1)
+SELECT per.a AS actual_label, p AS predicted_label, n,
+       floor((n::DOUBLE / t::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS share
+FROM per JOIN tot ON per.a = tot.a""",
+        # Calibration twin: vote count = confidence bucket (k=5 ->
+        # conf_fp = votes*2000 exactly); ECE via n-weighted integer sum.
+        "eval_knn_calibration": ann.duckdb_pruned_bands_cte(64)
+        + _KNN_CHAIN_SQL
+        + """,
+final AS (
+  SELECT qid, votes::BIGINT AS votes, (nlabel = actual_label) AS correct
+  FROM win WHERE vr = 1),
+b AS (
+  SELECT votes, count(*)::BIGINT AS n,
+         sum(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT AS nc
+  FROM final GROUP BY 1),
+g AS (
+  SELECT votes, n, nc,
+         floor(nc::DOUBLE / n::DOUBLE * 10000.0 + 0.5)::BIGINT AS acc_fp,
+         (votes * 2000)::BIGINT AS conf_fp
+  FROM b),
+g2 AS (SELECT *, abs(acc_fp - conf_fp)::BIGINT AS gap_fp FROM g),
+tot AS (SELECT sum(n)::BIGINT AS nt, sum(n * gap_fp)::BIGINT AS wg FROM g2)
+SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
+       acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
+       floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
+FROM g2, tot""",
         "sim_ann_topk": ann.duckdb_pruned_bands_cte(64)
         + """
 , cand AS (

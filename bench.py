@@ -223,6 +223,8 @@ def main():
         "crawl_schedule",
         "eval_token_f1",
         "sim_label_centroids",
+        "sim_knn_confusion",
+        "eval_knn_calibration",
     )
 
     def _time(name):

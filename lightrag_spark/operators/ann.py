@@ -578,9 +578,13 @@ def knn_label_vote_lsh(
     dim: int = 64,
     max_bucket="auto",
     rows="auto",
+    with_votes: bool = False,
 ) -> DataFrame:
     """k-NN classification over LSH-bucketed candidates (the scale path for
     datapipe.knn_label_vote, which is all-pairs by construction).
+    ``with_votes=True`` appends the winning label's vote count (the raw
+    confidence signal calibration reads); default off keeps the original
+    gated column set.
 
     Every vector is a query; its neighbour pool is the union of its band
     buckets — the self-join keys on (band_idx, bucket), so work scales with
@@ -622,15 +626,18 @@ def knn_label_vote_lsh(
         F.count(F.lit(1)).alias("votes")
     )
     wv = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("nlabel"))
+    cols = [
+        F.col("qid").alias("vec_id"),
+        F.col("actual_label").cast("long").alias("actual_label"),
+        F.col("nlabel").cast("long").alias("predicted_label"),
+        (F.col("nlabel") == F.col("actual_label")).alias("correct"),
+    ]
+    if with_votes:
+        cols.append(F.col("votes").cast("long").alias("votes"))
     return (
         votes.withColumn("vr", F.row_number().over(wv))
         .filter(F.col("vr") == 1)
-        .select(
-            F.col("qid").alias("vec_id"),
-            F.col("actual_label").cast("long").alias("actual_label"),
-            F.col("nlabel").cast("long").alias("predicted_label"),
-            (F.col("nlabel") == F.col("actual_label")).alias("correct"),
-        )
+        .select(*cols)
     )
 
 

@@ -184,3 +184,23 @@ def test_label_centroids_cohesion(spark):
     assert out[0]["centroid_norm"] == pytest.approx(0.5099, abs=1e-3)
     assert out[1]["centroid_norm"] == pytest.approx(0.0, abs=1e-3)
     assert abs(out[1]["mean_intra_cos"]) <= 0.01
+
+
+def test_knn_with_votes_column(spark):
+    from lightrag_spark.operators import ann
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(64)], i % 3) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ann.knn_label_vote_lsh(emb, with_votes=True).collect()
+    assert out, "expected some non-isolate queries"
+    for r in out:
+        assert 1 <= r["votes"] <= 5
+        assert r["correct"] == (r["predicted_label"] == r["actual_label"])
+    # default column set unchanged (the gated query's schema)
+    plain = ann.knn_label_vote_lsh(emb).columns
+    assert plain == ["vec_id", "actual_label", "predicted_label", "correct"]
