@@ -3024,6 +3024,81 @@ h{k} AS (
     return "".join(parts)
 
 
+_TRUSS_K = 3
+_TRUSS_UNROLL = 4
+
+
+def _q_dedup_truss(spark, sf):
+    """Duplicate-cluster cores (graphs.ktruss_edges, k=3) over the LSH
+    near-dup pair graph: edges that close triangles WITHIN the surviving
+    subgraph — triangle-corroborated duplicate families — versus chance
+    single-pair LSH hits, which peel away.  Convergence-observed peeling
+    vs a fixed-unroll twin (extra rounds are no-ops on the fixed point)."""
+    from lightrag_spark.operators.graphs import ktruss_edges
+
+    pairs = dp.near_duplicate_pairs(_documents(spark, sf))
+    return ktruss_edges(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("tgt")),
+        k=_TRUSS_K,
+    )
+
+
+def _truss_sql(rounds: int = _TRUSS_UNROLL, k: int = _TRUSS_K) -> str:
+    """Unrolled k-truss peeling oracle chain over a ``tpairs(doc_a,
+    doc_b)`` CTE: static (initial-degree, name) orientation, per-round
+    triangle support + filter, final support pass on the fixed point.
+    ``rounds`` must be >= the observed convergence depth (asserted on the
+    Spark side by ktruss_edges' convergence check)."""
+    thr = k - 2
+    ordc = "da.d < db.d OR (da.d = db.d AND e.a < e.b)"
+    parts = [f""",
+tke0 AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+         FROM tpairs WHERE doc_a <> doc_b),
+tdeg AS MATERIALIZED (SELECT a AS n, count(*)::BIGINT AS d
+         FROM (SELECT a FROM tke0 UNION ALL SELECT b FROM tke0) u(a)
+         GROUP BY 1),
+tor0 AS MATERIALIZED (
+  SELECT CASE WHEN {ordc} THEN e.a ELSE e.b END AS lo,
+         CASE WHEN {ordc} THEN e.b ELSE e.a END AS hi,
+         CASE WHEN {ordc} THEN db.d ELSE da.d END AS dhi
+  FROM tke0 e JOIN tdeg da ON da.n = e.a JOIN tdeg db ON db.n = e.b)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+ttri{r} AS MATERIALIZED (
+  SELECT x.lo AS n0, x.hi AS n1, y.hi AS n2
+  FROM tor{r - 1} x JOIN tor{r - 1} y
+    ON x.lo = y.lo
+   AND (x.dhi < y.dhi OR (x.dhi = y.dhi AND x.hi < y.hi))
+  JOIN tor{r - 1} c ON c.lo = x.hi AND c.hi = y.hi),
+tsup{r} AS MATERIALIZED (
+  SELECT lo, hi, count(*)::BIGINT AS s
+  FROM (SELECT n0 AS lo, n1 AS hi FROM ttri{r}
+        UNION ALL SELECT n1, n2 FROM ttri{r}
+        UNION ALL SELECT n0, n2 FROM ttri{r}) u
+  GROUP BY 1, 2),
+tor{r} AS MATERIALIZED (
+  SELECT e.lo, e.hi, e.dhi
+  FROM tor{r - 1} e LEFT JOIN tsup{r} s ON s.lo = e.lo AND s.hi = e.hi
+  WHERE coalesce(s.s, 0) >= {thr})""")
+    parts.append(f""",
+ftri AS MATERIALIZED (
+  SELECT x.lo AS n0, x.hi AS n1, y.hi AS n2
+  FROM tor{rounds} x JOIN tor{rounds} y
+    ON x.lo = y.lo
+   AND (x.dhi < y.dhi OR (x.dhi = y.dhi AND x.hi < y.hi))
+  JOIN tor{rounds} c ON c.lo = x.hi AND c.hi = y.hi),
+fsup AS MATERIALIZED (
+  SELECT lo, hi, count(*)::BIGINT AS s
+  FROM (SELECT n0 AS lo, n1 AS hi FROM ftri
+        UNION ALL SELECT n1, n2 FROM ftri
+        UNION ALL SELECT n0, n2 FROM ftri) u
+  GROUP BY 1, 2)
+SELECT least(e.lo, e.hi) AS src, greatest(e.lo, e.hi) AS tgt,
+       coalesce(s.s, 0)::BIGINT AS support
+FROM tor{rounds} e LEFT JOIN fsup s ON s.lo = e.lo AND s.hi = e.hi""")
+    return "".join(parts)
+
+
 def _q_sim_mmr(spark, sf):
     """MMR diversified top-k (datapipe.mmr_topk, lambda=0.7, pool=20, k=5):
     greedy relevance-minus-redundancy selection over the sim_cosine_topk
@@ -3190,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_label_centroids": _q_sim_label_centroids,
         "sim_knn_confusion": _q_knn_confusion,
         "eval_knn_calibration": _q_knn_calibration,
+        "dedup_truss_cores": _q_dedup_truss,
     }
 
 
@@ -4569,6 +4645,14 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # k-truss twin: the near-dup pair chain feeds the unrolled peeling
+        # recursion (_truss_sql).
+        "dedup_truss_cores": _MINHASH_CTE
+        + _NEARDUP_CHAIN
+        + f""",
+tpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM j
+           WHERE jaccard >= {dp.NEARDUP_THRESHOLD})"""
+        + _truss_sql(),
         "sim_ann_topk": ann.duckdb_pruned_bands_cte(64)
         + """
 , cand AS (

@@ -225,6 +225,7 @@ def main():
         "sim_label_centroids",
         "sim_knn_confusion",
         "eval_knn_calibration",
+        "dedup_truss_cores",
     )
 
     def _time(name):

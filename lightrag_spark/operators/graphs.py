@@ -1462,3 +1462,104 @@ def hits_bipartite(
         F.col("a").alias("auth_fp"),
         (F.col("a") / F.lit(float(scale))).alias("authority"),
     )
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int = 4,
+    max_iter: int = 12,
+    src: str = "src",
+    tgt: str = "tgt",
+) -> DataFrame:
+    """(src, tgt, support) — the k-truss of the undirected edge set: the
+    maximal subgraph in which every edge closes >= k-2 triangles WITHIN the
+    subgraph (Cohen 2008).  Edge-level cohesion one notch stronger than
+    k-core: a truss edge sits inside overlapping triangles, so the truss
+    strips hub spokes and bridge edges that survive coreness — the
+    relation-confidence filter for a noisy extracted KG (an edge two
+    entities share many common neighbors with is extraction-corroborated).
+
+    Peeling: each round counts per-edge triangle support, drops edges
+    below k-2, repeats until no edge drops (monotone shrinking, so a
+    stable COUNT proves a stable SET — the convergence-observed pattern
+    of connected_components; raises if max_iter rounds don't converge).
+    Triangles are enumerated once each via a STATIC total order on nodes
+    by (initial degree, name) — the same last-reducer orientation as
+    triangle_counts, valid through every round because any consistent
+    total order yields exact enumeration; keeping the initial order
+    avoids re-ranking as degrees shrink (at most it loosens the
+    O(sqrt(m)) wedge bound on later, smaller rounds).
+
+    The DuckDB twin (``queries[kg_ktruss]``) unrolls a fixed round count
+    >= the observed convergence depth; extra rounds are no-ops on the
+    fixed point, so the hash gate is exact.  Each round is two equi-joins
+    + one map-side-combinable count; every round localCheckpoints (the
+    iterative-lineage lesson in the module docstring).
+    """
+    if k < 3:
+        raise ValueError(f"k-truss needs k >= 3, got {k}")
+    thr = k - 2
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    g = e.join(
+        deg.select(F.col("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("a").alias("b"), F.col("d").alias("db")), "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    cur = g.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dhi"),
+    ).localCheckpoint(eager=True)
+    n = cur.count()
+
+    def _support(cc):
+        x, y = cc.alias("x"), cc.alias("y")
+        hi_order = (F.col("x.dhi") < F.col("y.dhi")) | (
+            (F.col("x.dhi") == F.col("y.dhi")) & (F.col("x.hi") < F.col("y.hi"))
+        )
+        wedges = x.join(y, (F.col("x.lo") == F.col("y.lo")) & hi_order).select(
+            F.col("x.lo").alias("n0"),
+            F.col("x.hi").alias("n1"),
+            F.col("y.hi").alias("n2"),
+        )
+        closing = cc.select(F.col("lo").alias("n1"), F.col("hi").alias("n2"))
+        tri = wedges.join(closing, ["n1", "n2"])
+        return (
+            tri.select(F.col("n0").alias("lo"), F.col("n1").alias("hi"))
+            .unionAll(tri.select(F.col("n1").alias("lo"), F.col("n2").alias("hi")))
+            .unionAll(tri.select(F.col("n0").alias("lo"), F.col("n2").alias("hi")))
+            .groupBy("lo", "hi")
+            .agg(F.count(F.lit(1)).cast("long").alias("s"))
+        )
+
+    for _ in range(max_iter):
+        sup = _support(cur)
+        kept = (
+            cur.join(sup, ["lo", "hi"], "left")
+            .withColumn("s", F.coalesce(F.col("s"), F.lit(0)).cast("long"))
+            .filter(F.col("s") >= thr)
+            .localCheckpoint(eager=True)
+        )
+        m = kept.count()
+        if m == n:
+            return kept.select(
+                F.least("lo", "hi").alias(src),
+                F.greatest("lo", "hi").alias(tgt),
+                F.col("s").alias("support"),
+            )
+        cur = kept.select("lo", "hi", "dhi")
+        n = m
+    raise RuntimeError(
+        f"k-truss peeling did not converge within max_iter={max_iter}"
+    )

@@ -204,3 +204,39 @@ def test_knn_with_votes_column(spark):
     # default column set unchanged (the gated query's schema)
     plain = ann.knn_label_vote_lsh(emb).columns
     assert plain == ["vec_id", "actual_label", "predicted_label", "correct"]
+
+
+def test_ktruss_peels_pendant_triangle(spark):
+    from lightrag_spark.operators.graphs import ktruss_edges
+
+    # K4 on {a,b,c,d} (every edge in 2 triangles) + a pendant triangle
+    # {a,x,y} (support 1 each) + a lone chain edge (support 0)
+    k4 = [(u, v) for i, u in enumerate("abcd") for v in "abcd"[i + 1:]]
+    extra = [("a", "x"), ("a", "y"), ("x", "y"), ("y", "z")]
+    e = spark.createDataFrame(k4 + extra, "src string, tgt string")
+    out = {(r["src"], r["tgt"]): r["support"] for r in ktruss_edges(e, k=4).collect()}
+    assert set(out) == {tuple(sorted(p)) for p in k4}
+    assert all(s == 2 for s in out.values())
+
+
+def test_ktruss_cascading_rounds(spark):
+    from lightrag_spark.operators.graphs import ktruss_edges
+
+    # two triangles sharing edge (a,b): shared edge support 2, others 1.
+    # k=4 drops the four outer edges in round 1, which starves (a,b) in
+    # round 2 -> empty truss only after a genuine multi-round cascade.
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")],
+        "src string, tgt string",
+    )
+    assert ktruss_edges(e, k=4).count() == 0
+    # k=3 keeps both triangles intact
+    assert ktruss_edges(e, k=3).count() == 5
+
+
+def test_ktruss_validates_k(spark):
+    from lightrag_spark.operators.graphs import ktruss_edges
+
+    e = spark.createDataFrame([("a", "b")], "src string, tgt string")
+    with pytest.raises(ValueError):
+        ktruss_edges(e, k=2)
