@@ -468,6 +468,13 @@ def _q_knn_calibration(spark, sf):
     )
 
 
+def _q_hard_negatives(spark, sf):
+    """Hard-negative mining (ann.hard_negatives_lsh): wrong-label members
+    of each query's LSH top-5 pool, cosine-ranked — contrastive training
+    pairs from the boundary, on the shared knn chain."""
+    return ann.hard_negatives_lsh(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+
 def _q_ann_topk(spark, sf):
     """Approximate cosine top-k over LSH band buckets — the scale path for
     sim_cosine_topk (recall vs brute force measured in tests/test_ann.py)."""
@@ -3266,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_confusion": _q_knn_confusion,
         "eval_knn_calibration": _q_knn_calibration,
         "dedup_truss_cores": _q_dedup_truss,
+        "sim_hard_negatives": _q_hard_negatives,
     }
 
 
@@ -4645,6 +4653,19 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # Hard-negative twin: the shared knn chain's top-5 pool, wrong-label
+        # members re-ranked by cosine.
+        "sim_hard_negatives": ann.duckdb_pruned_bands_cte(64)
+        + _KNN_CHAIN_SQL
+        + """,
+negs AS (
+  SELECT qid, actual_label, nid, nlabel, sim
+  FROM topk WHERE nlabel <> actual_label)
+SELECT qid AS vec_id, actual_label::BIGINT AS label, nid AS negative_id,
+       nlabel::BIGINT AS negative_label, sim,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY sim DESC, nid)::BIGINT AS neg_rank
+FROM negs""",
         # k-truss twin: the near-dup pair chain feeds the unrolled peeling
         # recursion (_truss_sql).
         "dedup_truss_cores": _MINHASH_CTE

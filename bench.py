@@ -226,6 +226,7 @@ def main():
         "sim_knn_confusion",
         "eval_knn_calibration",
         "dedup_truss_cores",
+        "sim_hard_negatives",
     )
 
     def _time(name):

@@ -569,6 +569,85 @@ def bucket_scored_pairs(
     )
 
 
+def _labeled_knn_topk(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    max_bucket,
+    rows,
+) -> DataFrame:
+    """Shared LSH k-NN head: (qid, nid, sim, actual_label, nlabel, rnk)
+    rows for the per-query top-k labeled neighbour pool — terminated by
+    knn_label_vote_lsh (majority vote) and hard_negatives_lsh (wrong-label
+    mining).  Dataflow and determinism contract documented on
+    knn_label_vote_lsh."""
+    rows = _resolve_rows(rows, embeddings)
+    bands = ann_bands(embeddings, id_col, vec_col, dim, rows=rows, with_vec=True)
+    if max_bucket is not None:
+        bands = prune_megabuckets(bands, max_bucket)
+    bands = _wide(bands, "band_idx", "bucket")
+    # bucket-local matmul scoring with per-bucket top-k pushdown (exact —
+    # see bucket_scored_pairs); the band fan-out collapses on the pair key
+    # with max(sim) — agg on the key, not distinct on the float, so a
+    # last-ulp BLAS difference between buckets can never duplicate a pair.
+    pairs = (
+        bucket_scored_pairs(bands, id_col, vec_col, k=k)
+        .groupBy("qid", "nid")
+        .agg(F.max("sim").alias("sim"))
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("qid"), F.col(label_col).alias("actual_label")
+    )
+    nlabels = embeddings.select(
+        F.col(id_col).alias("nid"), F.col(label_col).alias("nlabel")
+    )
+    # label attach: two narrow (id, label) joins — AQE broadcasts them at
+    # test scale; at corpus scale they stay shuffle joins on slim columns.
+    scored = pairs.join(labels, "qid").join(nlabels, "nid")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def hard_negatives_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    max_bucket="auto",
+    rows="auto",
+) -> DataFrame:
+    """(vec_id, label, negative_id, negative_label, sim, neg_rank) — hard
+    negative mining for contrastive/metric training: within each query's
+    LSH top-k neighbour pool, the OTHER-label members ranked by cosine —
+    the near-miss examples a retrieval or classifier head learns most from
+    (easy random negatives are already separated; these sit on the
+    boundary).
+
+    Same scale path as knn_label_vote_lsh (shared head, never all-pairs);
+    the wrong-label filter and re-rank are projections over that pool.
+    """
+    topk = _labeled_knn_topk(
+        embeddings, k, id_col, vec_col, label_col, dim, max_bucket, rows
+    )
+    negs = topk.filter(F.col("nlabel") != F.col("actual_label"))
+    wn = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return negs.select(
+        F.col("qid").alias("vec_id"),
+        F.col("actual_label").cast("long").alias("label"),
+        F.col("nid").alias("negative_id"),
+        F.col("nlabel").cast("long").alias("negative_label"),
+        "sim",
+        F.row_number().over(wn).cast("long").alias("neg_rank"),
+    )
+
+
 def knn_label_vote_lsh(
     embeddings: DataFrame,
     k: int = 5,
@@ -597,31 +676,9 @@ def knn_label_vote_lsh(
     reference's VDB threshold (cosine ≥ 0.2) would discard anyway.
     Output: (vec_id, actual_label, predicted_label, correct).
     """
-    rows = _resolve_rows(rows, embeddings)
-    bands = ann_bands(embeddings, id_col, vec_col, dim, rows=rows, with_vec=True)
-    if max_bucket is not None:
-        bands = prune_megabuckets(bands, max_bucket)
-    bands = _wide(bands, "band_idx", "bucket")
-    # bucket-local matmul scoring with per-bucket top-k pushdown (exact —
-    # see bucket_scored_pairs); the band fan-out collapses on the pair key
-    # with max(sim) — agg on the key, not distinct on the float, so a
-    # last-ulp BLAS difference between buckets can never duplicate a pair.
-    pairs = (
-        bucket_scored_pairs(bands, id_col, vec_col, k=k)
-        .groupBy("qid", "nid")
-        .agg(F.max("sim").alias("sim"))
+    topk = _labeled_knn_topk(
+        embeddings, k, id_col, vec_col, label_col, dim, max_bucket, rows
     )
-    labels = embeddings.select(
-        F.col(id_col).alias("qid"), F.col(label_col).alias("actual_label")
-    )
-    nlabels = embeddings.select(
-        F.col(id_col).alias("nid"), F.col(label_col).alias("nlabel")
-    )
-    # label attach: two narrow (id, label) joins — AQE broadcasts them at
-    # test scale; at corpus scale they stay shuffle joins on slim columns.
-    scored = pairs.join(labels, "qid").join(nlabels, "nid")
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
-    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
     votes = topk.groupBy("qid", "actual_label", "nlabel").agg(
         F.count(F.lit(1)).alias("votes")
     )

@@ -240,3 +240,28 @@ def test_ktruss_validates_k(spark):
     e = spark.createDataFrame([("a", "b")], "src string, tgt string")
     with pytest.raises(ValueError):
         ktruss_edges(e, k=2)
+
+
+def test_hard_negatives_are_wrong_label_and_ranked(spark):
+    from lightrag_spark.operators import ann
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(64)], i % 2) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ann.hard_negatives_lsh(emb).collect()
+    assert out, "expected some hard negatives"
+    by_q = {}
+    for r in out:
+        assert r["negative_label"] != r["label"]
+        assert r["negative_id"] != r["vec_id"]
+        by_q.setdefault(r["vec_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["neg_rank"])
+        assert [r["neg_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rs) <= 5
