@@ -3031,6 +3031,13 @@ h{k} AS (
     return "".join(parts)
 
 
+def _q_bot_signals(spark, sf):
+    """Per-user bot fingerprint (datapipe.user_bot_signals): event-type
+    entropy + inter-arrival cv^2, both integer-quantized, ANDed with a
+    volume floor into a bot_like flag."""
+    return dp.user_bot_signals(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 _TRUSS_K = 3
 _TRUSS_UNROLL = 4
 
@@ -3274,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_knn_calibration": _q_knn_calibration,
         "dedup_truss_cores": _q_dedup_truss,
         "sim_hard_negatives": _q_hard_negatives,
+        "events_bot_signals": _q_bot_signals,
     }
 
 
@@ -4653,6 +4661,43 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # Bot-signal twin: identical per-row entropy quantization (integer
+        # sum), gap epochs as truncated-second integers, cv^2 as one
+        # integer/integer division.
+        "events_bot_signals": f"""
+WITH base AS (
+  SELECT user_id AS u, ts, event_id AS i, event_type AS k,
+         (epoch_us(ts) // 1000000)::BIGINT AS ep
+  FROM events),
+g AS (
+  SELECT u, ep - lag(ep) OVER (PARTITION BY u ORDER BY ts, i) AS gap
+  FROM base),
+ga AS (
+  SELECT u, count(*)::BIGINT AS m, sum(gap)::BIGINT AS sg,
+         sum(gap * gap)::BIGINT AS sg2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+tc AS (SELECT u, k, count(*)::BIGINT AS nut FROM base GROUP BY 1, 2),
+tu AS (SELECT u, sum(nut)::BIGINT AS nu, count(*)::BIGINT AS n_types
+       FROM tc GROUP BY 1),
+ent AS (
+  SELECT tc.u,
+         sum(floor(-(nut::DOUBLE / nu::DOUBLE)
+                   * ln(nut::DOUBLE / nu::DOUBLE) * 1000000.0))::BIGINT
+           AS ent_fp
+  FROM tc JOIN tu ON tc.u = tu.u GROUP BY 1),
+j AS (
+  SELECT tu.u, nu, n_types, ent_fp,
+         (CASE WHEN sg = 0 THEN 0
+               ELSE floor((m * sg2 - sg * sg)::DOUBLE / (sg * sg)::DOUBLE
+                          * 10000.0 + 0.5) END)::BIGINT AS cv2_fp
+  FROM tu JOIN ga ON tu.u = ga.u JOIN ent ON tu.u = ent.u
+  WHERE nu >= {dp.BOT_MIN_EVENTS})
+SELECT u AS user_id, nu AS n_events, n_types,
+       ent_fp / 1000000.0 AS entropy,
+       cv2_fp / 10000.0 AS cv2,
+       (ent_fp < {dp.BOT_ENT_FP_THR} AND cv2_fp < {dp.BOT_CV2_FP_THR}
+        AND nu >= {dp.BOT_VOLUME_THR}) AS bot_like
+FROM j""",
         # Hard-negative twin: the shared knn chain's top-5 pool, wrong-label
         # members re-ranked by cosine.
         "sim_hard_negatives": ann.duckdb_pruned_bands_cte(64)

@@ -227,6 +227,7 @@ def main():
         "eval_knn_calibration",
         "dedup_truss_cores",
         "sim_hard_negatives",
+        "events_bot_signals",
     )
 
     def _time(name):

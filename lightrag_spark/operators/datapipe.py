@@ -4590,3 +4590,101 @@ def label_centroids(
             ).alias("mean_intra_cos"),
         )
     )
+
+
+BOT_MIN_EVENTS = 5
+BOT_ENT_FP_THR = 500_000      # 0.5 nats at the 1e6 entropy quantization
+BOT_CV2_FP_THR = 2_500        # cv^2 = 0.25 at the 1e4 quantization
+BOT_VOLUME_THR = 20
+
+
+def user_bot_signals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    min_events: int = BOT_MIN_EVENTS,
+) -> DataFrame:
+    """(user_id, n_events, n_types, entropy, cv2, bot_like) — behavioral
+    bot fingerprint per user: automated traffic has a near-deterministic
+    action mix (LOW event-type entropy) and metronomic timing (LOW squared
+    coefficient of variation of inter-event gaps), while humans are
+    high-entropy and bursty.  The flag ANDs both signals with a volume
+    floor — the pre-filter a crawl/abuse pipeline runs before any
+    per-user modeling.
+
+    Exact cross-engine arithmetic: entropy terms -p*ln(p) are quantized
+    to integers (1e6) PER (user,type) ROW before the integer sum (the
+    ln is the bm25-gated 1-ulp class; the sum is order-free); gaps are
+    truncated epoch-second integers, so cv^2 = (m*Σg² - (Σg)²)/(Σg)² is
+    ONE integer/integer division (variance never touches a float mean),
+    floor-quantized to 4dp; Σg = 0 (all events in one second) defines
+    cv2 = 0, perfectly regular.  Overflow bound: m * Σg² < 2^63 — at
+    1e6 events/user with ~1e3 s gaps that is ~1e18; document before
+    raising min_events horizons.
+
+    Shape at scale: one lag window by user (the sessionize shuffle), one
+    (user,type) count, two per-user aggregates — no joins wider than
+    user-keyed equi-joins.  Users with fewer than ``min_events`` events
+    are excluded (their signals are noise).
+    """
+    # truncated epoch seconds as integers: unix_micros DIV 1e6 here,
+    # epoch_us // 1e6 in the twin — identical floors on non-negatives
+    # (the NTZ column cannot cast straight to long in Spark 4)
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("k"),
+        (F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .cast("long")
+        .alias("ep_us"),
+    ).withColumn("ep", F.expr("ep_us DIV 1000000"))
+    w = Window.partitionBy("u").orderBy("t", "i")
+    gaps = base.withColumn("gap", F.col("ep") - F.lag("ep").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    ga = gaps.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("gap").cast("long").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sg2"),
+    )
+    tc = base.groupBy("u", "k").agg(F.count(F.lit(1)).cast("long").alias("nut"))
+    tu = tc.groupBy("u").agg(
+        F.sum("nut").cast("long").alias("nu"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    p = F.col("nut").cast("double") / F.col("nu").cast("double")
+    ent = (
+        tc.join(tu.select("u", "nu"), "u")
+        .select("u", F.floor(-p * F.log(p) * F.lit(1000000.0)).cast("long").alias("term"))
+        .groupBy("u")
+        .agg(F.sum("term").cast("long").alias("ent_fp"))
+    )
+    cv2_fp = F.when(F.col("sg") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (F.col("m") * F.col("sg2") - F.col("sg") * F.col("sg")).cast("double")
+            / (F.col("sg") * F.col("sg")).cast("double")
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    j = (
+        tu.filter(F.col("nu") >= int(min_events))
+        .join(ga, "u")
+        .join(ent, "u")
+        .withColumn("cv2_fp", cv2_fp)
+    )
+    return j.select(
+        F.col("u").alias(user_col),
+        F.col("nu").alias("n_events"),
+        "n_types",
+        (F.col("ent_fp") / F.lit(1000000.0)).alias("entropy"),
+        (F.col("cv2_fp") / F.lit(10000.0)).alias("cv2"),
+        (
+            (F.col("ent_fp") < F.lit(int(BOT_ENT_FP_THR)))
+            & (F.col("cv2_fp") < F.lit(int(BOT_CV2_FP_THR)))
+            & (F.col("nu") >= F.lit(int(BOT_VOLUME_THR)))
+        ).alias("bot_like"),
+    )

@@ -265,3 +265,36 @@ def test_hard_negatives_are_wrong_label_and_ranked(spark):
         sims = [r["sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
         assert len(rs) <= 5
+
+
+def test_bot_signals_flags_metronome(spark):
+    rows = []
+    # bot: 30 'ping' events exactly 10s apart -> entropy 0, cv2 0
+    t0 = datetime.datetime(2024, 3, 1)
+    for i in range(30):
+        rows.append((1, t0 + datetime.timedelta(seconds=10 * i), 100 + i, "ping"))
+    # human: 30 events, mixed types, irregular gaps
+    gaps = [3, 50, 7, 200, 1, 90, 15, 400, 2, 60] * 3
+    t = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    for i, g in enumerate(gaps):
+        t = t + datetime.timedelta(seconds=g)
+        rows.append((2, t, 200 + i, "abcde"[i % 5]))
+    # low-volume user: metronomic but only 6 events -> below volume floor
+    t1 = datetime.datetime(2024, 3, 1, 1)
+    for i in range(6):
+        rows.append((3, t1 + datetime.timedelta(seconds=10 * i), 300 + i, "ping"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r["user_id"]: r for r in dp.user_bot_signals(ev).collect()}
+    assert out[1]["bot_like"] is True
+    assert out[1]["entropy"] == 0.0 and out[1]["cv2"] == 0.0
+    assert out[2]["bot_like"] is False
+    assert out[2]["entropy"] > 1.0 and out[2]["cv2"] > 0.25
+    assert out[3]["bot_like"] is False and out[3]["n_events"] == 6
+    # users under min_events are excluded entirely
+    few = spark.createDataFrame(
+        [(9, datetime.datetime(2024, 3, 1), 1, "x")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    assert dp.user_bot_signals(few).count() == 0
