@@ -3038,6 +3038,13 @@ def _q_bot_signals(spark, sf):
     return dp.user_bot_signals(spark.read.parquet(f"{sf}/events.parquet"))
 
 
+def _q_temperature_weights(spark, sf):
+    """Temperature-scaled domain sampling weights (datapipe.
+    temperature_weights, T=0.7): n^T quantized to integers before the
+    normalizing sum, mT5-style rebalance report per source."""
+    return dp.temperature_weights(_documents(spark, sf))
+
+
 _TRUSS_K = 3
 _TRUSS_UNROLL = 4
 
@@ -3282,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_truss_cores": _q_dedup_truss,
         "sim_hard_negatives": _q_hard_negatives,
         "events_bot_signals": _q_bot_signals,
+        "data_temperature_weights": _q_temperature_weights,
     }
 
 
@@ -4661,6 +4669,26 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # Temperature-weight twin: n^T quantized to integers per domain
+        # before the normalizing sum; each output one division chain in
+        # the identical order.
+        "data_temperature_weights": f"""
+WITH per AS (
+  SELECT source AS g, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+scored AS (
+  SELECT g, n,
+         floor(exp({dp.TEMP_SAMPLING_T_NUM / dp.TEMP_SAMPLING_T_DEN!r}
+                   * ln(n::DOUBLE)) * 1000000.0)::BIGINT AS q
+  FROM per),
+tot AS (SELECT sum(q)::BIGINT AS qt, sum(n)::BIGINT AS nt FROM scored)
+SELECT g AS source, n AS n_docs,
+       floor((n::DOUBLE / nt::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS natural_frac,
+       floor((q::DOUBLE / qt::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS weight,
+       floor(((q::DOUBLE / qt::DOUBLE) / (n::DOUBLE / nt::DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS upsample_ratio
+FROM scored, tot""",
         # Bot-signal twin: identical per-row entropy quantization (integer
         # sum), gap epochs as truncated-second integers, cv^2 as one
         # integer/integer division.

@@ -228,6 +228,7 @@ def main():
         "dedup_truss_cores",
         "sim_hard_negatives",
         "events_bot_signals",
+        "data_temperature_weights",
     )
 
     def _time(name):

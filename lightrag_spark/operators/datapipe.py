@@ -4688,3 +4688,54 @@ def user_bot_signals(
             & (F.col("nu") >= F.lit(int(BOT_VOLUME_THR)))
         ).alias("bot_like"),
     )
+
+
+TEMP_SAMPLING_T_NUM = 7
+TEMP_SAMPLING_T_DEN = 10
+
+
+def temperature_weights(
+    docs: DataFrame,
+    group: str = "source",
+    t_num: int = TEMP_SAMPLING_T_NUM,
+    t_den: int = TEMP_SAMPLING_T_DEN,
+) -> DataFrame:
+    """(source, n_docs, natural_frac, weight, upsample_ratio) —
+    temperature-scaled domain sampling weights w_d = n_d^T / Σ n_d^T
+    (T = t_num/t_den, default 0.7): the standard multilingual/multi-domain
+    rebalance (mT5, XLM-R) that lifts small domains without letting any
+    one dominate.  upsample_ratio = weight / natural_frac says how many
+    epochs of a domain one balanced epoch consumes (>1 = repeated).
+
+    Cross-engine determinism: n^T = exp(T*ln n) is quantized to an
+    integer (1e6) PER DOMAIN before the normalizing sum, so the only
+    order-dependent float reduction becomes an exact integer sum; each
+    output is then one integer/integer division floor-quantized to 6dp
+    (weights need more than the usual 4 — small domains at web scale sit
+    below 1e-4).
+
+    Shape at scale: one per-domain count (map-side combined); everything
+    after is |domains|-sized and broadcast.
+    """
+    per = docs.groupBy(F.col(group).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = float(t_num) / float(t_den)
+    q = F.floor(
+        F.exp(F.lit(t) * F.log(F.col("n").cast("double"))) * F.lit(1000000.0)
+    ).cast("long")
+    scored = per.withColumn("q", q)
+    tot = scored.agg(
+        F.sum("q").cast("long").alias("qt"), F.sum("n").cast("long").alias("nt")
+    )
+    j = scored.crossJoin(F.broadcast(tot))
+    w = F.col("q").cast("double") / F.col("qt").cast("double")
+    nat = F.col("n").cast("double") / F.col("nt").cast("double")
+    q6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    return j.select(
+        F.col("g").alias(group),
+        F.col("n").alias("n_docs"),
+        q6(nat).alias("natural_frac"),
+        q6(w).alias("weight"),
+        q6(w / nat).alias("upsample_ratio"),
+    )

@@ -298,3 +298,21 @@ def test_bot_signals_flags_metronome(spark):
         "user_id long, ts timestamp, event_id long, event_type string",
     )
     assert dp.user_bot_signals(few).count() == 0
+
+
+def test_temperature_weights_rebalance(spark):
+    import math
+
+    # 90/10 split at T=0.7: small domain must be upsampled, large damped
+    rows = [(i, "big") for i in range(90)] + [(i + 100, "small") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in dp.temperature_weights(docs).collect()}
+    assert out["big"]["n_docs"] == 90 and out["small"]["n_docs"] == 10
+    qb, qs = math.floor(90**0.7 * 1e6), math.floor(10**0.7 * 1e6)
+    assert out["big"]["weight"] == pytest.approx(qb / (qb + qs), abs=2e-6)
+    assert out["small"]["upsample_ratio"] > 1.0 > out["big"]["upsample_ratio"]
+    # weights sum to ~1
+    assert out["big"]["weight"] + out["small"]["weight"] == pytest.approx(1.0, abs=1e-5)
+    # T=1 reduces to natural proportions
+    flat = {r["source"]: r for r in dp.temperature_weights(docs, t_num=1, t_den=1).collect()}
+    assert flat["big"]["upsample_ratio"] == pytest.approx(1.0, abs=1e-5)
