@@ -3038,6 +3038,28 @@ def _q_bot_signals(spark, sf):
     return dp.user_bot_signals(spark.read.parquet(f"{sf}/events.parquet"))
 
 
+def _q_kg_assortativity(spark, sf):
+    """Degree assortativity of the KG (graphs.degree_assortativity):
+    exact integer moment sums, one quantized division."""
+    from lightrag_spark.operators.graphs import degree_assortativity
+
+    r = _build(spark, sf)
+    return degree_assortativity(r.kg_edges.select("src", "tgt"))
+
+
+def _q_events_attribution(spark, sf):
+    """First/last-touch conversion attribution matrix (datapipe.
+    conversion_attribution, conversion='purchase')."""
+    return dp.conversion_attribution(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _q_ql_topk(spark, sf):
+    """Dirichlet query-likelihood retrieval (datapipe.ql_topk, mu=100):
+    the LM counterpart to retrieval_bm25_topk on the same postings shape
+    and fold-determinism contract."""
+    return dp.ql_topk(_documents(spark, sf))
+
+
 def _q_temperature_weights(spark, sf):
     """Temperature-scaled domain sampling weights (datapipe.
     temperature_weights, T=0.7): n^T quantized to integers before the
@@ -3290,6 +3312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hard_negatives": _q_hard_negatives,
         "events_bot_signals": _q_bot_signals,
         "data_temperature_weights": _q_temperature_weights,
+        "retrieval_ql_topk": _q_ql_topk,
+        "kg_assortativity": _q_kg_assortativity,
+        "events_attribution": _q_events_attribution,
     }
 
 
@@ -4669,6 +4694,85 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # Assortativity twin: exact integer moments over the
+        # both-directions edge list.
+        "kg_assortativity": _KG_CTE + """
+, ae0 AS (SELECT DISTINCT src AS a, tgt AS b FROM edges WHERE src <> tgt),
+aund AS (SELECT a, b FROM ae0 UNION ALL SELECT b AS a, a AS b FROM ae0),
+adeg AS (SELECT a, count(*)::BIGINT AS d FROM aund GROUP BY 1),
+annodes AS (SELECT count(*)::BIGINT AS nn FROM adeg),
+aj AS (SELECT da.d AS d, db.d AS db
+       FROM aund u JOIN adeg da ON da.a = u.a JOIN adeg db ON db.a = u.b),
+am AS (SELECT count(*)::BIGINT AS m, sum(d)::BIGINT AS sx,
+              sum(d * d)::BIGINT AS sxx, sum(d * db)::BIGINT AS sxy
+       FROM aj)
+SELECT (SELECT nn FROM annodes) AS n_nodes, (m // 2)::BIGINT AS n_edges,
+       (CASE WHEN (m * sxx - sx * sx) > 0
+             THEN floor(((m * sxy - sx * sx)::DOUBLE
+                         / (m * sxx - sx * sx)::DOUBLE) * 10000.0 + 0.5)
+             ELSE 0 END) / 10000.0 AS r
+FROM am""",
+        # Attribution twin: first_value + last_value(IGNORE NULLS) over
+        # the identical user windows.
+        "events_attribution": f"""
+WITH base AS (
+  SELECT user_id AS u, ts, event_id AS i, event_type AS k FROM events),
+en AS (
+  SELECT u, k,
+         first_value(k) OVER (PARTITION BY u ORDER BY ts, i
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS first_touch,
+         last_value(CASE WHEN k <> '{dp.ATTRIB_CONVERSION}' THEN k END
+                    IGNORE NULLS)
+           OVER (PARTITION BY u ORDER BY ts, i
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS last_touch
+  FROM base)
+SELECT first_touch, coalesce(last_touch, '(direct)') AS last_touch,
+       count(*)::BIGINT AS n_conversions
+FROM en WHERE k = '{dp.ATTRIB_CONVERSION}' GROUP BY 1, 2""",
+        # Query-likelihood twin: bm25's postings/fold skeleton with the
+        # Dirichlet weight and the post-fold length part.
+        "retrieval_ql_topk": f"""
+WITH tok AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents), unnest(t) AS u(term)),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY term),
+cc AS (SELECT sum(dl)::BIGINT AS c FROM dl),
+corpus AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + tf::DOUBLE
+                  / ({dp.QL_MU!r}
+                     * (ctf::DOUBLE / (SELECT c FROM cc)::DOUBLE))) AS wd
+  FROM tf JOIN ctf USING (term)),
+qw AS (SELECT doc_id AS query_id, term, tf::DOUBLE AS qtf
+       FROM tf WHERE doc_id < 8),
+qlen AS (SELECT doc_id AS query_id, dl::DOUBLE AS qlen
+         FROM dl WHERE doc_id < 8),
+pairs AS (
+  SELECT query_id, c.doc_id, c.term, qtf * wd AS p
+  FROM qw JOIN corpus c USING (term) WHERE query_id <> c.doc_id),
+folded AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0,
+           list_transform(list(struct_pack(term := term, p := p) ORDER BY term),
+                          s -> s.p)),
+           (a, x) -> a + x) AS sf
+  FROM pairs GROUP BY query_id, doc_id),
+agg AS (
+  SELECT query_id, folded.doc_id,
+         round(sf - qlen * ln((dl::DOUBLE + {dp.QL_MU!r}) / {dp.QL_MU!r}),
+               4) AS score
+  FROM folded JOIN dl ON folded.doc_id = dl.doc_id
+  JOIN qlen USING (query_id)),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id)::BIGINT AS rank
+      FROM agg)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5""",
         # Temperature-weight twin: n^T quantized to integers per domain
         # before the normalizing sum; each output one division chain in
         # the identical order.

@@ -139,6 +139,7 @@ def main():
         "kg_type_pairs",
         "kg_metapaths",
         "kg_hits",
+        "kg_assortativity",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -229,6 +230,8 @@ def main():
         "sim_hard_negatives",
         "events_bot_signals",
         "data_temperature_weights",
+        "retrieval_ql_topk",
+        "events_attribution",
     )
 
     def _time(name):

@@ -4739,3 +4739,142 @@ def temperature_weights(
         q6(w).alias("weight"),
         q6(w / nat).alias("upsample_ratio"),
     )
+
+
+QL_MU = 100.0
+
+
+def ql_topk(
+    docs: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    mu: float = QL_MU,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — query-likelihood retrieval with
+    Dirichlet smoothing (Zhai & Lafferty 2001), the language-modeling
+    counterpart to :func:`bm25_topk` and the other classic lexical
+    baseline retrieval training pipelines mine negatives from.
+
+    Rank-equivalent decomposition keeps the postings shape sparse:
+      score(q,d) = SUM_{t in q AND d} qtf * ln(1 + tf / (mu * p_c(t)))
+                   - |q| * ln((dl_d + mu) / mu)
+    (the dropped SUM qtf*ln(mu*p_c) is constant per query).  p_c(t) =
+    ctf_t / C uses exact integer corpus counts; mu defaults to 100 —
+    the classic 2000 assumes multi-hundred-word documents, these are
+    ~100 words.
+
+    Determinism contract identical to bm25_topk: integer counts, scalar
+    C collected once, per-term contributions folded in ascending-term
+    order from 0.0, the length part added after the fold, one round(4);
+    ranks order by rounded score then doc_id.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens_col(text)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    ctf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    c_total = dl.agg(F.sum("dl")).collect()[0][0]
+    w = F.log(
+        F.lit(1.0)
+        + F.col("tf").cast("double")
+        / (
+            F.lit(float(mu))
+            * (F.col("ctf").cast("double") / F.lit(float(c_total)))
+        )
+    )
+    corpus = tf.join(ctf, "term").select(id_col, "term", w.alias("wd"))
+    qw = tf.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        "term",
+        F.col("tf").cast("double").alias("qtf"),
+    )
+    qlen = dl.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("dl").cast("double").alias("qlen")
+    )
+    pairs = (
+        F.broadcast(qw)
+        .join(corpus, "term")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id", id_col, "term", (F.col("qtf") * F.col("wd")).alias("p")
+        )
+    )
+    folded = pairs.groupBy("query_id", id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "p"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["p"],
+        ).alias("sf")
+    )
+    lenpart = F.col("qlen") * F.log(
+        (F.col("dl").cast("double") + F.lit(float(mu))) / F.lit(float(mu))
+    )
+    agg = (
+        folded.join(dl, id_col)
+        .join(F.broadcast(qlen), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(F.col("sf") - lenpart, 4).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+ATTRIB_CONVERSION = "purchase"
+
+
+def conversion_attribution(
+    events: DataFrame,
+    conversion: str = ATTRIB_CONVERSION,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(first_touch, last_touch, n_conversions) — first/last-touch
+    attribution: for every conversion event, the user's first event type
+    ever (campaign-level credit) and the last NON-conversion touch
+    strictly before it (direct trigger), aggregated into the attribution
+    matrix.  Conversions with no prior touch attribute to '(direct)'.
+
+    Deterministic: user windows ordered (ts, event_id); the last-touch
+    carry is last_value(... IGNORE NULLS) over an unbounded-to-previous
+    frame — identical semantics in both engines.
+
+    Shape at scale: one shuffle by user for the two windows, then a
+    |types|^2-bounded aggregate.
+    """
+    w = Window.partitionBy("u").orderBy("t", "i")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("k"),
+    )
+    touch = F.when(F.col("k") != conversion, F.col("k"))
+    enriched = base.select(
+        "u",
+        "k",
+        F.first("k").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_touch"),
+        F.last(touch, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("last_touch"),
+    )
+    return (
+        enriched.filter(F.col("k") == conversion)
+        .select(
+            "first_touch",
+            F.coalesce(F.col("last_touch"), F.lit("(direct)")).alias("last_touch"),
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    )

@@ -316,3 +316,94 @@ def test_temperature_weights_rebalance(spark):
     # T=1 reduces to natural proportions
     flat = {r["source"]: r for r in dp.temperature_weights(docs, t_num=1, t_den=1).collect()}
     assert flat["big"]["upsample_ratio"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ql_topk_matches_python_reference(spark):
+    import math
+
+    texts = {
+        0: "spark window merge shuffle",
+        1: "spark shuffle spark merge",
+        2: "window functions and frames",
+        3: "merge sort merge join merge",
+        4: "totally unrelated words here",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = dp.ql_topk(docs, n_queries=2, k=4, mu=10.0).collect()
+    got = {(r["query_id"], r["doc_id"]): (r["score"], r["rank"]) for r in out}
+
+    # pure-Python reference of the same decomposition
+    toks = {d: t.split() for d, t in texts.items()}
+    ctf = {}
+    for ts in toks.values():
+        for t in ts:
+            ctf[t] = ctf.get(t, 0) + 1
+    c = sum(ctf.values())
+    scores = {}
+    for q in (0, 1):
+        qtf = {}
+        for t in toks[q]:
+            qtf[t] = qtf.get(t, 0) + 1
+        for d, ts in toks.items():
+            if d == q:
+                continue
+            tf = {}
+            for t in ts:
+                tf[t] = tf.get(t, 0) + 1
+            shared = sorted(set(qtf) & set(tf))
+            if not shared:
+                continue
+            s = 0.0
+            for t in shared:
+                s += qtf[t] * math.log(1 + tf[t] / (10.0 * (ctf[t] / c)))
+            s -= len(toks[q]) * math.log((len(ts) + 10.0) / 10.0)
+            scores[(q, d)] = round(s, 4)
+    for key, expect in scores.items():
+        assert got[key][0] == pytest.approx(expect, abs=2e-4), key
+    # ranks descend by score
+    for q in (0, 1):
+        rs = sorted((r for r in out if r["query_id"] == q), key=lambda r: r["rank"])
+        ss = [r["score"] for r in rs]
+        assert ss == sorted(ss, reverse=True)
+
+
+def test_assortativity_star_and_clique(spark):
+    from lightrag_spark.operators.graphs import degree_assortativity
+
+    star = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c")], "src string, tgt string"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 3
+    assert r["r"] == -1.0  # pure hub-and-spoke
+    # regular graph (triangle): zero degree variance -> r defined as 0
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, tgt string"
+    )
+    assert degree_assortativity(tri).collect()[0]["r"] == 0.0
+
+
+def test_conversion_attribution_touches(spark):
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # user 1: view -> click -> purchase  (first=view, last=click)
+        (1, at(1), 1, "view"), (1, at(2), 2, "click"), (1, at(3), 3, "purchase"),
+        # user 1 buys again right after: last non-purchase touch still click
+        (1, at(4), 4, "purchase"),
+        # user 2: purchase with no prior events -> (direct), first=purchase
+        (2, at(1), 5, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        (r["first_touch"], r["last_touch"]): r["n_conversions"]
+        for r in dp.conversion_attribution(ev).collect()
+    }
+    assert out[("view", "click")] == 2
+    assert out[("purchase", "(direct)")] == 1
+    assert sum(out.values()) == 3
