@@ -3053,6 +3053,21 @@ def _q_events_attribution(spark, sf):
     return dp.conversion_attribution(spark.read.parquet(f"{sf}/events.parquet"))
 
 
+def _q_conversion_latency(spark, sf):
+    """Exact quantiles of first-event-to-conversion latency (datapipe.
+    conversion_latency_quantiles): rank-selection quantiles over
+    truncated-second integer latencies."""
+    return dp.conversion_latency_quantiles(
+        spark.read.parquet(f"{sf}/events.parquet")
+    )
+
+
+def _q_stickiness(spark, sf):
+    """Monthly DAU/MAU stickiness (datapipe.dau_mau_stickiness): exact
+    integer distinct-activity sums, two quantized divisions."""
+    return dp.dau_mau_stickiness(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def _q_ql_topk(spark, sf):
     """Dirichlet query-likelihood retrieval (datapipe.ql_topk, mu=100):
     the LM counterpart to retrieval_bm25_topk on the same postings shape
@@ -3315,6 +3330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_ql_topk": _q_ql_topk,
         "kg_assortativity": _q_kg_assortativity,
         "events_attribution": _q_events_attribution,
+        "events_conversion_latency": _q_conversion_latency,
+        "events_stickiness": _q_stickiness,
     }
 
 
@@ -4694,6 +4711,49 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # Conversion-latency twin: first_value epoch carry + the
+        # group_quantiles rank selection.
+        "events_conversion_latency": f"""
+WITH base AS (
+  SELECT user_id AS u, ts, event_id AS i, event_type AS k,
+         (epoch_us(ts) // 1000000)::BIGINT AS ep
+  FROM events),
+lat AS (
+  SELECT g, v FROM (
+    SELECT k, 'all' AS g,
+           (ep - first_value(ep) OVER (PARTITION BY u ORDER BY ts, i
+              ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW))::BIGINT AS v
+    FROM base) t
+  WHERE k = '{dp.ATTRIB_CONVERSION}'),
+ranked AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM lat),
+cnts AS (SELECT g, count(*)::BIGINT AS n FROM ranked GROUP BY g),
+targets AS (
+  SELECT g, n, u.q, greatest(1, CAST(ceil(u.q * n) AS BIGINT)) AS rn
+  FROM cnts, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q))
+SELECT t.g AS cohort, t.q, t.n, r.v AS value_at
+FROM targets t JOIN ranked r ON t.g = r.g AND t.rn = r.rn""",
+        # Stickiness twin: distinct (month,day,user) / (month,user)
+        # integer counts, two quantized divisions.
+        "events_stickiness": """
+WITH base AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(ts AS DATE) AS day, user_id AS u
+  FROM events),
+dau AS (
+  SELECT month, day, count(*)::BIGINT AS dau
+  FROM (SELECT DISTINCT month, day, u FROM base) t GROUP BY 1, 2),
+pm AS (SELECT month, sum(dau)::BIGINT AS sum_dau, count(*)::BIGINT AS n_days
+       FROM dau GROUP BY 1),
+mau AS (SELECT month, count(*)::BIGINT AS mau
+        FROM (SELECT DISTINCT month, u FROM base) t GROUP BY 1)
+SELECT pm.month, mau, n_days,
+       floor((sum_dau::DOUBLE / n_days::DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS avg_dau,
+       floor((sum_dau::DOUBLE / (n_days * mau)::DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS stickiness
+FROM pm JOIN mau ON pm.month = mau.month""",
         # Assortativity twin: exact integer moments over the
         # both-directions edge list.
         "kg_assortativity": _KG_CTE + """

@@ -232,6 +232,8 @@ def main():
         "data_temperature_weights",
         "retrieval_ql_topk",
         "events_attribution",
+        "events_conversion_latency",
+        "events_stickiness",
     )
 
     def _time(name):

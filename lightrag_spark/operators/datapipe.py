@@ -4878,3 +4878,103 @@ def conversion_attribution(
         .groupBy("first_touch", "last_touch")
         .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
     )
+
+
+def conversion_latency_quantiles(
+    events: DataFrame,
+    conversion: str = ATTRIB_CONVERSION,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(cohort, q, n, value_at) — exact quantiles of conversion latency:
+    seconds from a user's FIRST event ever to each conversion, the
+    time-to-value distribution growth and capacity planning read.  Only
+    conversions with at least one prior event count (latency 0 rows from
+    a conversion-first user are kept — they are real immediate
+    conversions).  Single cohort 'all' (the group column kept so the
+    rank-selection shape matches group_quantiles).
+
+    Deterministic: epochs are truncated-second integers (unix_micros DIV
+    1e6); quantiles by the exact rank selection of group_quantiles.
+    """
+    w = Window.partitionBy("u").orderBy("t", "i")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("k"),
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) DIV 1000000"
+        ).alias("ep"),
+    )
+    lat = (
+        base.withColumn(
+            "first_ep",
+            F.first("ep").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("k") == conversion)
+        .select(
+            F.lit("all").alias("cohort"),
+            (F.col("ep") - F.col("first_ep")).cast("long").alias("latency_s"),
+        )
+    )
+    return group_quantiles(lat, group="cohort", value="latency_s", qs=qs)
+
+
+def dau_mau_stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(month, mau, n_days, avg_dau, stickiness) — monthly active users,
+    average daily active users, and the DAU/MAU stickiness ratio — the
+    engagement number every usage dashboard leads with (1.0 = everyone
+    active every observed day).
+
+    Exact integers until two divisions: DAU summed as an integer over
+    the month's observed days; avg_dau = sum_dau/n_days and stickiness =
+    sum_dau/(n_days*mau), each one division floor-quantized to 4dp.
+
+    Shape at scale: two distinct-aggregates ((month,day,user) and
+    (month,user)) — both map-side combinable after the dedup shuffle;
+    output |months|-sized.
+    """
+    base = events.select(
+        F.date_trunc("month", ts_col).cast("date").alias("month"),
+        F.to_date(ts_col).alias("day"),
+        F.col(user_col).alias("u"),
+    )
+    dau = (
+        base.select("month", "day", "u")
+        .distinct()
+        .groupBy("month", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    )
+    per_month = dau.groupBy("month").agg(
+        F.sum("dau").cast("long").alias("sum_dau"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    mau = (
+        base.select("month", "u")
+        .distinct()
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    q4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return per_month.join(mau, "month").select(
+        "month",
+        "mau",
+        "n_days",
+        q4(F.col("sum_dau").cast("double") / F.col("n_days").cast("double")).alias(
+            "avg_dau"
+        ),
+        q4(
+            F.col("sum_dau").cast("double")
+            / (F.col("n_days") * F.col("mau")).cast("double")
+        ).alias("stickiness"),
+    )

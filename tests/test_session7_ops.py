@@ -407,3 +407,41 @@ def test_conversion_attribution_touches(spark):
     assert out[("view", "click")] == 2
     assert out[("purchase", "(direct)")] == 1
     assert sum(out.values()) == 3
+
+
+def test_conversion_latency_quantiles(spark):
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, at(0), 1, "view"), (1, at(100), 2, "purchase"),   # latency 100
+        (2, at(0), 3, "view"), (2, at(300), 4, "purchase"),   # latency 300
+        (3, at(0), 5, "purchase"),                             # latency 0
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r["q"]: r for r in dp.conversion_latency_quantiles(ev).collect()}
+    assert all(r["n"] == 3 for r in out.values())
+    # sorted latencies [0, 100, 300]: p50 -> rank ceil(1.5)=2 -> 100
+    assert out[0.5]["value_at"] == 100
+    assert out[0.9]["value_at"] == 300 and out[0.99]["value_at"] == 300
+
+
+def test_dau_mau_stickiness(spark):
+    rows = []
+    # march: users 1,2 active on day 1; user 1 alone on day 2
+    rows += [(1, datetime.datetime(2024, 3, 1, 5)), (2, datetime.datetime(2024, 3, 1, 6)),
+             (1, datetime.datetime(2024, 3, 1, 7)),  # dup same day, not double-counted
+             (1, datetime.datetime(2024, 3, 2, 5))]
+    # april: one user, one day -> stickiness 1.0
+    rows += [(9, datetime.datetime(2024, 4, 10, 1))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {str(r["month"]): r for r in dp.dau_mau_stickiness(ev).collect()}
+    m = out["2024-03-01"]
+    assert m["mau"] == 2 and m["n_days"] == 2
+    assert m["avg_dau"] == 1.5          # (2 + 1) / 2 days
+    assert m["stickiness"] == 0.75      # 3 / (2 days * 2 users)
+    assert out["2024-04-01"]["stickiness"] == 1.0
