@@ -3053,6 +3053,18 @@ def _q_events_attribution(spark, sf):
     return dp.conversion_attribution(spark.read.parquet(f"{sf}/events.parquet"))
 
 
+def _q_label_separation(spark, sf):
+    """Pairwise centroid cosine between labels (datapipe.label_separation):
+    the separation half of the embedding health report."""
+    return dp.label_separation(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+
+def _q_host_report(spark, sf):
+    """Host-level crawl-policy priors (datapipe.host_report): volume,
+    mean size, majority-language purity, exact-dup rate per source."""
+    return dp.host_report(_documents(spark, sf))
+
+
 def _q_conversion_latency(spark, sf):
     """Exact quantiles of first-event-to-conversion latency (datapipe.
     conversion_latency_quantiles): rank-selection quantiles over
@@ -3332,6 +3344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _q_events_attribution,
         "events_conversion_latency": _q_conversion_latency,
         "events_stickiness": _q_stickiness,
+        "sim_label_separation": _q_label_separation,
+        "doc_host_report": _q_host_report,
     }
 
 
@@ -4711,6 +4725,61 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # Label-separation twin: the label_centroids integer centroid CTE,
+        # terminated with the |labels|^2 pair projection.
+        "sim_label_separation": f"""
+WITH q AS (
+  SELECT label::BIGINT AS g, u.pos,
+         floor(embedding[u.pos]::DOUBLE
+               * {float(dp.CENTROID_QSCALE)!r})::BIGINT AS q
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS u(pos)),
+nby AS (SELECT label::BIGINT AS g, count(*)::BIGINT AS n
+        FROM embeddings GROUP BY 1),
+cent AS (
+  SELECT s.g, s.pos,
+         ((S + n * {dp.CENTROID_QSCALE}) // n
+          - {dp.CENTROID_QSCALE})::BIGINT AS c
+  FROM (SELECT g, pos, sum(q)::BIGINT AS S FROM q GROUP BY 1, 2) s
+  JOIN nby ON s.g = nby.g),
+pairs AS (
+  SELECT a.g AS la, b.g AS lb,
+         sum(a.c * b.c)::BIGINT AS dot,
+         sum(a.c * a.c)::BIGINT AS aa,
+         sum(b.c * b.c)::BIGINT AS bb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.g < b.g
+  GROUP BY 1, 2)
+SELECT la AS label_a, lb AS label_b,
+       CASE WHEN aa > 0 AND bb > 0
+            THEN floor((dot::DOUBLE / (sqrt(aa::DOUBLE) * sqrt(bb::DOUBLE)))
+                       * 10000.0 + 0.5) / 10000.0
+            ELSE 0.0 END AS cos
+FROM pairs""",
+        # Host-report twin: exact counts/hashes, single quantized
+        # divisions, lexicographic majority-language tie-break.
+        "doc_host_report": """
+WITH base AS (
+  SELECT source AS h, lang, length(text)::BIGINT AS chars, md5(text) AS ch
+  FROM documents),
+per AS (
+  SELECT h, count(*)::BIGINT AS n_docs, sum(chars)::BIGINT AS sum_chars,
+         count(DISTINCT ch)::BIGINT AS n_distinct
+  FROM base GROUP BY 1),
+bylang AS (SELECT h, lang, count(*)::BIGINT AS nl FROM base GROUP BY 1, 2),
+major AS (
+  SELECT h, lang AS major_lang, nl AS n_major FROM (
+    SELECT h, lang, nl,
+           row_number() OVER (PARTITION BY h ORDER BY nl DESC, lang) AS rn
+    FROM bylang) t WHERE rn = 1)
+SELECT per.h AS host, n_docs,
+       floor((sum_chars::DOUBLE / n_docs::DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS mean_chars,
+       major_lang,
+       floor((n_major::DOUBLE / n_docs::DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS lang_purity,
+       floor((1.0 - n_distinct::DOUBLE / n_docs::DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS dup_rate
+FROM per JOIN major ON per.h = major.h""",
         # Conversion-latency twin: first_value epoch carry + the
         # group_quantiles rank selection.
         "events_conversion_latency": f"""

@@ -234,6 +234,8 @@ def main():
         "events_attribution",
         "events_conversion_latency",
         "events_stickiness",
+        "sim_label_separation",
+        "doc_host_report",
     )
 
     def _time(name):

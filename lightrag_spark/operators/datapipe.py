@@ -4978,3 +4978,134 @@ def dau_mau_stickiness(
             / (F.col("n_days") * F.col("mau")).cast("double")
         ).alias("stickiness"),
     )
+
+
+def label_separation(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    qscale: int = CENTROID_QSCALE,
+) -> DataFrame:
+    """(label_a, label_b, cos) — pairwise cosine between the quantized
+    label centroids of :func:`label_centroids`: the separation half of the
+    embedding-space health report (cohesion says members hug their
+    centroid; separation says centroids stay apart — a confusable label
+    pair here predicts the kNN confusion matrix).
+
+    The centroid table is (|labels| x dim) rows, so the pair join is
+    |labels|^2-bounded — never touches corpus-sized data after the one
+    integer component-sum aggregate (same order-independence argument as
+    label_centroids: all sums integer, one sqrt+division per pair,
+    floor-quantized 4dp).
+    """
+    base = emb.select(
+        F.col(label_col).cast("long").alias("g"), F.col(vec_col).alias("v")
+    )
+    n_by = base.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q = base.select("g", F.posexplode("v").alias("pos", "x")).select(
+        "g",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(float(qscale)))
+        .cast("long")
+        .alias("q"),
+    )
+    cent = (
+        q.groupBy("g", "pos")
+        .agg(F.sum("q").cast("long").alias("S"))
+        .join(F.broadcast(n_by), "g")
+        .select(
+            "g",
+            "pos",
+            F.expr(f"(S + n * {int(qscale)}) DIV n - {int(qscale)}")
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    a = cent.select(F.col("g").alias("la"), F.col("pos"), F.col("c").alias("ca"))
+    b = cent.select(F.col("g").alias("lb"), F.col("pos"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).cast("long").alias("aa"),
+            F.sum(F.col("cb") * F.col("cb")).cast("long").alias("bb"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("aa").cast("double")) * F.sqrt(F.col("bb").cast("double"))
+    )
+    return pairs.select(
+        F.col("la").alias("label_a"),
+        F.col("lb").alias("label_b"),
+        F.when(
+            (F.col("aa") > 0) & (F.col("bb") > 0),
+            F.floor(cos * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cos"),
+    )
+
+
+HOST_REPORT_MIN_DOCS = 1
+
+
+def host_report(
+    docs: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(host, n_docs, mean_chars, major_lang, lang_purity, dup_rate) —
+    host-level crawl-policy priors: document volume, average size, the
+    majority language and its share, and the exact-duplicate rate
+    (1 - distinct content hashes / docs).  The per-domain quality prior
+    a recrawl scheduler and a quota policy (cf. data_domain_quota) read.
+
+    Determinism: counts and md5 hashes are exact; mean/purity/dup_rate
+    are single divisions floor-quantized to 4dp; the majority language
+    ties break lexicographically.
+
+    Shape at scale: one (host,lang) count + one distinct-hash count per
+    host + one char-sum — all map-side combinable; output |hosts|-sized.
+    """
+    base = docs.select(
+        F.col(host_col).alias("h"),
+        F.col(id_col).alias("i"),
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text)).cast("long").alias("chars"),
+        F.md5(F.col(text)).alias("ch"),
+    )
+    per = base.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("sum_chars"),
+        F.countDistinct("ch").cast("long").alias("n_distinct"),
+    )
+    bylang = base.groupBy("h", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("nl")
+    )
+    wl = Window.partitionBy("h").orderBy(F.desc("nl"), F.asc("lang"))
+    major = (
+        bylang.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("h", F.col("lang").alias("major_lang"), F.col("nl").alias("n_major"))
+    )
+    q4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return per.join(major, "h").select(
+        F.col("h").alias("host"),
+        "n_docs",
+        q4(F.col("sum_chars").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_chars"
+        ),
+        "major_lang",
+        q4(F.col("n_major").cast("double") / F.col("n_docs").cast("double")).alias(
+            "lang_purity"
+        ),
+        q4(
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )

@@ -445,3 +445,33 @@ def test_dau_mau_stickiness(spark):
     assert m["avg_dau"] == 1.5          # (2 + 1) / 2 days
     assert m["stickiness"] == 0.75      # 3 / (2 days * 2 users)
     assert out["2024-04-01"]["stickiness"] == 1.0
+
+
+def test_label_separation_orthogonal_vs_aligned(spark):
+    # label 0 along +x, label 1 along -x (cos -1), label 2 along +y (cos 0)
+    rows = [
+        (0, [0.4, 0.0, 0.0, 0.0], 0), (1, [0.4, 0.0, 0.0, 0.0], 0),
+        (2, [-0.4, 0.0, 0.0, 0.0], 1), (3, [-0.4, 0.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.4, 0.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["label_a"], r["label_b"]): r["cos"] for r in dp.label_separation(emb).collect()}
+    assert out[(0, 1)] == pytest.approx(-1.0, abs=1e-3)
+    assert out[(0, 2)] == pytest.approx(0.0, abs=1e-3)
+    assert out[(1, 2)] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_host_report_purity_and_dup_rate(spark):
+    rows = [
+        (1, "aaaa", "en", "h1"), (2, "aaaa", "en", "h1"),   # exact dup pair
+        (3, "bbbbbbbb", "de", "h1"),
+        (4, "cc", "en", "h2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["host"]: r for r in dp.host_report(docs).collect()}
+    h1 = out["h1"]
+    assert h1["n_docs"] == 3
+    assert h1["major_lang"] == "en" and h1["lang_purity"] == pytest.approx(0.6667)
+    assert h1["dup_rate"] == pytest.approx(1 - 2 / 3, abs=1e-4)
+    assert h1["mean_chars"] == pytest.approx((4 + 4 + 8) / 3, abs=1e-4)
+    assert out["h2"]["dup_rate"] == 0.0 and out["h2"]["lang_purity"] == 1.0
