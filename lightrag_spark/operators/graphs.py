@@ -1585,13 +1585,19 @@ def degree_assortativity(
     Shape at scale: one degree aggregate + two slim joins onto the edge
     list + one global moment aggregate — no windows, no pairs.
     """
+    # checkpoint: the edge set is read four times (both union sides + two
+    # degree-join probes) — without truncation the whole upstream lineage
+    # (a full KG build when fed from _build) replays per consumer.
     e = (
         edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = und.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
     n_nodes = deg.count()
     j = und.join(deg, "a").join(
         deg.select(F.col("a").alias("b"), F.col("d").alias("db")), "b"
