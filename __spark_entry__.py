@@ -468,6 +468,21 @@ def _q_knn_calibration(spark, sf):
     )
 
 
+def _q_training_triplets(spark, sf):
+    """(anchor, positive, hard-negative) triplet mining (ann.
+    training_triplets_lsh): third termination of the shared knn head."""
+    return ann.training_triplets_lsh(
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+    )
+
+
+def _q_ab_test(spark, sf):
+    """Two-proportion z-test scaffold over the JSON props payload
+    (datapipe.ab_test_report): scan-side get_json_object variant split,
+    pooled z, |z|>1.96 call."""
+    return dp.ab_test_report(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def _q_hard_negatives(spark, sf):
     """Hard-negative mining (ann.hard_negatives_lsh): wrong-label members
     of each query's LSH top-5 pool, cosine-ranked — contrastive training
@@ -3346,6 +3361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stickiness": _q_stickiness,
         "sim_label_separation": _q_label_separation,
         "doc_host_report": _q_host_report,
+        "sim_training_triplets": _q_training_triplets,
+        "events_ab_test": _q_ab_test,
     }
 
 
@@ -4725,6 +4742,56 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # Triplet twin: the shared knn chain's pool, rank-1 same-label and
+        # rank-1 other-label picks joined per query.
+        "sim_training_triplets": ann.duckdb_pruned_bands_cte(64)
+        + _KNN_CHAIN_SQL
+        + """,
+tp AS (
+  SELECT qid, actual_label::BIGINT AS label, nid AS pos_id, sim AS pos_sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid) AS rn
+        FROM topk WHERE nlabel = actual_label) t WHERE rn = 1),
+tn AS (
+  SELECT qid, nid AS neg_id, sim AS neg_sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid) AS rn
+        FROM topk WHERE nlabel <> actual_label) t WHERE rn = 1)
+SELECT tp.qid AS vec_id, label, pos_id, pos_sim, neg_id, neg_sim,
+       floor((pos_sim - neg_sim) * 10000.0 + 0.5) / 10000.0 AS margin
+FROM tp JOIN tn ON tp.qid = tn.qid""",
+        # A/B twin: JSON path extraction + one-row pivoted integer
+        # counters + the identical pooled-z float chain.
+        "events_ab_test": f"""
+WITH base AS (
+  SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0) AS is_a,
+         (event_type = '{dp.AB_CONVERSION}') AS is_conv
+  FROM events),
+agg AS (
+  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN is_a AND is_conv THEN 1 ELSE 0 END)::BIGINT AS conv_a,
+         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN (NOT is_a) AND is_conv THEN 1 ELSE 0 END)::BIGINT
+           AS conv_b
+  FROM base),
+calc AS (
+  SELECT *,
+         conv_a::DOUBLE / n_a::DOUBLE AS pa,
+         conv_b::DOUBLE / n_b::DOUBLE AS pb,
+         (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pp
+  FROM agg),
+zc AS (
+  SELECT *,
+         floor(((pa - pb) / sqrt(pp * (1.0 - pp)
+                * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 AS z
+  FROM calc)
+SELECT n_a, conv_a,
+       floor(pa * 10000.0 + 0.5) / 10000.0 AS rate_a,
+       n_b, conv_b,
+       floor(pb * 10000.0 + 0.5) / 10000.0 AS rate_b,
+       z, (abs(z) > {dp.AB_Z_CRIT!r}) AS significant
+FROM zc""",
         # Label-separation twin: the label_centroids integer centroid CTE,
         # terminated with the |labels|^2 pair projection.
         "sim_label_separation": f"""

@@ -236,6 +236,8 @@ def main():
         "events_stickiness",
         "sim_label_separation",
         "doc_host_report",
+        "sim_training_triplets",
+        "events_ab_test",
     )
 
     def _time(name):

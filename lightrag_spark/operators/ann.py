@@ -868,3 +868,59 @@ pruned AS (
   JOIN sizes s ON b.band_idx = s.band_idx AND b.bucket = s.bucket, thr
   WHERE s._n <= thr._thr)
 """
+
+
+def training_triplets_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    max_bucket="auto",
+    rows="auto",
+) -> DataFrame:
+    """(vec_id, label, pos_id, pos_sim, neg_id, neg_sim, margin) —
+    (anchor, positive, hard negative) triplets for metric/contrastive
+    training: within each query's LSH top-k pool, the best SAME-label
+    neighbour and the best OTHER-label neighbour; margin = pos_sim -
+    neg_sim (a small or negative margin is exactly the boundary triplet
+    a triplet loss learns from).  Queries lacking either side drop out.
+
+    Third termination of the shared :func:`_labeled_knn_topk` head (vote,
+    hard-negatives, triplets) — the pool is built once per call, the
+    picks are rank-1 windows over it.
+    """
+    topk = _labeled_knn_topk(
+        embeddings, k, id_col, vec_col, label_col, dim, max_bucket, rows
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    pos = (
+        topk.filter(F.col("nlabel") == F.col("actual_label"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("actual_label").cast("long").alias("label"),
+            F.col("nid").alias("pos_id"),
+            F.col("sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        topk.filter(F.col("nlabel") != F.col("actual_label"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("nid").alias("neg_id"), F.col("sim").alias("neg_sim"))
+    )
+    margin = F.floor(
+        (F.col("pos_sim") - F.col("neg_sim")) * F.lit(10000.0) + F.lit(0.5)
+    ) / F.lit(10000.0)
+    return pos.join(neg, "qid").select(
+        F.col("qid").alias(id_col),
+        "label",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        margin.alias("margin"),
+    )

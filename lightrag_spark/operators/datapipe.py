@@ -5109,3 +5109,73 @@ def host_report(
             - F.col("n_distinct").cast("double") / F.col("n_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+AB_CONVERSION = ATTRIB_CONVERSION
+AB_Z_CRIT = 1.96
+
+
+def ab_test_report(
+    events: DataFrame,
+    props_col: str = "props",
+    type_col: str = "event_type",
+    conversion: str = AB_CONVERSION,
+) -> DataFrame:
+    """(n_a, conv_a, rate_a, n_b, conv_b, rate_b, z, significant) — a
+    two-proportion z-test scaffold over the JSON ``props`` payload:
+    variant assignment is the parity of the ``k`` property (the synthetic
+    stand-in for an experiment bucket field — the JSON path extraction is
+    the point: semi-structured event payloads parse scan-side with
+    ``get_json_object``, no UDF), the metric is conversion share per
+    variant, and z is the pooled two-proportion statistic with the
+    conventional |z| > 1.96 call.
+
+    Determinism: counts are exact integers; the variants pivot to COLUMNS
+    of one row (never a float sum over an engine-ordered group); rate and
+    z are single float chains written identically in the twin, quantized
+    to 4dp.
+
+    Shape at scale: one scan-side JSON projection + one global aggregate
+    of four conditional integer counters — map-side combinable, output is
+    one row.
+    """
+    k = F.get_json_object(F.col(props_col), "$.k").cast("long")
+    base = events.select(
+        (k % 2 == 0).alias("is_a"),
+        (F.col(type_col) == conversion).alias("is_conv"),
+    )
+    agg = base.agg(
+        F.sum(F.col("is_a").cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col("is_a") & F.col("is_conv")).cast("long"))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum((~F.col("is_a")).cast("long")).cast("long").alias("n_b"),
+        F.sum(((~F.col("is_a")) & F.col("is_conv")).cast("long"))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    q4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (pa - pb) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    zq = q4(z)
+    return agg.select(
+        "n_a",
+        "conv_a",
+        q4(pa).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        q4(pb).alias("rate_b"),
+        zq.alias("z"),
+        (F.abs(zq) > F.lit(float(AB_Z_CRIT))).alias("significant"),
+    )

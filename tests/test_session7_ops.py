@@ -475,3 +475,43 @@ def test_host_report_purity_and_dup_rate(spark):
     assert h1["dup_rate"] == pytest.approx(1 - 2 / 3, abs=1e-4)
     assert h1["mean_chars"] == pytest.approx((4 + 4 + 8) / 3, abs=1e-4)
     assert out["h2"]["dup_rate"] == 0.0 and out["h2"]["lang_purity"] == 1.0
+
+
+def test_training_triplets_structure(spark):
+    from lightrag_spark.operators import ann
+
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(64)], i % 2) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    trips = ann.training_triplets_lsh(emb).collect()
+    assert trips, "expected some triplets"
+    labels = {r[0]: r[2] for r in rows}
+    for t in trips:
+        assert labels[t["pos_id"]] == t["label"]
+        assert labels[t["neg_id"]] != t["label"]
+        assert t["pos_id"] != t["vec_id"]
+        assert t["margin"] == pytest.approx(t["pos_sim"] - t["neg_sim"], abs=1e-4)
+
+
+def test_ab_test_report_detects_planted_lift(spark):
+    rows = []
+    # variant A (k even): 300 events, 150 purchases; B (k odd): 300, 30
+    for i in range(300):
+        rows.append(('{"k": 2}', "purchase" if i < 150 else "view"))
+        rows.append(('{"k": 3}', "purchase" if i < 30 else "view"))
+    ev = spark.createDataFrame(rows, "props string, event_type string")
+    r = dp.ab_test_report(ev).collect()[0]
+    assert r["n_a"] == 300 and r["conv_a"] == 150 and r["rate_a"] == 0.5
+    assert r["n_b"] == 300 and r["conv_b"] == 30 and r["rate_b"] == 0.1
+    assert r["z"] > 1.96 and r["significant"] is True
+    # balanced split -> not significant
+    flat = spark.createDataFrame(
+        [('{"k": 0}', "purchase"), ('{"k": 1}', "purchase"),
+         ('{"k": 0}', "view"), ('{"k": 1}', "view")] * 10,
+        "props string, event_type string",
+    )
+    assert dp.ab_test_report(flat).collect()[0]["significant"] is False
