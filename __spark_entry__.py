@@ -468,6 +468,18 @@ def _q_knn_calibration(spark, sf):
     )
 
 
+def _q_knn_mrr(spark, sf):
+    """MRR + first-positive-rank histogram of the LSH kNN pool (ann.
+    knn_mrr_report): label-as-relevance retrieval quality."""
+    return ann.knn_mrr_report(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+
+def _q_k_anonymity(spark, sf):
+    """k-anonymity audit over (source, lang, length-bucket) quasi
+    identifiers (datapipe.k_anonymity_report)."""
+    return dp.k_anonymity_report(_documents(spark, sf))
+
+
 def _q_training_triplets(spark, sf):
     """(anchor, positive, hard-negative) triplet mining (ann.
     training_triplets_lsh): third termination of the shared knn head."""
@@ -3363,6 +3375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_host_report": _q_host_report,
         "sim_training_triplets": _q_training_triplets,
         "events_ab_test": _q_ab_test,
+        "eval_knn_mrr": _q_knn_mrr,
+        "doc_k_anonymity": _q_k_anonymity,
     }
 
 
@@ -4742,6 +4756,40 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # MRR twin: the shared knn chain, first same-label rank per query,
+        # integer reciprocal-rank units.
+        "eval_knn_mrr": ann.duckdb_pruned_bands_cte(64)
+        + _KNN_CHAIN_SQL
+        + """,
+rankedq AS (
+  SELECT qid, actual_label, nlabel,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+  FROM topk),
+fp AS (
+  SELECT qid, min(rn)::BIGINT AS fr
+  FROM rankedq WHERE nlabel = actual_label GROUP BY qid),
+perq AS (
+  SELECT coalesce(fr, 0)::BIGINT AS first_pos_rank,
+         (CASE WHEN fr IS NOT NULL THEN 10000 // fr ELSE 0 END)::BIGINT
+           AS rr_fp
+  FROM (SELECT DISTINCT qid FROM rankedq) q LEFT JOIN fp USING (qid)),
+hist AS (
+  SELECT first_pos_rank, count(*)::BIGINT AS n_queries,
+         sum(rr_fp)::BIGINT AS srr
+  FROM perq GROUP BY 1),
+tot AS (SELECT sum(n_queries)::BIGINT AS nt, sum(srr)::BIGINT AS srt
+        FROM hist)
+SELECT first_pos_rank, n_queries,
+       floor((n_queries::DOUBLE / nt::DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS frac,
+       floor(srt::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS mrr
+FROM hist, tot""",
+        # k-anonymity twin: one exact groupBy on the quasi tuple.
+        "doc_k_anonymity": f"""
+SELECT source, lang, (n_chars // {dp.KANON_LEN_BUCKET})::BIGINT AS len_bucket,
+       count(*)::BIGINT AS class_size,
+       count(*) < {dp.KANON_K} AS risky
+FROM documents GROUP BY 1, 2, 3""",
         # Triplet twin: the shared knn chain's pool, rank-1 same-label and
         # rank-1 other-label picks joined per query.
         "sim_training_triplets": ann.duckdb_pruned_bands_cte(64)

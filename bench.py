@@ -238,6 +238,8 @@ def main():
         "doc_host_report",
         "sim_training_triplets",
         "events_ab_test",
+        "eval_knn_mrr",
+        "doc_k_anonymity",
     )
 
     def _time(name):

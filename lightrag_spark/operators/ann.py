@@ -924,3 +924,68 @@ def training_triplets_lsh(
         "neg_sim",
         margin.alias("margin"),
     )
+
+
+def knn_mrr_report(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    max_bucket="auto",
+    rows="auto",
+) -> DataFrame:
+    """(first_pos_rank, n_queries, frac, mrr) — mean reciprocal rank of
+    the first SAME-label neighbour in each query's LSH top-k pool, plus
+    the rank histogram (rank 0 = no positive in the pool).  The
+    label-as-relevance retrieval quality number that complements
+    eval_ndcg's graded variant; fourth termination of
+    :func:`_labeled_knn_topk`.
+
+    Determinism: rr quantizes PER QUERY to floor(1e4/rank) integer units
+    before the global integer sum; frac and the final mrr are single
+    quantized divisions.  mrr is over all pooled queries (rank-0 queries
+    contribute 0) and repeats on every row (the histogram is the row
+    grain; mrr is the headline).
+    """
+    topk = _labeled_knn_topk(
+        embeddings, k, id_col, vec_col, label_col, dim, max_bucket, rows
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    ranked = topk.withColumn("rn", F.row_number().over(wq))
+    first_pos = (
+        ranked.filter(F.col("nlabel") == F.col("actual_label"))
+        .groupBy("qid")
+        .agg(F.min("rn").cast("long").alias("fr"))
+    )
+    per_q = (
+        ranked.select("qid").distinct()
+        .join(first_pos, "qid", "left")
+        .select(
+            F.coalesce(F.col("fr"), F.lit(0)).cast("long").alias("first_pos_rank"),
+            F.when(
+                F.col("fr").isNotNull(), F.expr("10000 DIV fr")
+            ).otherwise(F.lit(0)).cast("long").alias("rr_fp"),
+        )
+    )
+    hist = per_q.groupBy("first_pos_rank").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("rr_fp").cast("long").alias("srr"),
+    )
+    tot = hist.agg(
+        F.sum("n_queries").cast("long").alias("nt"),
+        F.sum("srr").cast("long").alias("srt"),
+    )
+    q4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "first_pos_rank",
+        "n_queries",
+        q4(F.col("n_queries").cast("double") / F.col("nt").cast("double")).alias(
+            "frac"
+        ),
+        (
+            F.floor(F.col("srt").cast("double") / F.col("nt").cast("double") + F.lit(0.5))
+            / F.lit(10000.0)
+        ).alias("mrr"),
+    )

@@ -5179,3 +5179,36 @@ def ab_test_report(
         zq.alias("z"),
         (F.abs(zq) > F.lit(float(AB_Z_CRIT))).alias("significant"),
     )
+
+
+KANON_K = 5
+KANON_LEN_BUCKET = 100
+
+
+def k_anonymity_report(
+    docs: DataFrame,
+    quasi: tuple = ("source", "lang"),
+    len_col: str = "n_chars",
+    k: int = KANON_K,
+    len_bucket: int = KANON_LEN_BUCKET,
+) -> DataFrame:
+    """(source, lang, len_bucket, class_size, risky) — k-anonymity audit
+    over the quasi-identifier tuple (source, lang, floor(length/bucket)):
+    an equivalence class smaller than k means its members are
+    re-identifiable from metadata alone — the governance pre-check a
+    corpus release runs before shipping per-document metadata.
+
+    Exact integers throughout; risky = class_size < k.  Shape at scale:
+    ONE map-side-combinable groupBy on the quasi tuple; output is
+    |classes|-bounded.
+    """
+    cols = [F.col(c) for c in quasi]
+    bucket = F.expr(f"{len_col} DIV {int(len_bucket)}").cast("long").alias(
+        "len_bucket"
+    )
+    return (
+        docs.select(*cols, bucket)
+        .groupBy(*quasi, "len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .withColumn("risky", F.col("class_size") < int(k))
+    )

@@ -515,3 +515,39 @@ def test_ab_test_report_detects_planted_lift(spark):
         "props string, event_type string",
     )
     assert dp.ab_test_report(flat).collect()[0]["significant"] is False
+
+
+def test_knn_mrr_report(spark):
+    from lightrag_spark.operators import ann
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(64)], i % 2) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ann.knn_mrr_report(emb).collect()
+    assert out
+    # one mrr value repeated on all rows; fractions sum to 1
+    assert len({r["mrr"] for r in out}) == 1
+    assert sum(r["frac"] for r in out) == pytest.approx(1.0, abs=1e-3)
+    # mrr equals the histogram-implied value
+    nt = sum(r["n_queries"] for r in out)
+    expect = sum(
+        r["n_queries"] * (10000 // r["first_pos_rank"] if r["first_pos_rank"] else 0)
+        for r in out
+    )
+    import math
+
+    assert out[0]["mrr"] == math.floor(expect / nt + 0.5) / 10000.0
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    rows = [(i, "s0", "en", 150) for i in range(10)]   # class of 10 -> safe
+    rows += [(100, "s1", "de", 10)]                     # singleton -> risky
+    docs = spark.createDataFrame(rows, "doc_id long, source string, lang string, n_chars long")
+    out = {(r["source"], r["lang"], r["len_bucket"]): r for r in dp.k_anonymity_report(docs).collect()}
+    assert out[("s0", "en", 1)]["class_size"] == 10
+    assert out[("s0", "en", 1)]["risky"] is False
+    assert out[("s1", "de", 0)]["risky"] is True
