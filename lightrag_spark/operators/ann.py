@@ -891,9 +891,11 @@ def training_triplets_lsh(
     hard-negatives, triplets) — the pool is built once per call, the
     picks are rank-1 windows over it.
     """
+    # the pool fans out to two rank-1 picks — truncate lineage so the
+    # LSH chain (Arrow kernels included) runs once, not per consumer
     topk = _labeled_knn_topk(
         embeddings, k, id_col, vec_col, label_col, dim, max_bucket, rows
-    )
+    ).localCheckpoint(eager=True)
     wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     pos = (
         topk.filter(F.col("nlabel") == F.col("actual_label"))
@@ -949,9 +951,11 @@ def knn_mrr_report(
     contribute 0) and repeats on every row (the histogram is the row
     grain; mrr is the headline).
     """
+    # pool consumed by the qid-universe scan AND the first-positive agg —
+    # checkpoint once (the triplets/assortativity lineage lesson)
     topk = _labeled_knn_topk(
         embeddings, k, id_col, vec_col, label_col, dim, max_bucket, rows
-    )
+    ).localCheckpoint(eager=True)
     wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     ranked = topk.withColumn("rn", F.row_number().over(wq))
     first_pos = (
