@@ -468,6 +468,17 @@ def _q_knn_calibration(spark, sf):
     )
 
 
+def _q_lexical_diversity(spark, sf):
+    """Per-document TTR + Herdan's C (datapipe.lexical_diversity)."""
+    return dp.lexical_diversity(_documents(spark, sf))
+
+
+def _q_type_affinity(spark, sf):
+    """Within-session event-type co-occurrence lift (datapipe.
+    session_type_affinity, 30-min gap sessions)."""
+    return dp.session_type_affinity(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def _q_knn_mrr(spark, sf):
     """MRR + first-positive-rank histogram of the LSH kNN pool (ann.
     knn_mrr_report): label-as-relevance retrieval quality."""
@@ -3377,6 +3388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test": _q_ab_test,
         "eval_knn_mrr": _q_knn_mrr,
         "doc_k_anonymity": _q_k_anonymity,
+        "text_lexical_diversity": _q_lexical_diversity,
+        "events_type_affinity": _q_type_affinity,
     }
 
 
@@ -4756,6 +4769,61 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # Lexical-diversity twin: exact token/type counts, one division
+        # and one ln/ln chain.
+        "text_lexical_diversity": """
+WITH tok AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents), unnest(t) AS u(term)),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_types
+  FROM tok GROUP BY 1)
+SELECT doc_id, n_tokens, n_types,
+       floor((n_types::DOUBLE / n_tokens::DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS ttr,
+       CASE WHEN n_tokens > 1
+            THEN floor((ln(n_types::DOUBLE) / ln(n_tokens::DOUBLE))
+                       * 10000.0 + 0.5) / 10000.0
+            ELSE 0.0 END AS herdan_c
+FROM per""",
+        # Type-affinity twin: identical gap sessionization, distinct
+        # (session, type), within-session pair join, integer lift chain.
+        "events_type_affinity": f"""
+WITH base AS (
+  SELECT user_id AS u, ts, event_id AS i, event_type AS k,
+         (epoch_us(ts) // 1000000)::BIGINT AS ep
+  FROM events),
+flags AS (
+  SELECT u, ts, i, k,
+         (CASE WHEN lag(ep) OVER (PARTITION BY u ORDER BY ts, i) IS NULL
+                    THEN 1
+               WHEN ep - lag(ep) OVER (PARTITION BY u ORDER BY ts, i)
+                    > {dp.TYPE_AFFINITY_GAP_MIN * 60} THEN 1
+               ELSE 0 END)::BIGINT AS ns
+  FROM base),
+sess AS (
+  SELECT u, k,
+         sum(ns) OVER (PARTITION BY u ORDER BY ts, i
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS sid
+  FROM flags),
+st AS (SELECT DISTINCT u, sid, k FROM sess),
+stot AS (SELECT count(*)::BIGINT AS s
+         FROM (SELECT DISTINCT u, sid FROM st) t),
+pt AS (SELECT k, count(*)::BIGINT AS n FROM st GROUP BY 1),
+pairs AS (
+  SELECT a.k AS type_a, b.k AS type_b, count(*)::BIGINT AS n_ab
+  FROM st a JOIN st b ON a.u = b.u AND a.sid = b.sid AND a.k < b.k
+  GROUP BY 1, 2)
+SELECT type_a, type_b, (SELECT s FROM stot) AS n_sessions,
+       na.n AS n_a, nb.n AS n_b,
+       floor((n_ab::DOUBLE * (SELECT s FROM stot)::DOUBLE
+              / (na.n::DOUBLE * nb.n::DOUBLE)) * 10000.0 + 0.5) / 10000.0
+         AS lift
+FROM pairs JOIN pt na ON na.k = pairs.type_a
+JOIN pt nb ON nb.k = pairs.type_b""",
         # MRR twin: the shared knn chain, first same-label rank per query,
         # integer reciprocal-rank units.
         "eval_knn_mrr": ann.duckdb_pruned_bands_cte(64)

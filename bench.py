@@ -240,6 +240,8 @@ def main():
         "events_ab_test",
         "eval_knn_mrr",
         "doc_k_anonymity",
+        "text_lexical_diversity",
+        "events_type_affinity",
     )
 
     def _time(name):

@@ -5212,3 +5212,127 @@ def k_anonymity_report(
         .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
         .withColumn("risky", F.col("class_size") < int(k))
     )
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, herdan_c) — per-document lexical
+    diversity: type-token ratio and Herdan's C (ln V / ln N, the
+    length-robust variant).  Low-diversity documents are template/boiler
+    output and keyword-stuffed spam; the complement to the entropy and
+    repetition filters (text_token_entropy, text_ngram_repetition) that
+    length normalization makes comparable across documents.
+
+    Exact integer counts; ttr is one quantized division; herdan_c is one
+    ln/ln chain written identically in the twin (docs with N <= 1 emit
+    0.0 — ln(1) = 0 denominators are defined away, documented).
+
+    Shape at scale: one token explode + two combinable counts per doc.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens_col(text)).alias("t"))
+    per = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("t").cast("long").alias("n_types"),
+    )
+    q4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    herdan = F.when(
+        F.col("n_tokens") > 1,
+        q4(
+            F.log(F.col("n_types").cast("double"))
+            / F.log(F.col("n_tokens").cast("double"))
+        ),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        q4(F.col("n_types").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "ttr"
+        ),
+        herdan.alias("herdan_c"),
+    )
+
+
+TYPE_AFFINITY_GAP_MIN = 30
+
+
+def session_type_affinity(
+    events: DataFrame,
+    gap_minutes: int = TYPE_AFFINITY_GAP_MIN,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(type_a, type_b, n_sessions, n_a, n_b, lift) — within-session
+    co-occurrence lift between event types: lift > 1 means the two
+    actions cluster in the same sessions beyond chance (the
+    basket-analysis signal for flow design and bot-script detection —
+    scripted sessions show extreme lifts).  Uses the same gap
+    sessionization rule as sessionize_events (lag > gap_minutes starts a
+    new session), distinct types per session, pairs ordered type_a <
+    type_b.
+
+    lift = (n_ab * S) / (n_a * n_b) with S = total sessions — exact
+    integer counts, one quantized division chain.  Shape at scale: one
+    user-ordered window (the sessionize shuffle), one distinct
+    (session, type) projection, a within-session pair join bounded by
+    |types| per session, |types|^2 output.
+    """
+    w = Window.partitionBy("u").orderBy("t", "i")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("k"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) DIV 1000000").alias(
+            "ep"
+        ),
+    )
+    new_sess = (
+        F.col("ep") - F.lag("ep").over(w) > F.lit(int(gap_minutes) * 60)
+    ).cast("long")
+    sess = base.withColumn(
+        "sid",
+        F.sum(F.coalesce(new_sess, F.lit(1).cast("long"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select("u", "sid", "k")
+    st = sess.distinct()
+    s_total = st.select("u", "sid").distinct().count()
+    per_type = st.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = st.select("u", "sid", F.col("k").alias("type_a"))
+    b = st.select("u", "sid", F.col("k").alias("type_b"))
+    pairs = (
+        a.join(b, ["u", "sid"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(per_type.select(F.col("k").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("k").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+    )
+    lift = (
+        F.col("n_ab").cast("double") * F.lit(float(s_total))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        F.lit(int(s_total)).cast("long").alias("n_sessions"),
+        "n_a",
+        "n_b",
+        (F.floor(lift * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "lift"
+        ),
+    )

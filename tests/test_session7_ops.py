@@ -551,3 +551,47 @@ def test_k_anonymity_flags_small_classes(spark):
     assert out[("s0", "en", 1)]["class_size"] == 10
     assert out[("s0", "en", 1)]["risky"] is False
     assert out[("s1", "de", 0)]["risky"] is True
+
+
+def test_lexical_diversity_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a a"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dp.lexical_diversity(docs).collect()}
+    assert out[1]["ttr"] == 1.0 and out[1]["herdan_c"] == 1.0
+    assert out[2]["ttr"] == 0.25
+    assert out[2]["herdan_c"] == 0.0  # ln(1)/ln(4) = 0
+    assert out[3]["n_tokens"] == 1 and out[3]["herdan_c"] == 0.0
+    docs2 = spark.createDataFrame([(4, "a b a b c")], "doc_id long, text string")
+    r = dp.lexical_diversity(docs2).collect()[0]
+    assert r["herdan_c"] == pytest.approx(
+        math.floor(math.log(3) / math.log(5) * 1e4 + 0.5) / 1e4
+    )
+
+
+def test_session_type_affinity_lift(spark):
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def at(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1, session 1: a+b together; session 2 (gap > 30m): a alone
+        (1, at(0), 1, "a"), (1, at(1), 2, "b"), (1, at(60), 3, "a"),
+        # user 2, one session: a+b together again
+        (2, at(0), 4, "a"), (2, at(2), 5, "b"),
+        # user 3, one session: c alone
+        (3, at(0), 6, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {(r["type_a"], r["type_b"]): r for r in dp.session_type_affinity(ev).collect()}
+    ab = out[("a", "b")]
+    # 4 sessions total; a in 3, b in 2, together in 2 -> lift = 2*4/(3*2)
+    assert ab["n_sessions"] == 4 and ab["n_a"] == 3 and ab["n_b"] == 2
+    assert ab["lift"] == pytest.approx(2 * 4 / 6, abs=1e-4)
+    assert ("a", "c") not in out  # never co-occur
