@@ -468,6 +468,12 @@ def _q_knn_calibration(spark, sf):
     )
 
 
+def _q_hourly_autocorr(spark, sf):
+    """Hourly-count autocorrelation at 24h/168h lags (datapipe.
+    hourly_autocorr): exact integer moments, assortativity pattern."""
+    return dp.hourly_autocorr(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def _q_lexical_diversity(spark, sf):
     """Per-document TTR + Herdan's C (datapipe.lexical_diversity)."""
     return dp.lexical_diversity(_documents(spark, sf))
@@ -3390,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_k_anonymity": _q_k_anonymity,
         "text_lexical_diversity": _q_lexical_diversity,
         "events_type_affinity": _q_type_affinity,
+        "events_autocorr": _q_hourly_autocorr,
     }
 
 
@@ -4769,6 +4776,32 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # Autocorrelation twin: hourly counts self-joined at each lag,
+        # exact integer moments.
+        "events_autocorr": f"""
+WITH base AS (
+  SELECT event_type AS k,
+         (epoch_us(ts) // 3600000000)::BIGINT AS h
+  FROM events),
+hourly AS (SELECT k, h, count(*)::BIGINT AS n FROM base GROUP BY 1, 2),
+lags AS (SELECT unnest([{", ".join(str(x) for x in dp.AUTOCORR_LAGS_H)}])::BIGINT AS lag),
+pairs AS (
+  SELECT a.k, l.lag, a.n AS x, b.n AS y
+  FROM hourly a CROSS JOIN lags l
+  JOIN hourly b ON b.k = a.k AND b.h = a.h + l.lag),
+mom AS (
+  SELECT k, lag, count(*)::BIGINT AS m, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+         sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy
+  FROM pairs GROUP BY 1, 2)
+SELECT k AS event_type, lag AS lag_hours, m AS n_pairs,
+       (CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
+             THEN floor(((m * sxy - sx * sy)::DOUBLE
+                         / (sqrt((m * sxx - sx * sx)::DOUBLE)
+                            * sqrt((m * syy - sy * sy)::DOUBLE)))
+                        * 10000.0 + 0.5)
+             ELSE 0 END) / 10000.0 AS r
+FROM mom""",
         # Lexical-diversity twin: exact token/type counts, one division
         # and one ln/ln chain.
         "text_lexical_diversity": """

