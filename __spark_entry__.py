@@ -468,6 +468,16 @@ def _q_knn_calibration(spark, sf):
     )
 
 
+def _q_daily_new_users(spark, sf):
+    """Daily new-vs-returning user split (datapipe.daily_new_users)."""
+    return dp.daily_new_users(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _q_ngram_coverage(spark, sf):
+    """Top-20 3-gram corpus mass coverage (datapipe.ngram_coverage)."""
+    return dp.ngram_coverage(_documents(spark, sf))
+
+
 def _q_hourly_autocorr(spark, sf):
     """Hourly-count autocorrelation at 24h/168h lags (datapipe.
     hourly_autocorr): exact integer moments, assortativity pattern."""
@@ -3397,6 +3407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lexical_diversity": _q_lexical_diversity,
         "events_type_affinity": _q_type_affinity,
         "events_autocorr": _q_hourly_autocorr,
+        "events_new_users": _q_daily_new_users,
+        "text_ngram_coverage": _q_ngram_coverage,
     }
 
 
@@ -4776,6 +4788,52 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # New-user twin: first-seen min per user, distinct-day split.
+        "events_new_users": """
+WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+             FROM events),
+fst AS (SELECT u, min(day) AS first_day FROM act GROUP BY 1),
+per AS (
+  SELECT day,
+         sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT AS n_new,
+         sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)::BIGINT
+           AS n_returning
+  FROM act JOIN fst ON act.u = fst.u GROUP BY 1)
+SELECT day, n_new, n_returning,
+       floor((n_new::DOUBLE / (n_new + n_returning)::DOUBLE) * 10000.0
+             + 0.5) / 10000.0 AS new_share
+FROM per""",
+        # n-gram coverage twin: exact gram counts, (count desc, gram)
+        # top-k, integer prefix sums over the k rows.
+        "text_ngram_coverage": f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+grams AS (
+  SELECT u.g FROM (
+    SELECT CASE WHEN len(t) >= {dp.NGRAM_COVERAGE_N}
+                THEN list_transform(
+                       generate_series(1, len(t) - {dp.NGRAM_COVERAGE_N - 1}),
+                       i -> array_to_string(
+                              t[i:i + {dp.NGRAM_COVERAGE_N - 1}], ' '))
+                ELSE [] END AS gs
+    FROM toks) x, unnest(gs) AS u(g)),
+counts AS (SELECT g, count(*)::BIGINT AS c FROM grams GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS T FROM counts),
+top AS (
+  SELECT g, c, row_number() OVER (ORDER BY c DESC, g)::BIGINT AS rank
+  FROM counts ORDER BY c DESC, g LIMIT {dp.NGRAM_COVERAGE_TOPK}),
+run AS (
+  SELECT rank, g, c,
+         sum(c) OVER (ORDER BY rank
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)::BIGINT AS cum
+  FROM top)
+SELECT rank, g AS gram, c AS n_occ,
+       floor((c::DOUBLE / (SELECT T FROM tot)::DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS share,
+       floor((cum::DOUBLE / (SELECT T FROM tot)::DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS cum_share
+FROM run""",
         # Autocorrelation twin: hourly counts self-joined at each lag,
         # exact integer moments.
         "events_autocorr": f"""

@@ -243,6 +243,8 @@ def main():
         "text_lexical_diversity",
         "events_type_affinity",
         "events_autocorr",
+        "events_new_users",
+        "text_ngram_coverage",
     )
 
     def _time(name):

@@ -5404,3 +5404,112 @@ def hourly_autocorr(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def daily_new_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(day, n_new, n_returning, new_share) — growth accounting: per day,
+    users seen for the first time ever vs returning actives.  A rising
+    returning floor with steady new_share is organic growth; a new_share
+    spike is a campaign — or a bot wave (cross-check events_bot_signals).
+
+    Exact: first-seen day per user is a min aggregate; the day split is
+    integer counts of distinct (day, user) activity; new_share is one
+    quantized division.
+
+    Shape at scale: one distinct (user, day) projection, one per-user
+    min, one broadcastable-keyed equi-join back, one per-day count.
+    """
+    act = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    first = act.groupBy("u").agg(F.min("day").alias("first_day"))
+    per = (
+        act.join(first, "u")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum((F.col("day") != F.col("first_day")).cast("long"))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )
+    share = F.col("n_new").cast("double") / (
+        F.col("n_new") + F.col("n_returning")
+    ).cast("double")
+    return per.select(
+        "day",
+        "n_new",
+        "n_returning",
+        (F.floor(share * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "new_share"
+        ),
+    )
+
+
+NGRAM_COVERAGE_N = 3
+NGRAM_COVERAGE_TOPK = 20
+
+
+def ngram_coverage(
+    docs: DataFrame,
+    text: str = "text",
+    n: int = NGRAM_COVERAGE_N,
+    top_k: int = NGRAM_COVERAGE_TOPK,
+) -> DataFrame:
+    """(rank, gram, n_occ, share, cum_share) — how much of the corpus'
+    n-gram mass its top-k n-grams carry: high cumulative share at small k
+    means template/boilerplate-dominated text (and high dedup/compression
+    potential); flat share means diverse prose.  The exact-count
+    complement to the CM-sketch heavy hitters (text_cm_heavy_hitters).
+
+    Deterministic: exact integer counts, ties broken by gram text; share
+    and the running cum_share quantize from integer prefix sums (the
+    window is over top_k rows only).
+
+    Shape at scale: one n-gram explode + combinable count, one top-k head
+    (TakeOrdered shape), a k-row window.  The full gram table is the
+    shuffle cost; the output is k rows.
+    """
+    toks = docs.select(F.split(F.trim(F.col(text)), r"\s+").alias("t"))
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("t", i + j + 1) for j in range(n)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g")
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = counts.agg(F.sum("c").cast("long").alias("T"))
+    top = (
+        counts.orderBy(F.desc("c"), F.asc("g"))
+        .limit(int(top_k))
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("g")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("g")))
+        .cast("long")
+        .alias("rank"),
+        F.col("g").alias("gram"),
+        F.col("c").alias("n_occ"),
+        q4(F.col("c").cast("double") / F.col("T").cast("double")).alias("share"),
+        q4(F.sum("c").over(w).cast("double") / F.col("T").cast("double")).alias(
+            "cum_share"
+        ),
+    )

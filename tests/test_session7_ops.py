@@ -616,3 +616,29 @@ def test_hourly_autocorr_periodic_signal(spark):
     assert out[("tide", 168)]["r"] == 1.0
     # constant/degenerate series defines r = 0
     assert out.get(("noise", 24), {"r": 0.0})["r"] in (0.0,) or True
+
+
+def test_daily_new_users_split(spark):
+    d1, d2 = datetime.datetime(2024, 3, 1, 5), datetime.datetime(2024, 3, 2, 5)
+    rows = [(1, d1), (2, d1), (1, d2), (3, d2), (1, d2)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {str(r["day"]): r for r in dp.daily_new_users(ev).collect()}
+    a, b = out["2024-03-01"], out["2024-03-02"]
+    assert a["n_new"] == 2 and a["n_returning"] == 0 and a["new_share"] == 1.0
+    assert b["n_new"] == 1 and b["n_returning"] == 1 and b["new_share"] == 0.5
+
+
+def test_ngram_coverage_template_mass(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox the quick brown fox"),
+         (2, "the quick brown cat")],
+        "doc_id long, text string",
+    )
+    out = sorted(dp.ngram_coverage(docs).collect(), key=lambda r: r["rank"])
+    # 'the quick brown' occurs 3x - the top gram
+    assert out[0]["gram"] == "the quick brown" and out[0]["n_occ"] == 3
+    # cum_share is non-decreasing and ends at 1.0 (few distinct grams)
+    cums = [r["cum_share"] for r in out]
+    assert cums == sorted(cums) and cums[-1] == pytest.approx(1.0, abs=1e-3)
+    # ranks are 1..k and shares sum to cum_share
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
