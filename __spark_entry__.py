@@ -468,6 +468,12 @@ def _q_knn_calibration(spark, sf):
     )
 
 
+def _q_token_budget(spark, sf):
+    """Per-source token-budget accounting for exact dedup (datapipe.
+    token_budget_report)."""
+    return dp.token_budget_report(_documents(spark, sf))
+
+
 def _q_daily_new_users(spark, sf):
     """Daily new-vs-returning user split (datapipe.daily_new_users)."""
     return dp.daily_new_users(spark.read.parquet(f"{sf}/events.parquet"))
@@ -3409,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_autocorr": _q_hourly_autocorr,
         "events_new_users": _q_daily_new_users,
         "text_ngram_coverage": _q_ngram_coverage,
+        "data_token_budget": _q_token_budget,
     }
 
 
@@ -4788,6 +4795,26 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # Token-budget twin: identical first-wins window per (source,
+        # content hash), integer token sums.
+        "data_token_budget": """
+WITH base AS (
+  SELECT source AS g, doc_id, md5(text) AS ch,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS nt
+  FROM documents),
+flagged AS (
+  SELECT g, nt,
+         row_number() OVER (PARTITION BY g, ch ORDER BY doc_id) AS rn
+  FROM base),
+per AS (
+  SELECT g, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS raw_tokens,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS unique_docs,
+         sum(CASE WHEN rn = 1 THEN nt ELSE 0 END)::BIGINT AS unique_tokens
+  FROM flagged GROUP BY 1)
+SELECT g AS source, n_docs, raw_tokens, unique_docs, unique_tokens,
+       floor((1.0 - unique_tokens::DOUBLE / raw_tokens::DOUBLE) * 10000.0
+             + 0.5) / 10000.0 AS savings_ratio
+FROM per""",
         # New-user twin: first-seen min per user, distinct-day split.
         "events_new_users": """
 WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day

@@ -245,6 +245,7 @@ def main():
         "events_autocorr",
         "events_new_users",
         "text_ngram_coverage",
+        "data_token_budget",
     )
 
     def _time(name):

@@ -5513,3 +5513,54 @@ def ngram_coverage(
             "cum_share"
         ),
     )
+
+
+def token_budget_report(
+    docs: DataFrame,
+    group: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """(source, n_docs, raw_tokens, unique_docs, unique_tokens,
+    savings_ratio) — token-budget accounting for exact dedup: how many
+    training tokens each source contributes before and after
+    content-hash dedup (first-seen keeps the tokens; later identical
+    copies are pure waste).  The number a data-budget negotiation and a
+    storage estimate actually need — doc counts under-state the win when
+    duplicates skew long.
+
+    Exact: token counts are integer sizes of the whitespace split;
+    uniqueness is per (source, md5(text)) first-wins (row_number by
+    doc_id); savings_ratio = 1 - unique_tokens/raw_tokens quantized.
+
+    Shape at scale: one scan-side (hash, n_tok) projection, one
+    first-wins window per (source, hash), two combinable sums.
+    """
+    base = docs.select(
+        F.col(group).alias("g"),
+        F.col("doc_id"),
+        F.md5(F.col(text)).alias("ch"),
+        F.size(F.split(F.trim(F.col(text)), r"\s+")).cast("long").alias("nt"),
+    )
+    w = Window.partitionBy("g", "ch").orderBy("doc_id")
+    flagged = base.withColumn("rn", F.row_number().over(w))
+    per = flagged.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("raw_tokens"),
+        F.sum((F.col("rn") == 1).cast("long")).cast("long").alias("unique_docs"),
+        F.sum(F.when(F.col("rn") == 1, F.col("nt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("unique_tokens"),
+    )
+    ratio = F.lit(1.0) - F.col("unique_tokens").cast("double") / F.col(
+        "raw_tokens"
+    ).cast("double")
+    return per.select(
+        F.col("g").alias(group),
+        "n_docs",
+        "raw_tokens",
+        "unique_docs",
+        "unique_tokens",
+        (F.floor(ratio * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "savings_ratio"
+        ),
+    )

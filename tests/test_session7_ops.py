@@ -642,3 +642,18 @@ def test_ngram_coverage_template_mass(spark):
     assert cums == sorted(cums) and cums[-1] == pytest.approx(1.0, abs=1e-3)
     # ranks are 1..k and shares sum to cum_share
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_token_budget_savings(spark):
+    rows = [
+        (1, "one two three", "s0"), (2, "one two three", "s0"),  # dup: 3 tokens wasted
+        (3, "four five", "s0"),
+        (4, "six", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in dp.token_budget_report(docs).collect()}
+    s0 = out["s0"]
+    assert s0["n_docs"] == 3 and s0["unique_docs"] == 2
+    assert s0["raw_tokens"] == 8 and s0["unique_tokens"] == 5
+    assert s0["savings_ratio"] == pytest.approx(1 - 5 / 8)
+    assert out["s1"]["savings_ratio"] == 0.0
