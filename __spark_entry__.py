@@ -468,6 +468,20 @@ def _q_knn_calibration(spark, sf):
     )
 
 
+def _q_error_rate(spark, sf):
+    """Daily error share + integer-exact elevated flag (datapipe.
+    daily_error_rate)."""
+    return dp.daily_error_rate(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _q_degree_histogram(spark, sf):
+    """Log2-binned KG degree distribution (graphs.degree_histogram)."""
+    from lightrag_spark.operators.graphs import degree_histogram
+
+    r = _build(spark, sf)
+    return degree_histogram(r.kg_edges.select("src", "tgt"))
+
+
 def _q_token_budget(spark, sf):
     """Per-source token-budget accounting for exact dedup (datapipe.
     token_budget_report)."""
@@ -3416,6 +3430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_new_users": _q_daily_new_users,
         "text_ngram_coverage": _q_ngram_coverage,
         "data_token_budget": _q_token_budget,
+        "events_error_rate": _q_error_rate,
+        "kg_degree_histogram": _q_degree_histogram,
     }
 
 
@@ -4795,6 +4811,32 @@ SELECT votes, conf_fp / 10000.0 AS confidence, n, nc AS n_correct,
        acc_fp / 10000.0 AS accuracy, gap_fp / 10000.0 AS gap,
        floor(wg::DOUBLE / nt::DOUBLE + 0.5) / 10000.0 AS ece
 FROM g2, tot""",
+        # Error-rate twin: two conditional integer counters per day,
+        # integer cross-product elevated flag.
+        "events_error_rate": f"""
+WITH per AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_events,
+         sum(CASE WHEN event_type = '{dp.ERROR_RATE_TYPE}'
+                  THEN 1 ELSE 0 END)::BIGINT AS n_errors
+  FROM events GROUP BY 1),
+tot AS (SELECT sum(n_events)::BIGINT AS te, sum(n_errors)::BIGINT AS tr
+        FROM per)
+SELECT day, n_events, n_errors,
+       floor((n_errors::DOUBLE / n_events::DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS error_rate,
+       (n_errors * te > {dp.ERROR_RATE_ELEVATED_MULT} * n_events * tr)
+         AS elevated
+FROM per, tot""",
+        # Degree-histogram twin: identical bit-length bucket over the
+        # undirected degrees.
+        "kg_degree_histogram": _KG_CTE + """
+, dhe AS (SELECT DISTINCT src AS a, tgt AS b FROM edges WHERE src <> tgt),
+dhu AS (SELECT a FROM dhe UNION ALL SELECT b FROM dhe),
+dhd AS (SELECT a, count(*)::BIGINT AS d FROM dhu GROUP BY 1)
+SELECT (length(bin(d)) - 1)::BIGINT AS bucket,
+       min(d)::BIGINT AS min_degree, max(d)::BIGINT AS max_degree,
+       count(*)::BIGINT AS n_nodes
+FROM dhd GROUP BY 1""",
         # Token-budget twin: identical first-wins window per (source,
         # content hash), integer token sums.
         "data_token_budget": """

@@ -140,6 +140,7 @@ def main():
         "kg_metapaths",
         "kg_hits",
         "kg_assortativity",
+        "kg_degree_histogram",
     )
     standalone = () if mode == "synth" else (
         "dedup_near_pairs",
@@ -246,6 +247,7 @@ def main():
         "events_new_users",
         "text_ngram_coverage",
         "data_token_budget",
+        "events_error_rate",
     )
 
     def _time(name):

@@ -5564,3 +5564,53 @@ def token_budget_report(
             "savings_ratio"
         ),
     )
+
+
+ERROR_RATE_TYPE = "error"
+ERROR_RATE_ELEVATED_MULT = 2
+
+
+def daily_error_rate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    error_type: str = ERROR_RATE_TYPE,
+) -> DataFrame:
+    """(day, n_events, n_errors, error_rate, elevated) — the daily error
+    share with an elevated flag at 2x the corpus-wide baseline rate: the
+    first page an on-call dashboard shows, and the day-filter a data
+    pipeline applies before trusting a day's events.
+
+    Exact integer counts; error_rate and the baseline are single
+    quantized divisions; elevated compares INTEGER cross-products
+    (n_errors * total_events > 2 * n_events * total_errors) so the flag
+    never depends on float rounding.
+
+    Shape at scale: one (day) aggregate of two conditional counters + a
+    1-row baseline attach.
+    """
+    base = events.select(
+        F.to_date(ts_col).alias("day"),
+        (F.col(type_col) == error_type).cast("long").alias("is_err"),
+    )
+    per = base.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("is_err").cast("long").alias("n_errors"),
+    )
+    tot = per.agg(
+        F.sum("n_events").cast("long").alias("te"),
+        F.sum("n_errors").cast("long").alias("tr"),
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_events",
+        "n_errors",
+        (F.floor(rate * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "error_rate"
+        ),
+        (
+            F.col("n_errors") * F.col("te")
+            > F.lit(int(ERROR_RATE_ELEVATED_MULT)) * F.col("n_events") * F.col("tr")
+        ).alias("elevated"),
+    )

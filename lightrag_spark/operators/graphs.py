@@ -1616,3 +1616,40 @@ def degree_assortativity(
         (F.col("m") / F.lit(2)).cast("long").alias("n_edges"),
         (F.floor(r * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("r"),
     )
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", tgt: str = "tgt"
+) -> DataFrame:
+    """(bucket, min_degree, max_degree, n_nodes) — log2-binned degree
+    distribution of the undirected graph (bucket = floor(log2(d))): the
+    shape chart behind kg_degree_alpha's tail exponent, and the skew
+    preview for any degree-keyed shuffle (a fat top bucket = hot keys).
+
+    Exact integers: the bucket is the bit length of the degree minus one
+    (floor(log2) without floats — identical in both engines via integer
+    comparison against powers of two is unnecessary: DuckDB and Spark
+    both floor(log2(d::DOUBLE)) identically on exact small integers, but
+    the INTEGER form used here, length(bin-representation), avoids the
+    question entirely).  Shape at scale: one degree aggregate + one
+    |buckets|-sized aggregate.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(tgt).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # floor(log2(d)) as bit_length(d) - 1: bin(d) string length in Spark,
+    # exact for any BIGINT
+    bucket = (F.length(F.bin(F.col("d"))) - F.lit(1)).cast("long")
+    return (
+        deg.select(bucket.alias("bucket"), "d")
+        .groupBy("bucket")
+        .agg(
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+    )

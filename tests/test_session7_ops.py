@@ -657,3 +657,36 @@ def test_token_budget_savings(spark):
     assert s0["raw_tokens"] == 8 and s0["unique_tokens"] == 5
     assert s0["savings_ratio"] == pytest.approx(1 - 5 / 8)
     assert out["s1"]["savings_ratio"] == 0.0
+
+
+def test_daily_error_rate_elevated_flag(spark):
+    rows = []
+    # day 1: 100 events, 2 errors (2%); day 2: 100 events, 20 errors (20%)
+    for i in range(100):
+        rows.append((datetime.datetime(2024, 3, 1, 1), "error" if i < 2 else "view"))
+        rows.append((datetime.datetime(2024, 3, 2, 1), "error" if i < 20 else "view"))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {str(r["day"]): r for r in dp.daily_error_rate(ev).collect()}
+    # baseline 11%: day 1 not elevated, day 2 elevated only if > 22% -> False;
+    # make a third day clearly above 2x baseline
+    assert out["2024-03-01"]["error_rate"] == 0.02
+    assert out["2024-03-01"]["elevated"] is False
+    rows += [(datetime.datetime(2024, 3, 3, 1), "error")] * 50
+    rows += [(datetime.datetime(2024, 3, 3, 1), "view")] * 50
+    out = {str(r["day"]): r for r in dp.daily_error_rate(
+        spark.createDataFrame(rows, "ts timestamp, event_type string")).collect()}
+    assert out["2024-03-03"]["error_rate"] == 0.5
+    assert out["2024-03-03"]["elevated"] is True
+
+
+def test_degree_histogram_buckets(spark):
+    from lightrag_spark.operators.graphs import degree_histogram
+
+    # star: hub degree 5 (bucket 2), leaves degree 1 (bucket 0)
+    e = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(5)], "src string, tgt string"
+    )
+    out = {r["bucket"]: r for r in degree_histogram(e).collect()}
+    assert out[0]["n_nodes"] == 5 and out[0]["min_degree"] == 1
+    assert out[2]["n_nodes"] == 1 and out[2]["max_degree"] == 5
+    assert 1 not in out
