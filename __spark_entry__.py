@@ -411,9 +411,11 @@ def _q_knn_confusion(spark, sf):
     grouped by actual x predicted): per-actual row shares expose which
     classes the embedding space conflates — the label-noise audit."""
     knn = ann.knn_label_vote_lsh(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    # |labels|^2-sized; consumed by the totals agg AND the share join —
+    # checkpoint at the fan-out so the LSH chain runs once, not twice
     per = knn.groupBy("actual_label", "predicted_label").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=True)
     tot = per.groupBy("actual_label").agg(F.sum("n").cast("long").alias("t"))
     share = F.col("n").cast("double") / F.col("t").cast("double")
     return per.join(F.broadcast(tot), "actual_label").select(
@@ -434,10 +436,12 @@ def _q_knn_calibration(spark, sf):
     knn = ann.knn_label_vote_lsh(
         spark.read.parquet(f"{sf}/embeddings.parquet"), with_votes=True
     )
+    # <=k+1 rows; fans into the totals agg and the final join — checkpoint
+    # so the LSH chain behind it runs once, not twice
     b = knn.groupBy("votes").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("correct").cast("long")).cast("long").alias("nc"),
-    )
+    ).localCheckpoint(eager=True)
     g = b.select(
         "votes",
         "n",

@@ -238,6 +238,110 @@ def ann_bands(
     return embeddings.select(id_col, vec_col).mapInPandas(sign_batches, out_schema)
 
 
+def ann_signatures(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rows: int = ANN_ROWS,
+) -> DataFrame:
+    """(id, vec, buckets array<string>) — ONE row per vector, ONE Arrow
+    matmul pass.  The wide (pre-explode) form of ``ann_bands``: the band
+    explode is a cheap JVM ``posexplode`` the caller applies per consumer,
+    so checkpointing THIS frame lets the megabucket size-agg, the guard's
+    semi-join probe, and the scoring-kernel input all reuse one Python
+    evaluation (the band-row form re-ran the signature kernel once per
+    consumer — 2-4 ArrowEval stages per query), and the checkpoint stores
+    one vector copy per row instead of ANN_BANDS copies."""
+    import numpy as np
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, `{vec_col}` {vec_type}, buckets array<string>"
+    planes_t = [list(col) for col in zip(*hyperplanes(dim, ANN_BANDS * rows))]
+
+    def sign_batches(batches):
+        import pandas as pd
+
+        P = np.asarray(planes_t, dtype=np.float64)
+        band_slices = [slice(b * rows, (b + 1) * rows) for b in range(ANN_BANDS)]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            chars = np.where(V @ P > 0, "1", "0")  # (n, nbits)
+            buckets = [
+                ["".join(row[sl]) for sl in band_slices] for row in chars
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf.iloc[:, 0].to_numpy(),
+                    vec_col: pdf.iloc[:, 1].to_numpy(),
+                    "buckets": pd.Series(buckets, dtype="object"),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(sign_batches, out_schema)
+
+
+def _explode_signatures(W: DataFrame, id_col: str, vec_col: str | None) -> DataFrame:
+    """Wide signature frame -> band rows (id[, vec], band_idx, bucket)."""
+    cols = [F.col(id_col)]
+    if vec_col is not None:
+        cols.append(F.col(vec_col))
+    return W.select(
+        *cols, F.posexplode("buckets").alias("band_idx", "bucket")
+    )
+
+
+def pruned_bands_with_vec(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    max_bucket,
+    rows: int,
+    drop_singletons: bool = True,
+) -> DataFrame:
+    """Guarded LSH band rows with vectors attached, signature kernel run
+    exactly ONCE: the wide signature frame is eagerly localCheckpointed
+    (one vector copy per row), then the bucket-size aggregation, the
+    megabucket guard, and the kernel input are all cheap explodes over the
+    checkpoint.  ``drop_singletons`` additionally removes 1-member buckets
+    BEFORE the group shuffle — a pair kernel emits nothing for them, so
+    results are identical while the (dominant) vector bytes of isolated
+    rows never shuffle.  Guard formula unchanged from prune_megabuckets
+    (the DuckDB oracles replay it)."""
+    W = ann_signatures(embeddings, id_col, vec_col, dim, rows).localCheckpoint(
+        eager=True
+    )
+    bands = _explode_signatures(W, id_col, vec_col)
+    keys = ["band_idx", "bucket"]
+    sizes = (
+        _explode_signatures(W, id_col, None)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    min_n = 2 if drop_singletons else 1
+    if max_bucket == "auto":
+        thr = megabucket_threshold_col(sizes)
+        keep = (
+            sizes.withColumn("_k", F.lit(1))
+            .join(F.broadcast(thr), "_k")
+            .filter((F.col("_n") <= F.col("_thr")) & (F.col("_n") >= min_n))
+            .select(*keys)
+        )
+    elif max_bucket is None:
+        if min_n <= 1:
+            return bands
+        keep = sizes.filter(F.col("_n") >= min_n).select(*keys)
+    else:
+        keep = sizes.filter(
+            (F.col("_n") <= max_bucket) & (F.col("_n") >= min_n)
+        ).select(*keys)
+    return bands.join(keep, keys, "left_semi")
+
+
 def multiprobe_band_cols(vec: Column, dim: int, rows: int = ANN_ROWS) -> list[Column]:
     """Per band, TWO buckets: the home bucket plus the neighbour with the
     lowest-|margin| bit flipped (classic multi-probe LSH, Lv et al. 2007).
@@ -451,7 +555,14 @@ def ann_topk(
     corpus-scaled band width (``rows="auto"`` → ``auto_rows_per_band``).
     """
     rows = _resolve_rows(rows, embeddings)
-    bands = ann_bands(embeddings, id_col, vec_col, dim, rows=rows)
+    # ONE signature pass (wide frame, checkpointed): bands for the guard,
+    # the query side, the candidate side, and both vector attaches are all
+    # cheap projections/explodes of W — the band-row form re-ran the Arrow
+    # signature kernel once per consumer (3-4 Python stages per query).
+    W = ann_signatures(embeddings, id_col, vec_col, dim, rows).localCheckpoint(
+        eager=True
+    )
+    bands = _explode_signatures(W, id_col, None)
     if max_bucket is not None:
         bands = prune_megabuckets(bands, max_bucket)
     q_src = (
@@ -470,8 +581,8 @@ def ann_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = W.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = W.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         cand.join(F.broadcast(qv.filter(F.col("query_id") < n_queries)), "query_id")
         .join(cv, "neighbor_id")
@@ -585,9 +696,9 @@ def _labeled_knn_topk(
     mining).  Dataflow and determinism contract documented on
     knn_label_vote_lsh."""
     rows = _resolve_rows(rows, embeddings)
-    bands = ann_bands(embeddings, id_col, vec_col, dim, rows=rows, with_vec=True)
-    if max_bucket is not None:
-        bands = prune_megabuckets(bands, max_bucket)
+    bands = pruned_bands_with_vec(
+        embeddings, id_col, vec_col, dim, max_bucket, rows
+    )
     bands = _wide(bands, "band_idx", "bucket")
     # bucket-local matmul scoring with per-bucket top-k pushdown (exact —
     # see bucket_scored_pairs); the band fan-out collapses on the pair key
@@ -800,9 +911,9 @@ def embedding_near_pairs(
     w.r.t. the operator's own contract.
     """
     rows = _resolve_rows(rows, embeddings)
-    bands = ann_bands(embeddings, id_col, vec_col, dim, rows=rows, with_vec=True)
-    if max_bucket is not None:
-        bands = prune_megabuckets(bands, max_bucket)
+    bands = pruned_bands_with_vec(
+        embeddings, id_col, vec_col, dim, max_bucket, rows
+    )
     bands = _wide(bands, "band_idx", "bucket")
     # bucket-local matmul scoring with the threshold pushed into the
     # kernel: only qualifying pairs are ever emitted, so the shuffle after

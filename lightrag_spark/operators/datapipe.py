@@ -655,6 +655,11 @@ def simhash_near_pairs(
     banded = fp.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, "simhash", F.col("bb.nib_idx").alias("nib_idx"), F.col("bb.nib").alias("nib"))
+    # banded fans out 4 ways (guard size-agg, guard semi-join probe, and
+    # both sides of the candidate self-join) — without truncation the
+    # Arrow fingerprint kernel re-runs once per consumer.  4 skinny rows
+    # per doc: checkpoint is tiny, kernel runs once.
+    banded = banded.localCheckpoint(eager=True)
     banded = prune_megabuckets(banded, max_bucket, key_cols=("nib_idx", "nib"))
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "nib_idx", "nib"
