@@ -125,6 +125,52 @@ def shingle_rows(
     return src.mapInPandas(kernel, out_schema)
 
 
+def doc_shingle_sets(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh array<string>) — each document's first-occurrence-ordered
+    distinct shingle set, ONE row per doc.  Tokenization is byte-identical
+    to the minhash kernel (Java ``\\s`` class, space-only trim, empty
+    tokens kept); docs with fewer than SHINGLE_N tokens are excluded,
+    exactly as there.  This is the md5-free half of minhash_band_rows:
+    the near-dup verifier joins it onto the (pruned) band rows so the
+    12x-md5 signature pass never runs twice and shingle arrays only ever
+    shuffle for documents that actually collide in some bucket.
+    """
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, sh array<string>"
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = docs.select(id_col, text).repartition(n_part)
+    shingle_n = SHINGLE_N
+
+    def kernel(batches):
+        import re
+
+        import pandas as pd
+
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids, outs = [], []
+            for did, txt in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                toks = java_ws.split((txt or "").strip(" "))
+                if len(toks) < shingle_n:
+                    continue
+                ids.append(did)
+                outs.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + shingle_n])
+                            for i in range(len(toks) - shingle_n + 1)
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "sh": pd.Series(outs, dtype="object")}
+            )
+
+    return src.mapInPandas(kernel, out_schema)
+
+
 def exact_duplicates(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content-hash groups with more than one member (hash-groupBy dedup)."""
     return (
@@ -335,30 +381,37 @@ def near_duplicate_pairs(
     if measure not in ("jaccard", "containment"):
         raise ValueError(f"measure must be jaccard|containment, got {measure!r}")
 
-    # The megabucket guard runs IN the kernel (a group knows its own
-    # size), so the shingle-carrying lineage is evaluated exactly once —
-    # prune_megabuckets' size-agg + semi-join would evaluate it two more
-    # times.  The "auto" threshold needs one global stat (median bucket
-    # size); that comes from a shingle-free banding pass — same formula
-    # the DuckDB oracle replays, just computed up front.
+    # ONE minhash pass: the 12x-md5 signature kernel runs once, emits
+    # shingle-FREE band rows, and is eagerly localCheckpointed (skinny —
+    # 12 x ~40-byte rows per doc).  The "auto" threshold, the megabucket
+    # guard, and a new singleton-bucket drop are all cheap aggregations/
+    # semi-joins over the checkpoint; shingle sets come from the md5-free
+    # doc_shingle_sets kernel and join onto the SURVIVING band rows only —
+    # so shingle arrays never shuffle for documents that collide nowhere.
+    # (The previous shape ran the full signature kernel twice — once
+    # shingle-free for the threshold, once with shingles riding every
+    # band row into the group shuffle, singleton buckets included.)
+    # Result-identical: buckets with n<2 emit no pairs in the kernel, and
+    # the guard formula is unchanged (the DuckDB oracle replays it).
+    L = minhash_band_rows(docs, text, id_col).localCheckpoint(eager=True)
+    keys = ["band_idx", "bucket"]
+    sizes = L.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     if max_bucket == "auto":
-        thr_row = (
-            minhash_band_rows(docs, text, id_col)
-            .groupBy("band_idx", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .agg(
-                F.greatest(
-                    F.lit(MEGABUCKET_FLOOR),
-                    F.floor(F.expr("median(_n)") * MEGABUCKET_MULT).cast("long"),
-                ).alias("_thr")
-            )
-            .first()
-        )
+        thr_row = sizes.agg(
+            F.greatest(
+                F.lit(MEGABUCKET_FLOOR),
+                F.floor(F.expr("median(_n)") * MEGABUCKET_MULT).cast("long"),
+            ).alias("_thr")
+        ).first()
         thr = int(thr_row["_thr"]) if thr_row and thr_row["_thr"] is not None else None
     else:
         thr = max_bucket  # int or None
 
-    bands = minhash_band_rows(docs, text, id_col, with_shingles=True)
+    keep = sizes.filter(F.col("_n") >= 2)
+    if thr is not None:
+        keep = keep.filter(F.col("_n") <= thr)
+    pruned = L.join(keep.select(*keys), keys, "left_semi")
+    bands = pruned.join(doc_shingle_sets(docs, text, id_col), id_col)
     bands = _wide(bands, "band_idx", "bucket")
 
     id_type = docs.schema[id_col].dataType.simpleString()
