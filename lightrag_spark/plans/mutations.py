@@ -69,16 +69,31 @@ def rebuild_kg_from_chunks(
     if cfg.cache_records:
         from pyspark.storagelevel import StorageLevel
 
+        from .kg_build import materialize_concurrently
+
         mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
         triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
-        mentions.count()
-        triples.count()
+        # disjoint caches over the materialized records cache — safe to
+        # first-touch concurrently (see kg_build.materialize_concurrently)
+        materialize_concurrently([mentions, triples])
     nodes = merge_entity_nodes(
         mentions, salts=cfg.merge_salts, max_fragments=cfg.max_description_fragments
     )
     edges = merge_relation_edges(
         triples, salts=cfg.merge_salts, max_fragments=cfg.max_description_fragments
     )
+    if cfg.cache_records:
+        # Same contract as build_kg: the merged edge table fans into the
+        # unknown-endpoints anti-join and BOTH degree joins — without a
+        # materialized pin each consumer replays the whole two-phase edge
+        # aggregation inside the caller's single action.
+        from pyspark.storagelevel import StorageLevel
+
+        from .kg_build import materialize_concurrently
+
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        materialize_concurrently([edges, nodes])
     if cfg.summarize:
         nodes = finalize_descriptions(nodes, "entity_name", "Entity", cfg.tokenizer_kind)
         edges = edges.withColumn(
