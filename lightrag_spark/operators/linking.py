@@ -168,10 +168,18 @@ def name_link_pairs(
     self-join, so verification adds no extra join against a recomputed
     shingle table.
     """
+    # banded fans out 3 ways (guard size-agg + BOTH self-join sides) — the
+    # shingle/minhash kernel would re-run once per consumer without the
+    # checkpoint (4 bands x distinct names, shingles of <=60-char strings:
+    # tiny).  Buckets with a single member cannot produce a pair (a.nm <
+    # b.nm), so dropping them pre-join is result-identical and keeps
+    # lonely names out of the self-join shuffle.
     banded = name_band_rows(names, name_col=name_col, use_arrow=use_arrow)
+    banded = banded.localCheckpoint(eager=True)
     sizes = banded.groupBy("band_idx", "bucket").agg(F.count(F.lit(1)).alias("_n"))
     pruned = banded.join(
-        sizes.filter(F.col("_n") <= max_bucket), ["band_idx", "bucket"]
+        sizes.filter((F.col("_n") <= max_bucket) & (F.col("_n") >= 2)),
+        ["band_idx", "bucket"],
     ).drop("_n")
     cand = (
         pruned.alias("a")
