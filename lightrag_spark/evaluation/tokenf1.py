@@ -40,6 +40,9 @@ def token_f1_pairs(
     base = pairs.select(
         *keys, F.col(cand_col).alias("tc"), F.col(ref_col).alias("tr")
     )
+    # fan-out rule: lens + both explode sides consume base — checkpoint
+    # so the pair construction upstream runs once, not 3x.
+    base = base.localCheckpoint(eager=True)
     lens = base.select(
         *keys,
         F.size("tc").cast("long").alias("cand_len"),

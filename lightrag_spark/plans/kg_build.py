@@ -96,6 +96,24 @@ def materialize_concurrently(dfs) -> None:
             f.result()
 
 
+def checkpoint_concurrently(dfs) -> list:
+    """Eagerly localCheckpoint several INDEPENDENT frames at once and
+    return the checkpointed frames (same safety contract as
+    materialize_concurrently).  localCheckpoint rather than persist: a
+    persisted relation keeps its ENTIRE upstream DAG as the cached logical
+    plan, and every later query over it re-analyzes that multi-thousand-
+    node plan on the driver (measured: 2-4 s of pure planning per
+    analytics query against the persisted final KG tables); the checkpoint
+    truncates to a LogicalRDD scan."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(dfs) == 1:
+        return [dfs[0].localCheckpoint(eager=True)]
+    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+        futs = [ex.submit(lambda d=df: d.localCheckpoint(eager=True)) for df in dfs]
+        return [f.result() for f in futs]
+
+
 @dataclass
 class KGBuildResult:
     chunks: DataFrame
@@ -149,6 +167,17 @@ def build_kg(
         strategy=cfg.chunking_strategy,
     )
     chunks = chunks.repartition(par, "chunk_id")
+    if cfg.cache_records:
+        # Materialize the chunk table once: the extractor below AND every
+        # r.chunks consumer (chunk queries, the batched context's chunk
+        # join, the delete path's surviving-chunk filter) otherwise each
+        # re-run the chunking kernel; the checkpoint also truncates the
+        # lineage so consumers plan against a LogicalRDD scan instead of
+        # the scan+repartition+Python subtree.  This is the local stand-in
+        # for the runner's chunks-table write — the pipeline's natural
+        # materialization boundary.
+        chunks = chunks.localCheckpoint(eager=True)
+        _t = _tick("chunks checkpoint", _t)
 
     extract_input = chunks
     if llm_cache is not None:
@@ -185,19 +214,16 @@ def build_kg(
         _t = _tick("records.count (chunk+extract)", _t)
     mentions, triples, cache = split_records(records)
     if cfg.cache_records:
-        from pyspark.storagelevel import StorageLevel
-
-        # Persist the NARROW splits too: records.description also carries the
+        # Pin the NARROW splits too: records.description also carries the
         # raw model responses (kind='cache', ~10KB each), and the merges scan
         # their input 4-5x — reading them through the records cache would
         # decompress the fat response column on every pass (measured 10x
-        # slowdown of both merges at local[32]).
-        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
-        triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
-        # Disjoint caches over the already-materialized records cache —
-        # safe to first-touch concurrently (see materialize_concurrently).
-        materialize_concurrently([mentions, triples])
-        _t = _tick("mentions+triples counts (concurrent)", _t)
+        # slowdown of both merges at local[32]).  localCheckpoint rather
+        # than persist (lineage truncation — see the finals note below);
+        # both read the already-materialized records cache, so concurrent
+        # first-touch is safe and the two jobs overlap.
+        mentions, triples = checkpoint_concurrently([mentions, triples])
+        _t = _tick("mentions+triples checkpoints (concurrent)", _t)
 
     nodes = merge_entity_nodes(
         mentions, salts=cfg.merge_salts, max_fragments=cfg.max_description_fragments
@@ -208,19 +234,15 @@ def build_kg(
     if cfg.cache_records:
         # The merged edge table feeds FOUR downstream consumers (unknown
         # endpoints anti-join, node degree, src/tgt degree joins) — without a
-        # materialized persist each consumer re-runs the whole two-phase
+        # materialized pin each consumer re-runs the whole two-phase
         # aggregation (concurrently, via AQE's async broadcast builds).
-        from pyspark.storagelevel import StorageLevel
-
-        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
         # The two merges are independent reads of disjoint materialized
-        # caches (mentions / triples): run them as two concurrent jobs so
-        # the node merge back-fills the edge merge's straggler tail
-        # instead of waiting for it (both dominated by stage latency, not
-        # data volume, at bench scale).
-        materialize_concurrently([edges, nodes])
-        _t = _tick("edges+nodes merges (concurrent)", _t)
+        # checkpoints (mentions / triples): run them as two concurrent
+        # jobs so the node merge back-fills the edge merge's straggler
+        # tail instead of waiting for it (both dominated by stage latency,
+        # not data volume, at bench scale).
+        edges, nodes = checkpoint_concurrently([edges, nodes])
+        _t = _tick("edges+nodes merges (concurrent checkpoint)", _t)
 
     if cfg.summarize:
         from pyspark.sql import functions as F
@@ -240,15 +262,17 @@ def build_kg(
         # Pin the FINAL tables too: every downstream consumer (the bench's
         # sequential kg_nodes/kg_edges counts, the 30+ kg_* analytics
         # queries off the memoized build, the runner's writes) otherwise
-        # re-derives the summarize/unknown/degree joins per touch.  Both
-        # finals read only the materialized merge caches, so concurrent
-        # first-touch is safe — and the two jobs overlap their tails.
-        from pyspark.storagelevel import StorageLevel
-
-        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        materialize_concurrently([nodes, edges])
-        _t = _tick("final nodes+edges (concurrent)", _t)
+        # re-derives the summarize/unknown/degree joins per touch.
+        # localCheckpoint, NOT persist: a persist keeps the ENTIRE build
+        # DAG as the cached relation's logical plan, and every later query
+        # over the cache re-analyzes that multi-thousand-node plan on the
+        # driver (measured 2-3x slowdown of the graph-analytics queries
+        # from planning time alone); the checkpoint truncates to a
+        # LogicalRDD scan.  Both finals read only the materialized merge
+        # caches, so concurrent first-touch is safe — and the two jobs
+        # overlap their tails.
+        nodes, edges = checkpoint_concurrently([nodes, edges])
+        _t = _tick("final nodes+edges (concurrent checkpoint)", _t)
     return KGBuildResult(
         chunks=chunks,
         mentions=mentions,

@@ -69,13 +69,12 @@ def rebuild_kg_from_chunks(
     if cfg.cache_records:
         from pyspark.storagelevel import StorageLevel
 
-        from .kg_build import materialize_concurrently
+        from .kg_build import checkpoint_concurrently
 
-        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
-        triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
-        # disjoint caches over the materialized records cache — safe to
-        # first-touch concurrently (see kg_build.materialize_concurrently)
-        materialize_concurrently([mentions, triples])
+        # disjoint reads of the materialized records cache — safe to
+        # first-touch concurrently; checkpoint (not persist) truncates
+        # the rebuild DAG out of the merge consumers' plans
+        mentions, triples = checkpoint_concurrently([mentions, triples])
     nodes = merge_entity_nodes(
         mentions, salts=cfg.merge_salts, max_fragments=cfg.max_description_fragments
     )
@@ -86,14 +85,12 @@ def rebuild_kg_from_chunks(
         # Same contract as build_kg: the merged edge table fans into the
         # unknown-endpoints anti-join and BOTH degree joins — without a
         # materialized pin each consumer replays the whole two-phase edge
-        # aggregation inside the caller's single action.
-        from pyspark.storagelevel import StorageLevel
+        # aggregation inside the caller's single action.  localCheckpoint
+        # (not persist) so the consumer's plan is a LogicalRDD scan, not
+        # the whole rebuild DAG (see kg_build's finals note).
+        from .kg_build import checkpoint_concurrently
 
-        from .kg_build import materialize_concurrently
-
-        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        materialize_concurrently([edges, nodes])
+        nodes, edges = checkpoint_concurrently([nodes, edges])
     if cfg.summarize:
         nodes = finalize_descriptions(nodes, "entity_name", "Entity", cfg.tokenizer_kind)
         edges = edges.withColumn(
