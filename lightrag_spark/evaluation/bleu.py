@@ -73,7 +73,7 @@ def bleu2_pairs(
     # base fans into lens + both sides of both gram orders (5 consumers):
     # checkpoint once so the upstream pair construction (doc scan + the
     # successor join) runs once, not per consumer (the fan-out rule).
-    base = base.localCheckpoint(eager=True)
+    base = base.hint("rebalance").localCheckpoint(eager=True)
     lens = base.select(
         *keys,
         F.size("tc").cast("long").alias("cand_len"),

@@ -59,7 +59,7 @@ def chrf_pairs(
     base = pairs.select(*keys, strip(cand_col).alias("sc"), strip(ref_col).alias("sr"))
     # fan-out rule: the scaffold + both gram-explode sides consume base —
     # checkpoint so the pair construction upstream runs once, not 3x.
-    base = base.localCheckpoint(eager=True)
+    base = base.hint("rebalance").localCheckpoint(eager=True)
     orders = F.explode(F.array(*[F.lit(n) for n in range(1, max_order + 1)])).alias(
         "n"
     )

@@ -42,7 +42,7 @@ def token_f1_pairs(
     )
     # fan-out rule: lens + both explode sides consume base — checkpoint
     # so the pair construction upstream runs once, not 3x.
-    base = base.localCheckpoint(eager=True)
+    base = base.hint("rebalance").localCheckpoint(eager=True)
     lens = base.select(
         *keys,
         F.size("tc").cast("long").alias("cand_len"),

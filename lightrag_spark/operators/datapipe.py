@@ -393,7 +393,7 @@ def near_duplicate_pairs(
     # band row into the group shuffle, singleton buckets included.)
     # Result-identical: buckets with n<2 emit no pairs in the kernel, and
     # the guard formula is unchanged (the DuckDB oracle replays it).
-    L = minhash_band_rows(docs, text, id_col).localCheckpoint(eager=True)
+    L = minhash_band_rows(docs, text, id_col).hint("rebalance").localCheckpoint(eager=True)
     keys = ["band_idx", "bucket"]
     sizes = L.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     if max_bucket == "auto":
@@ -712,7 +712,7 @@ def simhash_near_pairs(
     # both sides of the candidate self-join) — without truncation the
     # Arrow fingerprint kernel re-runs once per consumer.  4 skinny rows
     # per doc: checkpoint is tiny, kernel runs once.
-    banded = banded.localCheckpoint(eager=True)
+    banded = banded.hint("rebalance").localCheckpoint(eager=True)
     banded = prune_megabuckets(banded, max_bucket, key_cols=("nib_idx", "nib"))
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "nib_idx", "nib"

@@ -79,23 +79,27 @@ def connected_components(
     # max_iter must exceed the propagation depth by one.
     changed = -1
     for _round in range(max_iter):
-        # neighbour minimum in one round: labels of b flow to a
+        # neighbour minimum in one round: labels of b flow to a.  The old
+        # label rides along INTO the round's checkpoint so the convergence
+        # count is a trivial filter over the checkpointed frame — the
+        # previous shape paid a second join job (prop x old labels) per
+        # round just to count changes.
         prop = (
             und.join(labels.withColumnRenamed("node", "b"), "b")
             .select(F.col("a").alias("node"), "component")
-            .union(labels)
+            .union(labels.select("node", "component"))
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .join(
+                labels.select(
+                    "node", F.col("component").alias("_old")
+                ),
+                "node",
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            prop.join(
-                labels.withColumnRenamed("component", "old"), "node"
-            )
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = prop
+        changed = prop.filter(F.col("component") != F.col("_old")).count()
+        labels = prop.select("node", "component")
         if on_round is not None:
             on_round(_round, changed)
         if changed == 0:
@@ -629,13 +633,16 @@ def kcore_hindex(
             raise ValueError(f"max_iter must be >= 1, got {max_iter}")
         changed = -1
         for k in range(max_iter):
-            nxt = _round(vals).localCheckpoint(eager=True)
-            changed = (
-                nxt.join(vals.withColumnRenamed("val", "old"), "node")
-                .filter(F.col("val") != F.col("old"))
-                .count()
+            # old value rides into the round's checkpoint so the
+            # convergence count is a filter over it, not a second join job
+            # (the connected_components round shape)
+            nxt = (
+                _round(vals)
+                .join(vals.select("node", F.col("val").alias("_old")), "node")
+                .localCheckpoint(eager=True)
             )
-            vals = nxt
+            changed = nxt.filter(F.col("val") != F.col("_old")).count()
+            vals = nxt.select("node", "val")
             if on_round is not None:
                 on_round(k, changed)
             if changed == 0:

@@ -175,7 +175,7 @@ def name_link_pairs(
     # b.nm), so dropping them pre-join is result-identical and keeps
     # lonely names out of the self-join shuffle.
     banded = name_band_rows(names, name_col=name_col, use_arrow=use_arrow)
-    banded = banded.localCheckpoint(eager=True)
+    banded = banded.hint("rebalance").localCheckpoint(eager=True)
     sizes = banded.groupBy("band_idx", "bucket").agg(F.count(F.lit(1)).alias("_n"))
     pruned = banded.join(
         sizes.filter((F.col("_n") <= max_bucket) & (F.col("_n") >= 2)),

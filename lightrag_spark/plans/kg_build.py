@@ -107,6 +107,14 @@ def checkpoint_concurrently(dfs) -> list:
     truncates to a LogicalRDD scan."""
     from concurrent.futures import ThreadPoolExecutor
 
+    # REBALANCE before the checkpoint: the checkpoint otherwise stores its
+    # parent's partitioning (e.g. 64 near-empty partitions inherited from
+    # the shuffle width), and every later stage scanning it pays the full
+    # task-launch cost for KB-sized data.  The AQE rebalance sizes stored
+    # partitions by BYTES — few at test scale, advisory-sized (~64-256 MB)
+    # at corpus scale — so downstream scan parallelism is data-
+    # proportional at any size.  No-op when AQE is off.
+    dfs = [df.hint("rebalance") for df in dfs]
     if len(dfs) == 1:
         return [dfs[0].localCheckpoint(eager=True)]
     with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
