@@ -76,7 +76,10 @@ def rank_documents(docs: DataFrame, queries: DataFrame, top_k: int | None = None
     (question, name, score, rank) for score>0 docs, rank 1-based on
     (round(score,6) DESC, name), optionally truncated to ``top_k``.
     """
-    tf = doc_term_frequencies(docs)
+    # tf feeds BOTH the idf aggregate and the scoring join — checkpoint
+    # the postings once (the fan-out rule; byte-sized partitions via
+    # rebalance) instead of running the tokenize+count pass per consumer.
+    tf = doc_term_frequencies(docs).hint("rebalance").localCheckpoint(eager=True)
     idf = inverse_document_frequency(tf, docs.count())
     qtf = (
         _tokens(queries.select("question"), "question", ["question"])
@@ -176,7 +179,13 @@ def ndcg_at_k(docs: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     collect_list folds touch k structs; relevance joins broadcast the
     query-token and ranked-name sides, never the corpus.
     """
-    ranked = rank_documents(docs, queries, top_k=k).select("question", "name", "rank")
+    # |Q| x k rows consumed by the names probe AND the relevance join —
+    # checkpoint so the whole ranking chain runs once, not twice.
+    ranked = (
+        rank_documents(docs, queries, top_k=k)
+        .select("question", "name", "rank")
+        .localCheckpoint(eager=True)
+    )
     dtoks = _tokens(docs, "text", ["name"]).distinct()
     qtoks = _tokens(queries.select("question"), "question", ["question"]).distinct()
     names = ranked.select("name").distinct()

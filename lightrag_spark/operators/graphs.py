@@ -37,12 +37,54 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+# Driver union-find bound for connected_components' small-graph path: a
+# pair graph of <=100k edges is a few MB collected — far below the
+# driver-side budgets this repo already accepts (KMeans codebooks, packing
+# prefix sums) — while the distributed min-label loop would spend 2 jobs
+# per round on it.  Same philosophy as Spark's broadcast-join threshold:
+# the distributed path engages automatically past the bound.
+CC_DRIVER_MAX_EDGES = 100_000
+
+
+def _driver_union_find(rows, a_key: str, b_key: str) -> list[tuple]:
+    """Exact min-label components of a collected edge list: (node,
+    component=min member) — identical to the distributed fixed point."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[a_key], row[b_key]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    out = []
+    for members in comp.values():
+        m = min(members)
+        out.extend((n, m) for n in members)
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
     on_round=None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable via edges.
 
@@ -65,6 +107,25 @@ def connected_components(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     und = und.distinct().localCheckpoint(eager=True)
+
+    if driver_max_edges is not None and on_round is None:
+        # Small-graph path (opt-in per call site): exact driver union-find
+        # when the DEDUPED edge list fits the bound — the count and the
+        # collect both read the checkpoint.  Semantics identical (min-label
+        # components; Python str ordering == UTF-8 binary ordering, the
+        # same total order F.min uses); the convergence/max_iter contract
+        # of the distributed loop applies only past the bound.
+        from pyspark.sql.types import StructField, StructType
+
+        if und.count() <= driver_max_edges:
+            node_t = und.schema["a"].dataType
+            spark = und.sparkSession
+            out_schema = StructType(
+                [StructField("node", node_t), StructField("component", node_t)]
+            )
+            return spark.createDataFrame(
+                _driver_union_find(und.collect(), "a", "b"), out_schema
+            )
 
     labels = (
         und.select(F.col("a").alias("node"))
@@ -128,7 +189,10 @@ def duplicate_components(
     pair-bounded result into a corpus-wide one; callers left-join this
     table and coalesce to self.
     """
-    comp = connected_components(pairs, src=id_a, dst=id_b, on_round=on_round)
+    comp = connected_components(
+        pairs, src=id_a, dst=id_b, on_round=on_round,
+        driver_max_edges=CC_DRIVER_MAX_EDGES,
+    )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
     return (
         comp.join(sizes, "component")
@@ -1442,28 +1506,28 @@ def hits_bipartite(
     )
     auth = None
     for _ in range(iterations):
+        # checkpoint the RAW sums, read the scalar total off the
+        # checkpoint, and inline it as a literal: the crossJoin(broadcast)
+        # form recomputed the whole join+aggregate a second time just to
+        # build the 1-row broadcast side (2 full passes per half-step).
+        # The total is an exact integer, so the literal is bit-identical
+        # to the broadcast column.
         a_raw = (
             bi.join(hubs, "c")
             .groupBy("e")
             .agg(F.sum("h").cast("long").alias("ar"))
-        )
-        a_tot = a_raw.agg(F.sum("ar").cast("long").alias("t"))
-        auth = (
-            a_raw.crossJoin(F.broadcast(a_tot))
-            .select("e", F.expr(f"(ar * {int(scale)}) DIV t").alias("a"))
             .localCheckpoint(eager=True)
         )
+        a_t = int(a_raw.agg(F.sum("ar").cast("long")).first()[0])
+        auth = a_raw.select("e", F.expr(f"(ar * {int(scale)}) DIV {a_t}").alias("a"))
         h_raw = (
             bi.join(auth, "e")
             .groupBy("c")
             .agg(F.sum("a").cast("long").alias("hr"))
-        )
-        h_tot = h_raw.agg(F.sum("hr").cast("long").alias("t"))
-        hubs = (
-            h_raw.crossJoin(F.broadcast(h_tot))
-            .select("c", F.expr(f"(hr * {int(scale)}) DIV t").alias("h"))
             .localCheckpoint(eager=True)
         )
+        h_t = int(h_raw.agg(F.sum("hr").cast("long")).first()[0])
+        hubs = h_raw.select("c", F.expr(f"(hr * {int(scale)}) DIV {h_t}").alias("h"))
     return auth.select(
         F.col("e").alias(auth_col),
         F.col("a").alias("auth_fp"),

@@ -281,7 +281,11 @@ def links_from_pairs(
     """Accepted alias pairs -> (entity_name, canonical_name,
     component_size): connected-components closure + hub-canonical pick —
     the shared back half of every linking modality."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    from lightrag_spark.operators.graphs import CC_DRIVER_MAX_EDGES
+
+    comp = connected_components(
+        pairs, src=src, dst=dst, driver_max_edges=CC_DRIVER_MAX_EDGES
+    )
     stats = nodes.select(
         F.col(name_col).alias("node"),
         F.col(degree_col).cast("long").alias("_deg"),
