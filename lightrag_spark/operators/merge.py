@@ -104,6 +104,116 @@ def _two_phase_head(
     )
 
 
+def _fused_heads(
+    df: DataFrame,
+    key_cols: list[str],
+    salts: int,
+    max_source_ids: int,
+    max_file_paths: int,
+    max_fragments: int,
+    desc_col: str = "description",
+) -> DataFrame:
+    """The three ordered-head aggregations (source_ids / file_paths /
+    descriptions) in ONE union-tagged two-phase pass.
+
+    The separate ``_two_phase_head`` calls each scanned the input and paid
+    their own 3 exchanges (pre-agg, phase-1 salt window, phase-2 window) —
+    9 exchanges and 3 input scans per merge.  Tagging the three payload
+    streams with ``_kind`` and running one pre-agg + one salt window + one
+    final window partitioned by (*keys, _kind) gives identical per-kind
+    results (rows of different kinds never share a window partition, the
+    salt/order/cap expressions are per-kind verbatim) in 4 exchanges and
+    one scan.
+
+    Exactness notes, kind by kind (all mirror the originals bit-for-bit):
+    - pre-agg ``min(struct(d, c, r, ts))`` == the originals' ``min(order)``
+      (the (d,c,r) global order key is unique per record, so the trailing
+      ts never decides) and == the desc head's ``min(struct(order, ts))``.
+    - sort key is a 5-long struct: occurrence kinds use (d, c, r, 0, 0)
+      — lexicographically identical to (d, c, r); the description kind
+      uses (d, ts, -len, c, r) — the doc-epoch append order.
+    - caps/salts are per-kind literals; phase-2 ranks only per-salt
+      survivors (the union of per-salt head-caps superset argument).
+
+    Output: one row per key with source_ids, file_paths, descriptions
+    arrays (descriptions empty when the key has no non-empty fragments —
+    callers apply their fallback exactly as with the old left join).
+    """
+    keys = [F.col(k) for k in key_cols]
+    f_struct = F.struct(
+        F.col("order.d").alias("d"),
+        F.col("order.c").alias("c"),
+        F.col("order.r").alias("r"),
+        F.col("ts").alias("ts"),
+    )
+
+    def branch(kind: str, payload: str, flt=None):
+        b = df
+        if flt is not None:
+            b = b.filter(flt)
+        return b.select(
+            *keys,
+            F.lit(kind).alias("_kind"),
+            F.col(payload).alias("_pay"),
+            f_struct.alias("_f"),
+        )
+
+    u = (
+        branch("s", "chunk_id")
+        .unionByName(branch("p", "file_path"))
+        .unionByName(
+            branch(
+                "d",
+                desc_col,
+                F.col(desc_col).isNotNull() & (F.col(desc_col) != ""),
+            )
+        )
+    )
+    first = u.groupBy(*key_cols, "_kind", "_pay").agg(F.min("_f").alias("f"))
+    is_d = F.col("_kind") == "d"
+    ord_struct = F.struct(
+        F.col("f.d").cast("long").alias("o1"),
+        F.when(is_d, F.col("f.ts")).otherwise(F.col("f.c")).cast("long").alias("o2"),
+        F.when(is_d, -F.length("_pay")).otherwise(F.col("f.r")).cast("long").alias("o3"),
+        F.when(is_d, F.col("f.c")).otherwise(F.lit(0)).cast("long").alias("o4"),
+        F.when(is_d, F.col("f.r")).otherwise(F.lit(0)).cast("long").alias("o5"),
+    )
+    cap = (
+        F.when(F.col("_kind") == "s", F.lit(max_source_ids))
+        .when(F.col("_kind") == "p", F.lit(max_file_paths))
+        .otherwise(F.lit(max_fragments))
+    )
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy(*key_cols, "_kind", "_salt").orderBy("_ord", "_pay")
+    w2 = Window.partitionBy(*key_cols, "_kind").orderBy("_ord", "_pay")
+    survivors = (
+        first.withColumn("_salt", _salt(F.col("_pay"), salts))
+        .withColumn("_ord", ord_struct)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= cap)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= cap)
+    )
+
+    def head(kind: str, out: str):
+        return F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_kind") == kind,
+                        F.struct(F.col("_rn2").alias("i"), F.col("_pay").alias("v")),
+                    )
+                )
+            ),
+            lambda x: x["v"],
+        ).alias(out)
+
+    return survivors.groupBy(*key_cols).agg(
+        head("s", "source_ids"), head("p", "file_paths"), head("d", "descriptions")
+    )
+
+
 def merge_entity_nodes(
     mentions: DataFrame,
     salts: int = DEFAULT_MERGE_SALTS,
@@ -146,75 +256,30 @@ def merge_entity_nodes(
         )
     )
 
-    # --- source_ids: ordered dedup + head cap --------------------------------
-    # A1: algebraic first-occurrence per (entity, chunk) — map-side combine
-    # applies, so the hot-key shuffle moves one row per (entity, chunk).
-    first_per_chunk = m.groupBy("entity_name", "chunk_id").agg(F.min("order").alias("o"))
-    sources = _two_phase_head(
-        first_per_chunk,
-        ["entity_name"],
-        _salt(F.col("chunk_id"), salts),
-        [F.col("o.d"), F.col("o.c"), F.col("o.r")],
-        F.col("chunk_id"),
-        max_source_ids,
-        "source_ids",
-    )
-
-    # --- file_paths: ordered dedup + head cap --------------------------------
-    first_per_path = m.groupBy("entity_name", "file_path").agg(F.min("order").alias("o"))
-    paths = _two_phase_head(
-        first_per_path,
-        ["entity_name"],
-        _salt(F.col("file_path"), salts),
-        [F.col("o.d"), F.col("o.c"), F.col("o.r")],
-        F.col("file_path"),
-        max_file_paths,
-        "file_paths",
-    )
-
-    # --- descriptions: doc-epoch append, then per-epoch (ts, -len) sort ------
-    # Reference order (verified end-to-end by test_insert_e2e_parity against
-    # LightRAG.ainsert itself): the pipeline merges one DOCUMENT at a time,
-    # and _combine_descriptions_dedup (operate.py:2436) APPENDS fragments
-    # not already stored — so a fragment's position is fixed by the first
-    # document that produced it, and within that document's batch the sort
-    # is (record timestamp, -len) with stability = first occurrence.  The
-    # batch-equivalent total order is therefore
-    # (first_doc, ts_of_kept_record, -len, first chunk/record), NOT a
-    # global (ts, -len) sort — a fragment first seen in a later doc sorts
-    # after ALL fragments of earlier docs regardless of length.
-    first_per_desc = (
-        m.filter(F.col("description").isNotNull() & (F.col("description") != ""))
-        .groupBy("entity_name", "description")
-        .agg(F.min(F.struct(F.col("order"), F.col("ts"))).alias("f"))
-    )
-    descs = _two_phase_head(
-        first_per_desc,
-        ["entity_name"],
-        _salt(F.col("description"), salts),
-        [
-            F.col("f.order.d"),
-            F.col("f.ts"),
-            -F.length("description"),
-            F.col("f.order.c"),
-            F.col("f.order.r"),
-        ],
-        F.col("description"),
-        max_fragments,
-        "descriptions",
+    # --- source_ids / file_paths / descriptions: ONE fused two-phase pass ----
+    # (see _fused_heads — identical per-kind semantics to the previous
+    # three _two_phase_head calls in a third of the exchanges/scans.)
+    # Description order contract (verified end-to-end by
+    # test_insert_e2e_parity against LightRAG.ainsert itself): the pipeline
+    # merges one DOCUMENT at a time, and _combine_descriptions_dedup
+    # (operate.py:2436) APPENDS fragments not already stored — so a
+    # fragment's position is fixed by the first document that produced it,
+    # and within that document's batch the sort is (record timestamp,
+    # -len) with stability = first occurrence: the total order is
+    # (first_doc, ts_of_kept_record, -len, first chunk/record).
+    heads = _fused_heads(
+        m, ["entity_name"], salts, max_source_ids, max_file_paths, max_fragments
     )
 
     return (
-        votes.join(sources, "entity_name")
-        .join(paths, "entity_name")
-        .join(descs, "entity_name", "left")
+        votes.join(heads, "entity_name")
         .withColumn(
             "descriptions",
-            F.coalesce(
-                "descriptions",
+            F.when(
+                F.size("descriptions") == 0,
                 # fallback mirrors operate.py:2440-2447
                 F.array(F.concat(F.lit("Entity "), F.col("entity_name"))),
-            ),
+            ).otherwise(F.col("descriptions")),
         )
     )
 
@@ -258,62 +323,18 @@ def merge_relation_edges(
         .agg(F.array_sort(F.collect_set("k")).alias("keywords"))
     )
 
-    first_per_chunk = t.groupBy("_lo", "_hi", "chunk_id").agg(F.min("order").alias("o"))
-    sources = _two_phase_head(
-        first_per_chunk,
-        ["_lo", "_hi"],
-        _salt(F.col("chunk_id"), salts),
-        [F.col("o.d"), F.col("o.c"), F.col("o.r")],
-        F.col("chunk_id"),
-        max_source_ids,
-        "source_ids",
-    )
-
-    first_per_path = t.groupBy("_lo", "_hi", "file_path").agg(F.min("order").alias("o"))
-    paths = _two_phase_head(
-        first_per_path,
-        ["_lo", "_hi"],
-        _salt(F.col("file_path"), salts),
-        [F.col("o.d"), F.col("o.c"), F.col("o.r")],
-        F.col("file_path"),
-        max_file_paths,
-        "file_paths",
-    )
-
-    # doc-epoch append ordering — same contract as the node merge (see
-    # merge_entity_nodes): first_doc, then per-epoch (ts, -len, occurrence)
-    first_per_desc = (
-        t.filter(F.col("description").isNotNull() & (F.col("description") != ""))
-        .groupBy("_lo", "_hi", "description")
-        .agg(F.min(F.struct(F.col("order"), F.col("ts"))).alias("f"))
-    )
-    descs = _two_phase_head(
-        first_per_desc,
-        ["_lo", "_hi"],
-        _salt(F.col("description"), salts),
-        [
-            F.col("f.order.d"),
-            F.col("f.ts"),
-            -F.length("description"),
-            F.col("f.order.c"),
-            F.col("f.order.r"),
-        ],
-        F.col("description"),
-        max_fragments,
-        "descriptions",
+    # source_ids / file_paths / descriptions in ONE fused two-phase pass
+    # (identical per-kind semantics — see _fused_heads; doc-epoch append
+    # ordering contract as in merge_entity_nodes)
+    heads = _fused_heads(
+        t, ["_lo", "_hi"], salts, max_source_ids, max_file_paths, max_fragments
     )
 
     keys = ["_lo", "_hi"]
     return (
         sums.join(kw, keys, "left")
-        .join(sources, keys)
-        .join(paths, keys)
-        .join(descs, keys, "left")
+        .join(heads, keys)
         .withColumn("keywords", F.coalesce("keywords", F.array().cast("array<string>")))
-        .withColumn(
-            "descriptions",
-            F.coalesce("descriptions", F.array().cast("array<string>")),
-        )
         .withColumnRenamed("_lo", "src")
         .withColumnRenamed("_hi", "tgt")
     )
