@@ -3185,9 +3185,14 @@ def _q_dedup_truss(spark, sf):
     from lightrag_spark.operators.graphs import ktruss_edges
 
     pairs = dp.near_duplicate_pairs(_documents(spark, sf))
+    # max_iter pinned to the twin's unroll depth + 1 (the fixed point is
+    # only observable via one confirming no-shrink round): data needing
+    # MORE peeling rounds than the twin unrolls fails LOUD here
+    # (RuntimeError) instead of surfacing as an opaque hash-gate mismatch.
     return ktruss_edges(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("tgt")),
         k=_TRUSS_K,
+        max_iter=_TRUSS_UNROLL + 1,
     )
 
 

@@ -4833,6 +4833,8 @@ def ql_topk(
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     ctf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
     c_total = dl.agg(F.sum("dl")).collect()[0][0]
+    if not c_total:
+        raise ValueError("ql_topk: empty corpus (no tokens) — nothing to score")
     w = F.log(
         F.lit(1.0)
         + F.col("tf").cast("double")
@@ -4949,10 +4951,9 @@ def conversion_latency_quantiles(
 ) -> DataFrame:
     """(cohort, q, n, value_at) — exact quantiles of conversion latency:
     seconds from a user's FIRST event ever to each conversion, the
-    time-to-value distribution growth and capacity planning read.  Only
-    conversions with at least one prior event count (latency 0 rows from
-    a conversion-first user are kept — they are real immediate
-    conversions).  Single cohort 'all' (the group column kept so the
+    time-to-value distribution growth and capacity planning read.  Every
+    conversion counts: latency is first-event-to-conversion, 0 when the
+    conversion is the user's first event (a real immediate conversion).  Single cohort 'all' (the group column kept so the
     rank-selection shape matches group_quantiles).
 
     Deterministic: epochs are truncated-second integers (unix_micros DIV

@@ -615,7 +615,7 @@ def test_hourly_autocorr_periodic_signal(spark):
     # weekly lag over 10 days: 3 days of pairs, still perfectly periodic
     assert out[("tide", 168)]["r"] == 1.0
     # constant/degenerate series defines r = 0
-    assert out.get(("noise", 24), {"r": 0.0})["r"] in (0.0,) or True
+    assert out.get(("noise", 24), {"r": 0.0})["r"] == 0.0
 
 
 def test_daily_new_users_split(spark):
