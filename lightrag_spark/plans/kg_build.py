@@ -183,9 +183,11 @@ def build_kg(
         # lineage so consumers plan against a LogicalRDD scan instead of
         # the scan+repartition+Python subtree.  This is the local stand-in
         # for the runner's chunks-table write — the pipeline's natural
-        # materialization boundary.
-        chunks = chunks.localCheckpoint(eager=True)
-        _t = _tick("chunks checkpoint", _t)
+        # materialization boundary.  LAZY (eager=False): the records
+        # materialization below is the single first-touch and saves the
+        # chunk blocks as a side effect — an eager checkpoint here would
+        # pay one extra sequential pass over the corpus.
+        chunks = chunks.localCheckpoint(eager=False)
 
     extract_input = chunks
     if llm_cache is not None:
