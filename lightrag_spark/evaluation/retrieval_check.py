@@ -69,17 +69,26 @@ def inverse_document_frequency(tf: DataFrame, n_docs: int) -> DataFrame:
     )
 
 
-def rank_documents(docs: DataFrame, queries: DataFrame, top_k: int | None = None) -> DataFrame:
+def rank_documents(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int | None = None,
+    tf: DataFrame | None = None,
+) -> DataFrame:
     """Rank every document against every question.
 
     docs: (name, text); queries: (question).  Returns
     (question, name, score, rank) for score>0 docs, rank 1-based on
     (round(score,6) DESC, name), optionally truncated to ``top_k``.
+    ``tf``: optionally pass an already-materialized postings table
+    (doc_term_frequencies output) so callers that need the postings
+    themselves (ndcg's relevance grades) share one corpus pass.
     """
     # tf feeds BOTH the idf aggregate and the scoring join — checkpoint
     # the postings once (the fan-out rule; byte-sized partitions via
     # rebalance) instead of running the tokenize+count pass per consumer.
-    tf = doc_term_frequencies(docs).hint("rebalance").localCheckpoint(eager=True)
+    if tf is None:
+        tf = doc_term_frequencies(docs).hint("rebalance").localCheckpoint(eager=True)
     idf = inverse_document_frequency(tf, docs.count())
     qtf = (
         _tokens(queries.select("question"), "question", ["question"])
@@ -179,14 +188,18 @@ def ndcg_at_k(docs: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     collect_list folds touch k structs; relevance joins broadcast the
     query-token and ranked-name sides, never the corpus.
     """
+    # ONE corpus tokenization: the checkpointed postings feed the ranking
+    # AND the relevance grades (distinct (name, token) == the postings'
+    # group keys, identical set by construction of the groupBy).
+    tf = doc_term_frequencies(docs).hint("rebalance").localCheckpoint(eager=True)
     # |Q| x k rows consumed by the names probe AND the relevance join —
     # checkpoint so the whole ranking chain runs once, not twice.
     ranked = (
-        rank_documents(docs, queries, top_k=k)
+        rank_documents(docs, queries, top_k=k, tf=tf)
         .select("question", "name", "rank")
         .localCheckpoint(eager=True)
     )
-    dtoks = _tokens(docs, "text", ["name"]).distinct()
+    dtoks = tf.select("name", "token")
     qtoks = _tokens(queries.select("question"), "question", ["question"]).distinct()
     names = ranked.select("name").distinct()
     rel = (
